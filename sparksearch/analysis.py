@@ -1,0 +1,270 @@
+"""Text analysis: tokenizers + token-filter chains.
+
+Re-creates the reference's tokenizer registry
+(tokenizers/src/manager.rs:348-425, filter chain :315-337) Spark-first:
+
+- The hot path (``default``/``simple``, ``whitespace``, ``regex``,
+  ``keyword``/``raw``/``literal``) is built entirely from JVM-side
+  ``pyspark.sql.functions`` (split / regexp_extract_all / transform /
+  filter) so tokenization stays inside whole-stage codegen — no Python.
+- Shape-heavy tokenizers (``ngram``, ``edge_ngram``, ``source_code``,
+  ``chinese_compatible``, exact ``unicode_words``) are vectorized
+  pandas UDFs (Arrow batches, never per-row Python).
+
+An analyzer produces ``array<struct<t:string, p:int>>`` — token text plus
+its position in the emitted stream (positions survive removal filters,
+matching Lucene/Tantivy position semantics for phrase queries).
+
+Token-stream parity note: the reference's regress goldens use the default
+config (split on non-alphanumeric + lowercase); that path is bit-matched
+here (see tests/test_analysis.py).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column, functions as F, types as T
+
+TOKEN_ARRAY_TYPE = T.ArrayType(
+    T.StructType([
+        T.StructField("t", T.StringType()),
+        T.StructField("p", T.IntegerType()),
+    ])
+)
+
+# unicode alphanumeric runs — Java regex for the JVM path, `regex` module-free
+# python equivalent for the pandas/oracle path.
+_JAVA_WORD = r"[\p{L}\p{N}]+"
+_PY_WORD = re.compile(r"[^\W_]+", re.UNICODE)  # \w minus underscore
+# unicode_words (UAX#29 approximation): words may contain interior
+# apostrophes (MidLetter) and interior . , in numbers (MidNum).
+_JAVA_UAX29 = r"[\p{L}\p{N}](?:[\p{L}\p{N}]|['’](?=[\p{L}])|[.,](?=[\p{N}]))*"
+_PY_UAX29 = re.compile(
+    r"[^\W_](?:[^\W_]|['’](?=[^\W\d_])|[.,](?=\d))*", re.UNICODE)
+
+
+# ---------------------------------------------------------------------------
+# python-side tokenizers (used by pandas UDFs, the streaming indexer, and the
+# brute-force oracle in tests)
+# ---------------------------------------------------------------------------
+
+def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
+                lowercase: bool = True) -> list[str]:
+    """Tokenize one string exactly like the Spark-side analyzer.
+
+    Returns the token list (positions are the list indexes).
+    """
+    if text is None:
+        return []
+    opts = opts or {}
+    if lowercase and tokenizer not in ("keyword", "literal"):
+        text = text.lower()
+    if tokenizer in ("default", "simple"):
+        return _PY_WORD.findall(text)
+    if tokenizer == "unicode_words":
+        return _PY_UAX29.findall(text)
+    if tokenizer == "whitespace":
+        return [t for t in re.split(r"\s+", text) if t]
+    if tokenizer in ("keyword", "raw", "literal"):
+        return [text] if text else []
+    if tokenizer == "literal_normalized":
+        return [text] if text else []
+    if tokenizer == "regex":
+        return re.findall(opts.get("pattern", r"\w+"), text)
+    if tokenizer == "ngram":
+        return _py_ngram(text, int(opts.get("min_gram", 2)), int(opts.get("max_gram", 3)),
+                         bool(opts.get("prefix_only", False)))
+    if tokenizer == "edge_ngram":
+        return _py_edge_ngram(text, int(opts.get("min_gram", 1)), int(opts.get("max_gram", 5)))
+    if tokenizer == "source_code":
+        return _py_source_code(text)
+    if tokenizer == "chinese_compatible":
+        return _py_cjk(text)
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def _py_ngram(text: str, lo: int, hi: int, prefix_only: bool) -> list[str]:
+    # char n-grams over the whole string (tantivy ngram.rs semantics)
+    out = []
+    n = len(text)
+    starts = [0] if prefix_only else range(n)
+    for i in starts:
+        for g in range(lo, hi + 1):
+            if i + g <= n:
+                out.append(text[i:i + g])
+    return out
+
+
+def _py_edge_ngram(text: str, lo: int, hi: int) -> list[str]:
+    out = []
+    for w in _PY_WORD.findall(text):
+        for g in range(lo, min(hi, len(w)) + 1):
+            out.append(w[:g])
+    return out
+
+
+_CAMEL = re.compile(r"\d+|[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+")
+
+
+def _py_source_code(text: str) -> list[str]:
+    # camelCase / snake_case / digit-boundary aware (tantivy code.rs spirit)
+    return [m.lower() for m in _CAMEL.findall(text)]
+
+
+def _py_cjk(text: str) -> list[str]:
+    # CJK chars become single tokens; other alphanumeric runs kept whole
+    out, buf = [], []
+    for ch in text:
+        if "一" <= ch <= "鿿" or "぀" <= ch <= "ヿ":
+            if buf:
+                out.append("".join(buf)); buf = []
+            out.append(ch)
+        elif ch.isalnum():
+            buf.append(ch)
+        else:
+            if buf:
+                out.append("".join(buf)); buf = []
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
+def py_analyze(text: str, cfg) -> list[tuple[str, int]]:
+    """Full analyzer chain → [(token, position)]. Oracle for the Spark path."""
+    toks = list(enumerate(py_tokenize(text, cfg.tokenizer, cfg.tokenizer_opts,
+                                      cfg.lowercase)))
+    for f in cfg.filters or ():
+        name, arg = (f if isinstance(f, tuple) else (f, None))
+        if name == "remove_short":
+            toks = [(p, t) for p, t in toks if len(t) >= arg]
+        elif name == "remove_long":
+            toks = [(p, t) for p, t in toks if len(t) <= arg]
+        elif name == "stopwords":
+            toks = [(p, t) for p, t in toks if t not in arg]
+        elif name == "lowercase":
+            toks = [(p, t.lower()) for p, t in toks]
+        elif name == "trim":
+            toks = [(p, t.strip()) for p, t in toks if t.strip()]
+        elif name == "alpha_num_only":
+            toks = [(p, t) for p, t in toks if t.isalnum()]
+        elif name == "ascii_folding":
+            toks = [(p, _fold(t)) for p, t in toks]
+        elif name == "stemmer_light":
+            toks = [(p, _light_stem(t)) for p, t in toks]
+        else:
+            raise ValueError(f"unknown token filter {name!r}")
+    return [(t, p) for p, t in toks]
+
+
+def _fold(t: str) -> str:
+    return "".join(c for c in unicodedata.normalize("NFKD", t)
+                   if not unicodedata.combining(c))
+
+
+def _light_stem(t: str) -> str:
+    # deterministic English s-stemmer (Harman 1991): plural stripping only.
+    if len(t) > 3 and t.endswith("ies") and not t.endswith(("eies", "aies")):
+        return t[:-3] + "y"
+    if len(t) > 2 and t.endswith("es") and not t.endswith(("aes", "ees", "oes")):
+        return t[:-1]
+    if len(t) > 2 and t.endswith("s") and not t.endswith(("us", "ss")):
+        return t[:-1]
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Spark-side analyzers
+# ---------------------------------------------------------------------------
+
+_JVM_TOKENIZERS = {"default", "simple", "whitespace", "regex", "keyword",
+                   "raw", "literal", "literal_normalized", "unicode_words"}
+
+
+def analyzer_expr(col: Column, cfg) -> Column:
+    """Column expression: text column → array<struct<t,p>> token stream.
+
+    JVM-side (codegen) for the common tokenizers; Arrow pandas UDF for the
+    shape-heavy ones. ``cfg`` is a schema.FieldConfig.
+    """
+    tok = cfg.tokenizer
+    if tok in _JVM_TOKENIZERS:
+        arr = _jvm_token_array(col, cfg)
+        stream = F.transform(
+            arr, lambda x, i: F.struct(x.alias("t"), i.cast("int").alias("p")))
+    else:
+        stream = _pandas_token_stream(col, cfg)
+    return _apply_filters(stream, cfg)
+
+
+def _jvm_token_array(col: Column, cfg) -> Column:
+    tok, opts = cfg.tokenizer, cfg.tokenizer_opts
+    base = F.lower(col) if (cfg.lowercase and tok not in ("keyword", "literal")) else col
+    if tok in ("default", "simple"):
+        arr = F.regexp_extract_all(base, F.lit(_JAVA_WORD), 0)
+    elif tok == "unicode_words":
+        arr = F.regexp_extract_all(base, F.lit(_JAVA_UAX29), 0)
+    elif tok == "whitespace":
+        arr = F.filter(F.split(base, r"\s+"), lambda x: x != "")
+    elif tok == "regex":
+        arr = F.regexp_extract_all(base, F.lit(opts.get("pattern", r"\w+")), 0)
+    elif tok in ("keyword", "raw", "literal", "literal_normalized"):
+        arr = F.when(col.isNull() | (F.length(col) == 0), F.array().cast("array<string>")) \
+               .otherwise(F.array(base))
+    else:  # pragma: no cover
+        raise ValueError(tok)
+    return F.coalesce(arr, F.array().cast("array<string>"))
+
+
+def _pandas_token_stream(col: Column, cfg) -> Column:
+    tok, opts, lc = cfg.tokenizer, dict(cfg.tokenizer_opts), cfg.lowercase
+
+    @F.pandas_udf(TOKEN_ARRAY_TYPE)
+    def _tokenize(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: [
+            {"t": t, "p": p}
+            for p, t in enumerate(py_tokenize(x, tok, opts, lc))])
+
+    return _tokenize(col)
+
+
+def _apply_filters(stream: Column, cfg) -> Column:
+    for f in cfg.filters or ():
+        name, arg = (f if isinstance(f, tuple) else (f, None))
+        if name == "remove_short":
+            stream = F.filter(stream, lambda s: F.length(s["t"]) >= arg)
+        elif name == "remove_long":
+            stream = F.filter(stream, lambda s: F.length(s["t"]) <= arg)
+        elif name == "stopwords":
+            words = list(arg)
+            stream = F.filter(stream, lambda s: ~s["t"].isin(words))
+        elif name == "lowercase":
+            stream = F.transform(
+                stream, lambda s: F.struct(F.lower(s["t"]).alias("t"), s["p"].alias("p")))
+        elif name == "trim":
+            stream = F.filter(
+                F.transform(stream, lambda s: F.struct(F.trim(s["t"]).alias("t"),
+                                                       s["p"].alias("p"))),
+                lambda s: F.length(s["t"]) > 0)
+        elif name == "alpha_num_only":
+            stream = F.filter(stream, lambda s: s["t"].rlike(r"^[\p{L}\p{N}]+$"))
+        elif name in ("ascii_folding", "stemmer_light"):
+            fn = _fold if name == "ascii_folding" else _light_stem
+
+            @F.pandas_udf(TOKEN_ARRAY_TYPE)
+            def _map(sv: pd.Series) -> pd.Series:
+                return sv.map(lambda arr: [
+                    {"t": fn(e["t"]), "p": e["p"]} for e in (arr or [])])
+
+            stream = _map(stream)
+        else:
+            raise ValueError(f"unknown token filter {name!r}")
+    return stream
+
+
+def tokenizers() -> list[str]:
+    """Reference's ``paradedb.tokenizers()`` listing (api/tokenize.rs:49-56)."""
+    return sorted(_JVM_TOKENIZERS | {"ngram", "edge_ngram", "source_code",
+                                     "chinese_compatible"})

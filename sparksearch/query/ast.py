@@ -1,0 +1,209 @@
+"""Search query AST.
+
+Node-for-node re-creation of the reference's query IR:
+- compound/index-level nodes: pg_search/src/query/mod.rs:65-145
+  (SearchQueryInput: Boolean, Boost, ConstScore, DisjunctionMax,
+  ScoreFilter, MoreLikeThis, WithIndex, HeapFilter ...)
+- field-level nodes: pg_search/src/query/pdb_query.rs:149-327
+  (pdb::Query: Term, TermSet, Match, Phrase, PhrasePrefix, FuzzyTerm,
+  Regex, Range, Exists, Proximity ...)
+
+Scoring semantics (Tantivy parity, verified against regress goldens):
+Term/Match/Phrase score BM25; Range/TermSet/Exists/All are constant-score
+1.0; Boolean sums matching clause scores.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+
+class Query:
+    """Base class; nodes are plain frozen-ish dataclasses."""
+
+    # -- convenience combinators (mirror paradedb.boolean/boost builders)
+    def __and__(self, other):
+        return Boolean(must=[self, other])
+
+    def __or__(self, other):
+        return Boolean(should=[self, other])
+
+    def __invert__(self):
+        return Boolean(must=[All()], must_not=[self])
+
+    def boost(self, factor: float):
+        return Boost(self, factor)
+
+    def const_score(self, score: float):
+        return ConstScore(self, score)
+
+
+@dataclass
+class All(Query):
+    """Match every document, score 1.0 (query/mod.rs:68)."""
+
+
+@dataclass
+class Empty(Query):
+    """Match nothing (pdb_query.rs:151)."""
+
+
+@dataclass
+class Term(Query):
+    """Exact term match; needle is normalized but not tokenized
+    (pdb_query.rs:321-323)."""
+    field: str
+    value: object
+
+
+@dataclass
+class TermSet(Query):
+    """Match any of N terms, constant score (pdb_query.rs:324-326)."""
+    field: str
+    terms: list
+
+
+@dataclass
+class Match(Query):
+    """Tokenize the needle, then OR (or AND) the tokens
+    (pdb_query.rs:214-228).  ``distance`` > 0 makes each token fuzzy."""
+    field: str
+    value: str
+    conjunction_mode: bool = False
+    distance: int = 0
+
+
+@dataclass
+class Phrase(Query):
+    """Ordered tokens within slop (pdb_query.rs:241-261).
+    ``phrases`` are pre-tokenized terms in order."""
+    field: str
+    phrases: list
+    slop: int = 0
+
+
+@dataclass
+class PhrasePrefix(Query):
+    """Phrase whose last token is a prefix (pdb_query.rs:249-252)."""
+    field: str
+    phrases: list
+    max_expansions: int = 50
+
+
+@dataclass
+class Fuzzy(Query):
+    """Levenshtein ≤ distance term match (pdb_query.rs:208-213)."""
+    field: str
+    value: str
+    distance: int = 2
+    prefix: bool = False
+    transposition_cost_one: bool = True  # divergence: engine uses classic
+    # Levenshtein (Spark built-in); Damerau transpositions count as 2.
+
+
+@dataclass
+class Regex(Query):
+    """Regex term match over the term dictionary, constant score
+    (pdb_query.rs:313-320)."""
+    field: str
+    pattern: str
+
+
+@dataclass
+class Range(Query):
+    """Range over a fast field / doc attribute, constant score
+    (pdb_query.rs:262-273). Bounds None = unbounded."""
+    field: str
+    lower: object = None
+    upper: object = None
+    lower_inclusive: bool = True
+    upper_inclusive: bool = True
+
+
+@dataclass
+class Exists(Query):
+    """Field is non-null (pdb_query.rs:195)."""
+    field: str
+
+
+@dataclass
+class Boolean(Query):
+    """Lucene boolean (query/mod.rs:69-86): score = Σ matching clause
+    scores; must_not excludes; minimum_should_match filters on the number
+    of matched should clauses."""
+    must: list = dc_field(default_factory=list)
+    should: list = dc_field(default_factory=list)
+    must_not: list = dc_field(default_factory=list)
+    minimum_should_match: int | None = None
+
+
+@dataclass
+class Boost(Query):
+    """score × factor (query/mod.rs:87-90)."""
+    query: Query
+    factor: float
+
+
+@dataclass
+class ConstScore(Query):
+    """Replace score with a constant (query/mod.rs:91-94)."""
+    query: Query
+    score: float
+
+
+@dataclass
+class DisjunctionMax(Query):
+    """max(clause scores) + tie_breaker · (sum − max) (query/mod.rs:98-101)."""
+    disjuncts: list = dc_field(default_factory=list)
+    tie_breaker: float = 0.0
+
+
+@dataclass
+class ScoreFilter(Query):
+    """Keep docs whose score lies within bounds (query/score.rs:24-39)."""
+    query: Query
+    min_score: float | None = None
+    max_score: float | None = None
+
+
+@dataclass
+class MoreLikeThis(Query):
+    """Top TF-IDF terms of a source doc re-queried as a should-boolean
+    (query/more_like_this.rs; builders api/builder_fns/mlt.rs:28-100)."""
+    field: str
+    document_id: object = None
+    document_text: str | None = None
+    min_term_frequency: int = 1
+    min_doc_frequency: int = 1
+    max_doc_frequency: int | None = None
+    max_query_terms: int = 25
+
+
+@dataclass
+class Proximity(Query):
+    """left within N tokens of right (pdb_query.rs:253-257,
+    query/proximity/mod.rs). ``ordered``: left must precede right."""
+    field: str
+    left: str
+    distance: int
+    right: str
+    ordered: bool = False
+
+
+@dataclass
+class HeapFilter(Query):
+    """Run the indexed query, then apply arbitrary non-indexed column
+    predicates (query/mod.rs:121-126). ``predicate`` is a SQL boolean
+    expression over the doc table's columns."""
+    query: Query
+    predicate: str
+
+
+@dataclass
+class Parse(Query):
+    """Tantivy query-string mini-language (pdb_query.rs:229-240); resolved
+    by parser.parse_query at compile time."""
+    query_string: str
+    field: str | None = None
+    lenient: bool = False
+    conjunction_mode: bool = False

@@ -1,0 +1,452 @@
+"""Query AST → DataFrame compiler.
+
+Each node compiles to a DataFrame ``(doc_id, score:double)`` of matching
+documents.  The reference's equivalent is SearchQueryInput → Tantivy query
+tree (pg_search/src/query/mod.rs); here the "physical plan" is a Catalyst
+plan over the postings / corpus-stats / docs tables.
+
+Scale notes:
+- Term scoring is pure column arithmetic over a bucket-prunable postings
+  scan; per-term idf comes from a tiny driver-side lookup of the query's
+  terms only (never a corpus-sized collect) and is inlined as a map
+  literal — zero query-time joins for the hot path.
+- Sibling Term clauses in one Boolean share a single postings scan
+  (``term.isin(...)``) instead of one scan per term.
+- Boolean must/should/must_not compile to joins/unions on doc_id, which
+  Spark shuffles on the (high-cardinality, well-distributed) doc key —
+  no token-skew exposure at query time.
+- Dictionary-expanding queries (fuzzy/regex/prefix) filter corpus_stats
+  (small, per-term) and collect at most ``max_expansions`` terms.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sparksearch.query import ast
+from sparksearch.scoring import bm25_expr
+from sparksearch.analysis import py_tokenize
+
+MAX_EXPANSIONS = 50
+
+
+def compile_query(index, node: ast.Query) -> DataFrame:
+    """Compile to DataFrame(doc_id, score). ``index`` is a SearchIndex."""
+    return _Compiler(index).compile(node)
+
+
+class _Compiler:
+    def __init__(self, index):
+        self.index = index
+        self.key = index.schema.key_field
+
+    # ------------------------------------------------------------------
+    def compile(self, node) -> DataFrame:
+        meth = getattr(self, f"_c_{type(node).__name__.lower()}", None)
+        if meth is None:
+            raise NotImplementedError(f"no compile rule for {type(node).__name__}")
+        return meth(node)
+
+    # -- helpers --------------------------------------------------------
+    def _docs_all(self, score: float = 1.0) -> DataFrame:
+        return self.index.docs.select(
+            F.col(self.key).alias("doc_id"), F.lit(float(score)).alias("score"))
+
+    def _empty(self) -> DataFrame:
+        return self._docs_all().limit(0)
+
+    def _postings(self, field: str) -> DataFrame:
+        return self.index.postings.filter(F.col("field") == field)
+
+    def _norm(self, field: str, value):
+        cfg = self.index.schema.field(field)
+        if isinstance(value, str) and cfg.lowercase and cfg.tokenizer not in ("keyword", "literal"):
+            return value.lower()
+        return value
+
+    def _terms_scan(self, field: str, terms: list, boost: float = 1.0) -> DataFrame:
+        """One postings scan scoring several terms: (doc_id, term, score)."""
+        dfs = self.index.term_dfs(field, terms)
+        present = sorted(set(t for t in terms if t in dfs))
+        if not present:
+            return self._empty().withColumn("term", F.lit(None).cast("string"))
+        kv = []
+        for t in present:
+            kv += [F.lit(t), F.lit(float(self.index.idf(field, dfs[t])) * boost)]
+        idf_map = F.create_map(*kv)
+        scan = self._postings(field).filter(F.col("term").isin(present))
+        score = bm25_expr(F.col("tf"), F.col("len_q"),
+                          F.element_at(idf_map, F.col("term")),
+                          self.index.avg_len(field))
+        return scan.select("doc_id", "term", score.alias("score"))
+
+    # -- leaves ---------------------------------------------------------
+    def _c_all(self, node) -> DataFrame:
+        return self._docs_all()
+
+    def _c_empty(self, node) -> DataFrame:
+        return self._empty()
+
+    def _c_term(self, node: ast.Term) -> DataFrame:
+        t = self._norm(node.field, node.value)
+        if not isinstance(t, str):
+            # numeric/bool term over a doc attribute → constant-score filter
+            return self._attr_filter(F.col(node.field) == F.lit(t))
+        return self._terms_scan(node.field, [t]).drop("term")
+
+    def _c_termset(self, node: ast.TermSet) -> DataFrame:
+        terms = [self._norm(node.field, t) for t in node.terms]
+        str_terms = [t for t in terms if isinstance(t, str)]
+        scan = (self._postings(node.field)
+                .filter(F.col("term").isin(str_terms))
+                .select("doc_id").distinct()
+                .withColumn("score", F.lit(1.0)))
+        return scan
+
+    def _c_match(self, node: ast.Match) -> DataFrame:
+        cfg = self.index.schema.field(node.field)
+        tokens = py_tokenize(node.value, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase)
+        if not tokens:
+            return self._empty()
+        if node.distance > 0:
+            leaves = [ast.Fuzzy(node.field, t, distance=node.distance) for t in tokens]
+        else:
+            leaves = [ast.Term(node.field, t) for t in tokens]
+        if node.conjunction_mode:
+            return self._c_boolean(ast.Boolean(must=leaves))
+        return self._c_boolean(ast.Boolean(should=leaves))
+
+    def _attr_filter(self, cond: Column, score: float = 1.0) -> DataFrame:
+        return (self.index.docs.filter(cond)
+                .select(F.col(self.key).alias("doc_id"),
+                        F.lit(float(score)).alias("score")))
+
+    def _c_range(self, node: ast.Range) -> DataFrame:
+        c = F.col(node.field)
+        cond = F.lit(True)
+        if node.lower is not None:
+            cond = cond & (c >= node.lower if node.lower_inclusive else c > node.lower)
+        if node.upper is not None:
+            cond = cond & (c <= node.upper if node.upper_inclusive else c < node.upper)
+        return self._attr_filter(cond)
+
+    def _c_exists(self, node: ast.Exists) -> DataFrame:
+        return self._attr_filter(F.col(node.field).isNotNull())
+
+    def _c_fuzzy(self, node: ast.Fuzzy) -> DataFrame:
+        v = self._norm(node.field, node.value)
+        # length prefilter keeps the dictionary scan cheap before the
+        # quadratic levenshtein kicks in
+        pred = (F.abs(F.length("term") - len(v)) <= node.distance)
+        if node.prefix:
+            pred = pred | F.col("term").startswith(v[: max(1, len(v) - node.distance)])
+            pred = pred & (F.levenshtein(F.substring("term", 1, len(v)), F.lit(v))
+                           <= node.distance)
+        else:
+            pred = pred & (F.levenshtein(F.col("term"), F.lit(v)) <= node.distance)
+        matched = self.index.expand_terms(node.field, pred, MAX_EXPANSIONS)
+        if not matched:
+            return self._empty()
+        # union-of-term-queries semantics: doc score = Σ matched-term BM25
+        out = self._terms_scan(node.field, [t for t, _ in matched])
+        return out.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _c_regex(self, node: ast.Regex) -> DataFrame:
+        # Tantivy regex must match the whole term; constant score 1.0
+        pred = F.col("term").rlike(f"^(?:{node.pattern})$")
+        matched = self.index.expand_terms(node.field, pred, MAX_EXPANSIONS * 20)
+        if not matched:
+            return self._empty()
+        return (self._postings(node.field)
+                .filter(F.col("term").isin([t for t, _ in matched]))
+                .select("doc_id").distinct()
+                .withColumn("score", F.lit(1.0)))
+
+    # -- phrase family --------------------------------------------------
+    def _phrase_scan(self, field: str, slot_terms: list) -> DataFrame | None:
+        """Pivot positions per phrase slot: (doc_id, len_q, _pos_0.._pos_n).
+
+        ``slot_terms[j]`` = list of acceptable terms for slot j (one for a
+        plain phrase; many for the prefix-expanded last slot). Returns None
+        when a slot has no dictionary match.
+        """
+        uniq = sorted({t for ts in slot_terms for t in ts})
+        scan = self._postings(field).filter(F.col("term").isin(uniq))
+        aggs = [F.first("len_q").alias("len_q")]
+        for j, terms in enumerate(slot_terms):
+            cond = F.col("term").isin(terms)
+            # union of candidate-term positions for this slot
+            aggs.append(F.array_sort(F.flatten(F.collect_list(
+                F.when(cond, F.col("positions"))))).alias(f"_pos_{j}"))
+        g = scan.groupBy("doc_id").agg(*aggs)
+        for j in range(len(slot_terms)):
+            g = g.filter(F.size(F.col(f"_pos_{j}")) > 0)
+        return g
+
+    def _phrase_tf(self, g: DataFrame, n_slots: int, slop: int) -> DataFrame:
+        if slop == 0:
+            def _shifted(col_name: str, off: int) -> Column:
+                return F.transform(F.col(col_name), lambda x: x - F.lit(off))
+            chain = F.col("_pos_0")
+            for j in range(1, n_slots):
+                chain = F.array_intersect(chain, _shifted(f"_pos_{j}", j))
+            return g.withColumn("ptf", F.size(chain)).filter(F.col("ptf") > 0)
+
+        # sloppy: ordered match with total gap ≤ slop, greedy non-overlap
+        # count. (Divergence note: Lucene's slop counts "moves" and allows
+        # reorder at slop ≥ 2; we require order — documented simplification.)
+        pos_arrays = F.array(*[F.col(f"_pos_{j}") for j in range(n_slots)])
+
+        @F.pandas_udf("int")
+        def _sloppy(col: pd.Series) -> pd.Series:
+            def count(arrs):
+                arrs = [list(a) for a in arrs]
+                n = len(arrs)
+                matches, min_start = 0, -1
+                import bisect
+                for p0 in arrs[0]:
+                    if p0 <= min_start:
+                        continue
+                    prev, total_gap, ok = p0, 0, True
+                    for j in range(1, n):
+                        i = bisect.bisect_right(arrs[j], prev)
+                        if i >= len(arrs[j]):
+                            ok = False
+                            break
+                        pj = arrs[j][i]
+                        total_gap += pj - prev - 1
+                        prev = pj
+                    if ok and total_gap <= slop:
+                        matches += 1
+                        min_start = prev
+                return matches
+            return col.map(count)
+
+        return g.withColumn("ptf", _sloppy(pos_arrays)).filter(F.col("ptf") > 0)
+
+    def _c_phrase(self, node: ast.Phrase) -> DataFrame:
+        field = node.field
+        terms = [self._norm(field, t) for t in node.phrases]
+        if not terms:
+            return self._empty()
+        if len(terms) == 1:
+            return self._c_term(ast.Term(field, terms[0]))
+        dfs = self.index.term_dfs(field, terms)
+        if any(t not in dfs for t in terms):
+            return self._empty()
+        g = self._phrase_scan(field, [[t] for t in terms])
+        g = self._phrase_tf(g, len(terms), node.slop)
+        # phrase idf = Σ per-term idf (duplicates counted), Lucene-style
+        idf_sum = sum(self.index.idf(field, dfs[t]) for t in terms)
+        score = bm25_expr(F.col("ptf"), F.col("len_q"), idf_sum,
+                          self.index.avg_len(field))
+        return g.select("doc_id", score.alias("score"))
+
+    def _c_phraseprefix(self, node: ast.PhrasePrefix) -> DataFrame:
+        field = node.field
+        terms = [self._norm(field, t) for t in node.phrases]
+        prefix = terms[-1]
+        expansions = self.index.expand_terms(
+            field, F.col("term").startswith(prefix), node.max_expansions)
+        # term-dict order, like Lucene/Tantivy expansion
+        exp_terms = sorted(t for t, _ in expansions)[: node.max_expansions]
+        if not exp_terms:
+            return self._empty()
+        if len(terms) == 1:
+            return self._c_termset(ast.TermSet(field, exp_terms))
+        head = terms[:-1]
+        dfs = self.index.term_dfs(field, head)
+        if any(t not in dfs for t in head):
+            return self._empty()
+        g = self._phrase_scan(field, [[t] for t in head] + [exp_terms])
+        g = self._phrase_tf(g, len(terms), 0)
+        idf_sum = sum(self.index.idf(field, dfs[t]) for t in head)
+        score = bm25_expr(F.col("ptf"), F.col("len_q"), idf_sum,
+                          self.index.avg_len(field))
+        return g.select("doc_id", score.alias("score"))
+
+    def _c_proximity(self, node: ast.Proximity) -> DataFrame:
+        field = node.field
+        lt, rt = self._norm(field, node.left), self._norm(field, node.right)
+        dfs = self.index.term_dfs(field, [lt, rt])
+        if lt not in dfs or rt not in dfs:
+            return self._empty()
+        g = self._phrase_scan(field, [[lt], [rt]])
+        d = node.distance + 1
+        if node.ordered:
+            cond = lambda x, y: (y - x >= 1) & (y - x <= d)  # noqa: E731
+        else:
+            cond = lambda x, y: (F.abs(y - x) >= 1) & (F.abs(y - x) <= d)  # noqa: E731
+        hit = F.exists(F.col("_pos_0"),
+                       lambda x: F.exists(F.col("_pos_1"), lambda y: cond(x, y)))
+        return (g.filter(hit)
+                .select("doc_id", F.lit(1.0).alias("score")))
+
+    def _c_morelikethis(self, node: ast.MoreLikeThis) -> DataFrame:
+        field = node.field
+        cfg = self.index.schema.field(field)
+        if node.document_text is not None:
+            text = node.document_text
+        else:
+            row = (self.index.docs
+                   .filter(F.col(self.key) == node.document_id)
+                   .select(field).limit(1).collect())
+            if not row:
+                return self._empty()
+            text = row[0][0]
+        toks = py_tokenize(text, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase)
+        tf: dict = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        cands = [t for t, c in tf.items() if c >= node.min_term_frequency]
+        dfs = self.index.term_dfs(field, cands)
+        scored = []
+        for t in cands:
+            d = dfs.get(t, 0)
+            if d < node.min_doc_frequency:
+                continue
+            if node.max_doc_frequency is not None and d > node.max_doc_frequency:
+                continue
+            scored.append((tf[t] * self.index.idf(field, d), t))
+        top = [t for _, t in sorted(scored, reverse=True)[: node.max_query_terms]]
+        if not top:
+            return self._empty()
+        # exclude the source doc itself, like the reference's MLT-by-key
+        out = self._c_boolean(ast.Boolean(should=[ast.Term(field, t) for t in top]))
+        if node.document_id is not None:
+            out = out.filter(F.col("doc_id") != node.document_id)
+        return out
+
+    # -- compound -------------------------------------------------------
+    def _c_boolean(self, node: ast.Boolean) -> DataFrame:
+        must, should, must_not = node.must, node.should, node.must_not
+
+        m_df = None
+        if must:
+            m_dfs = [self._clause_batch(must)] if self._all_terms(must) else \
+                [self.compile(c) for c in must]
+            if self._all_terms(must):
+                # batched scan: doc must match every distinct must term
+                n_terms = len({self._norm(c.field, c.value) for c in must})
+                m_df = (m_dfs[0]
+                        .groupBy("doc_id")
+                        .agg(F.sum("score").alias("score"),
+                             F.countDistinct("term").alias("_n"))
+                        .filter(F.col("_n") == n_terms).drop("_n"))
+            else:
+                m_df = m_dfs[0].select("doc_id", "score")
+                for d in m_dfs[1:]:
+                    d2 = d.select(F.col("doc_id").alias("_d2"),
+                                  F.col("score").alias("_s2"))
+                    m_df = (m_df.join(d2, m_df["doc_id"] == d2["_d2"], "inner")
+                            .select("doc_id",
+                                    (F.col("score") + F.col("_s2")).alias("score")))
+
+        s_df = None
+        if should:
+            parts = []
+            term_leaves = [c for c in should if self._is_plain_term(c)]
+            others = [c for c in should if not self._is_plain_term(c)]
+            if term_leaves:
+                by_field: dict = {}
+                for c in term_leaves:
+                    by_field.setdefault(c.field, []).append(self._norm(c.field, c.value))
+                for fld, ts in by_field.items():
+                    scan = self._terms_scan(fld, ts)
+                    parts.append(scan.select(
+                        "doc_id", "score",
+                        F.concat(F.lit(fld + ":"), F.col("term")).alias("_cid")))
+            for i, c in enumerate(others):
+                parts.append(self.compile(c).select(
+                    "doc_id", "score", F.lit(f"_c{i}").alias("_cid")))
+            u = reduce(lambda a, b: a.unionByName(b), parts)
+            s_df = (u.groupBy("doc_id")
+                    .agg(F.sum("score").alias("s_score"),
+                         F.countDistinct("_cid").alias("n_should")))
+
+        msm = node.minimum_should_match
+        if m_df is not None and s_df is not None:
+            s2 = s_df.select(F.col("doc_id").alias("_sd"), "s_score", "n_should")
+            out = (m_df.join(s2, m_df["doc_id"] == s2["_sd"], "left")
+                   .select("doc_id",
+                           (F.col("score") + F.coalesce(F.col("s_score"), F.lit(0.0))
+                            ).alias("score"),
+                           F.coalesce(F.col("n_should"), F.lit(0)).alias("n_should")))
+            if msm:
+                out = out.filter(F.col("n_should") >= msm)
+            out = out.drop("n_should")
+        elif s_df is not None:
+            out = s_df
+            if msm and msm > 1:
+                out = out.filter(F.col("n_should") >= msm)
+            out = out.select("doc_id", F.col("s_score").alias("score"))
+        elif m_df is not None:
+            out = m_df
+        elif must_not:
+            out = self._docs_all()
+        else:
+            return self._empty()
+
+        if must_not:
+            excl = reduce(lambda a, b: a.unionByName(b),
+                          [self.compile(c).select("doc_id") for c in must_not])
+            out = out.join(excl, "doc_id", "left_anti")
+        return out
+
+    @staticmethod
+    def _is_plain_term(c) -> bool:
+        return isinstance(c, ast.Term) and isinstance(c.value, str)
+
+    def _all_terms(self, clauses) -> bool:
+        return (len(clauses) > 1 and all(self._is_plain_term(c) for c in clauses)
+                and len({c.field for c in clauses}) == 1)
+
+    def _clause_batch(self, clauses) -> DataFrame:
+        fld = clauses[0].field
+        return self._terms_scan(fld, [self._norm(fld, c.value) for c in clauses])
+
+    def _c_boost(self, node: ast.Boost) -> DataFrame:
+        d = self.compile(node.query)
+        return d.withColumn("score", F.col("score") * F.lit(float(node.factor)))
+
+    def _c_constscore(self, node: ast.ConstScore) -> DataFrame:
+        d = self.compile(node.query)
+        return d.withColumn("score", F.lit(float(node.score)))
+
+    def _c_disjunctionmax(self, node: ast.DisjunctionMax) -> DataFrame:
+        parts = [self.compile(c) for c in node.disjuncts]
+        if not parts:
+            return self._empty()
+        u = reduce(lambda a, b: a.unionByName(b), parts)
+        tb = float(node.tie_breaker)
+        return (u.groupBy("doc_id")
+                .agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+                .select("doc_id",
+                        (F.col("_mx") + F.lit(tb) * (F.col("_sm") - F.col("_mx"))
+                         ).alias("score")))
+
+    def _c_scorefilter(self, node: ast.ScoreFilter) -> DataFrame:
+        d = self.compile(node.query)
+        if node.min_score is not None:
+            d = d.filter(F.col("score") >= node.min_score)
+        if node.max_score is not None:
+            d = d.filter(F.col("score") <= node.max_score)
+        return d
+
+    def _c_heapfilter(self, node: ast.HeapFilter) -> DataFrame:
+        d = self.compile(node.query)
+        keep = (self.index.docs.filter(F.expr(node.predicate))
+                .select(F.col(self.key).alias("doc_id")))
+        return d.join(keep, "doc_id", "left_semi")
+
+    def _c_parse(self, node: ast.Parse) -> DataFrame:
+        from sparksearch.query.parser import parse_query
+        parsed = parse_query(node.query_string,
+                             default_field=node.field or self.index.schema.default_field,
+                             index_schema=self.index.schema,
+                             lenient=node.lenient,
+                             conjunction_mode=node.conjunction_mode)
+        return self.compile(parsed)

@@ -1,0 +1,83 @@
+"""Top-k search execution with late materialization.
+
+Reference analog: BaseScan's TopKScanExecState (per-segment top-k
+collectors merged at the leader — basescan/exec_methods/top_k.rs:59-120).
+Spark restatement: ``orderBy(...).limit(k)`` compiles to
+TakeOrderedAndProject, which already does per-partition top-k + merge; we
+add the reference's *late materialization* pattern
+(scan/late_materialization.rs:17-40): sort on the narrow (doc_id, score,
+sort-key) projection, take K, then join back to the doc table for the
+display columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from sparksearch.query.compiler import compile_query
+from sparksearch.query import ast as qast
+
+
+def _as_query(index, query):
+    if isinstance(query, str):
+        return qast.Parse(query)
+    return query
+
+
+def search(index, query, limit: int | None = None, offset: int = 0,
+           order_by=None, columns=None, with_score: bool = True,
+           score_alias: str = "score") -> DataFrame:
+    """Execute a search query against an index.
+
+    - ``query``: AST node or a query string (parsed against the default
+      field, like ``body @@@ '...'``).
+    - ``order_by``: list of (column, "asc"|"desc") where column may be
+      "score" or any doc column; default = score desc, key asc
+      (BM25 top-k with stable tiebreak).
+    - ``columns``: display columns from the doc table (default: all).
+    """
+    key = index.schema.key_field
+    scores = compile_query(index, _as_query(index, query))
+
+    order_by = order_by or [("score", "desc"), ("doc_id", "asc")]
+    doc_sort_cols = [c for c, _ in order_by if c not in ("score", "doc_id", key)]
+
+    narrow = scores
+    if doc_sort_cols:
+        nd = index.docs.select(F.col(key).alias("doc_id"), *doc_sort_cols)
+        narrow = scores.join(nd, "doc_id")
+
+    sort_exprs = []
+    for c, direction in order_by:
+        col = F.col("doc_id") if c == key else F.col(c)
+        sort_exprs.append(col.desc() if direction == "desc" else col.asc())
+
+    if limit is not None:
+        narrow = narrow.orderBy(*sort_exprs).limit(limit + offset)
+        if offset:
+            w = W.orderBy(*sort_exprs)
+            narrow = (narrow.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") > offset).drop("_rn"))
+
+    out_cols = columns or [c for c in index.docs.columns]
+    docs = index.docs
+    sel_narrow = (narrow.select(F.col("doc_id").alias("__sk_did"),
+                                F.col("score").alias(score_alias)))
+    hits = (sel_narrow.join(docs, sel_narrow["__sk_did"] == docs[key])
+            .drop("__sk_did"))
+    final_sort = []
+    for c, direction in order_by:
+        if c == "score":
+            col = F.col(score_alias)
+        elif c == "doc_id":
+            col = F.col(key)
+        else:
+            col = F.col(c)
+        final_sort.append(col.desc() if direction == "desc" else col.asc())
+    sel = out_cols + ([score_alias] if with_score else [])
+    return hits.select(*sel).orderBy(*final_sort)
+
+
+def count(index, query) -> int:
+    """COUNT(*) of matching docs (AggregateScan count path)."""
+    return compile_query(index, _as_query(index, query)).count()

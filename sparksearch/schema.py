@@ -1,0 +1,87 @@
+"""Index schema: which fields are indexed, how they are tokenized/stored.
+
+Mirrors the reference's per-field search config:
+- field types: pg_search/src/schema/mod.rs:60-82 (SearchFieldType)
+- per-field options: pg_search/src/schema/config.rs (SearchFieldConfig:
+  indexed, fast, record=basic|freq|position, tokenizer, normalizer)
+- key_field requirement: pg_search/src/postgres/options.rs:300-305
+
+Spark restatement: the "index" is a set of derived columnar tables
+(postings / doc_stats / corpus_stats); ``fast`` fields are simply columns
+of the source table (Spark is natively columnar), so only text analysis
+config carries real weight here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+# record levels, reference schema/config.rs ("basic"|"freq"|"position")
+RECORD_BASIC = "basic"      # postings carry doc ids only
+RECORD_FREQ = "freq"        # + term frequencies (needed for BM25)
+RECORD_POSITION = "position"  # + token positions (needed for phrase/proximity)
+
+
+@dataclass
+class FieldConfig:
+    """Per-field indexing configuration (reference: SearchFieldConfig)."""
+
+    name: str
+    tokenizer: str = "default"          # key into analysis.TOKENIZERS
+    tokenizer_opts: dict = dc_field(default_factory=dict)
+    filters: list | None = None          # token-filter chain; None = tokenizer default
+    record: str = RECORD_POSITION
+    fast: bool = True                    # columnar (always true on Spark)
+    indexed: bool = True
+    lowercase: bool = True               # normalizer for keyword/raw fields
+
+    def analyzer_key(self) -> tuple:
+        return (self.tokenizer, tuple(sorted(self.tokenizer_opts.items())),
+                tuple(self.filters or ()), self.lowercase)
+
+
+@dataclass
+class IndexSchema:
+    """Schema of one search index over one table.
+
+    ``key_field`` is the unique document key (reference requires it:
+    options.rs:300-305); it becomes ``doc_id`` in the index tables.
+    """
+
+    key_field: str
+    text_fields: list  # list[FieldConfig]
+    name: str = "search_idx"
+
+    def field(self, name: str) -> FieldConfig:
+        for f in self.text_fields:
+            if f.name == name:
+                return f
+        raise KeyError(f"field {name!r} not in index schema")
+
+    @property
+    def field_names(self) -> list:
+        return [f.name for f in self.text_fields]
+
+    @property
+    def default_field(self) -> str:
+        return self.text_fields[0].name
+
+    @staticmethod
+    def from_options(key_field: str, text_fields: dict[str, dict[str, Any]] | None = None,
+                     **kw) -> "IndexSchema":
+        """Build from a dict shaped like the reference's WITH options JSON
+        (e.g. text_fields='{"category": {"tokenizer": {"type": "keyword"}}}').
+        """
+        fields = []
+        for name, cfg in (text_fields or {}).items():
+            tok = cfg.get("tokenizer", {})
+            tok_type = tok.get("type", "default") if isinstance(tok, dict) else str(tok)
+            opts = {k: v for k, v in tok.items() if k != "type"} if isinstance(tok, dict) else {}
+            fields.append(FieldConfig(
+                name=name, tokenizer=tok_type, tokenizer_opts=opts,
+                record=cfg.get("record", RECORD_POSITION),
+                fast=cfg.get("fast", True),
+                lowercase=cfg.get("lowercase", True),
+            ))
+        return IndexSchema(key_field=key_field, text_fields=fields, **kw)

@@ -1,0 +1,80 @@
+import pyspark.sql.functions as F
+import pytest
+
+from sparksearch.analysis import analyzer_expr, py_analyze, py_tokenize
+from sparksearch.schema import FieldConfig
+
+SAMPLES = [
+    "Ergonomic metal keyboard",
+    "High-resolution DSLR",
+    "Bluetooth-enabled speaker",
+    "  mixed   WHITESPACE\ttokens ",
+    "don't stop-believing 3,000.5 items",
+    "Café déjà-vu naïve",
+    "",
+    None,
+]
+
+
+def _spark_tokens(spark, cfg, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(analyzer_expr(F.col("text"), cfg).alias("s")).collect()
+    return [[(e["t"], e["p"]) for e in r["s"]] for r in rows]
+
+
+@pytest.mark.parametrize("tokenizer", ["default", "whitespace", "unicode_words",
+                                       "keyword", "literal_normalized"])
+def test_spark_matches_python(spark, tokenizer):
+    cfg = FieldConfig(name="text", tokenizer=tokenizer)
+    got = _spark_tokens(spark, cfg, SAMPLES)
+    for text, g in zip(SAMPLES, got):
+        assert g == py_analyze(text, cfg), (tokenizer, text)
+
+
+def test_pandas_tokenizers_match_python(spark):
+    for tok, opts in [("ngram", {"min_gram": 2, "max_gram": 3}),
+                      ("edge_ngram", {"min_gram": 1, "max_gram": 4}),
+                      ("source_code", {}), ("chinese_compatible", {})]:
+        cfg = FieldConfig(name="text", tokenizer=tok, tokenizer_opts=opts)
+        texts = ["HelloWorld foo_bar2", "abc", "中文测试 mixed", ""]
+        got = _spark_tokens(spark, cfg, texts)
+        for text, g in zip(texts, got):
+            assert g == py_analyze(text, cfg), (tok, text)
+
+
+def test_default_tokenizer_goldens():
+    # parity with the reference's default config (lowercase + non-alnum split)
+    assert py_tokenize("Ergonomic metal keyboard") == ["ergonomic", "metal", "keyboard"]
+    assert py_tokenize("High-resolution DSLR") == ["high", "resolution", "dslr"]
+    assert py_tokenize("Plastic Keyboard") == ["plastic", "keyboard"]
+
+
+def test_mock_items_corpus_stats():
+    # the corpus totals that drive the golden BM25 scores
+    from sparksearch.fixtures import mock_items_pdf
+    pdf = mock_items_pdf()
+    toks = [py_tokenize(d) for d in pdf["description"]]
+    assert len(toks) == 41
+    assert sum(len(t) for t in toks) == 123  # avg_len == 3.0
+    dfs = {}
+    for ts in toks:
+        for t in set(ts):
+            dfs[t] = dfs.get(t, 0) + 1
+    assert dfs["keyboard"] == 2 and dfs["shoes"] == 3
+
+
+def test_filters():
+    cfg = FieldConfig(name="t", tokenizer="default",
+                      filters=[("remove_short", 3), ("stopwords", {"the"})])
+    out = py_analyze("the big ox ran THE race", cfg)
+    assert out == [("big", 1), ("ran", 3), ("race", 5)]
+
+
+def test_filters_spark_parity(spark):
+    cfg = FieldConfig(name="t", tokenizer="default",
+                      filters=[("remove_short", 3), ("stopwords", ("the",)),
+                               ("remove_long", 8)])
+    texts = ["the big ox ran THE race", "extraordinarily long tokens here"]
+    got = _spark_tokens(spark, cfg, texts)
+    for text, g in zip(texts, got):
+        assert g == py_analyze(text, cfg)

@@ -1,0 +1,144 @@
+"""Differential tests: Spark compiler vs brute-force python oracle over the
+mock_items corpus (analog of the reference's querygen suite,
+/root/reference/tests/tests/qgen.rs)."""
+
+import pytest
+
+from sparksearch.fixtures import mock_items_pdf, mock_items_index_schema
+from sparksearch.query import ast, parse_query
+from sparksearch.query.compiler import compile_query
+from tests.oracle import PyIndex, evaluate
+
+
+@pytest.fixture(scope="module")
+def pidx():
+    rows = mock_items_pdf().to_dict("records")
+    return PyIndex(rows, "id", mock_items_index_schema())
+
+
+QUERIES = [
+    ast.Term("description", "shoes"),
+    ast.Term("description", "SHOES"),          # normalizer lowercases
+    ast.Term("description", "nonexistent"),
+    ast.TermSet("description", ["keyboard", "shoes", "novel"]),
+    ast.Match("description", "running shoes"),
+    ast.Match("description", "running shoes", conjunction_mode=True),
+    ast.Match("description", "wireless earbuds keyboard"),
+    ast.Phrase("description", ["running", "shoes"]),
+    ast.Phrase("description", ["sleek", "shoes"]),          # not adjacent
+    ast.Phrase("description", ["sleek", "shoes"], slop=1),  # one gap allowed
+    ast.Phrase("description", ["plastic", "keyboard"]),
+    ast.Boolean(should=[ast.Term("description", "keyboard"),
+                        ast.Term("description", "shoes")]),
+    ast.Boolean(must=[ast.Term("description", "shoes"),
+                      ast.Term("description", "running")]),
+    ast.Boolean(must=[ast.Term("description", "shoes")],
+                must_not=[ast.Term("description", "running")]),
+    ast.Boolean(should=[ast.Term("description", "keyboard"),
+                        ast.Term("description", "metal"),
+                        ast.Term("description", "plastic")],
+                minimum_should_match=2),
+    ast.Boolean(must=[ast.Range("rating", lower=4)],
+                should=[ast.Term("description", "shoes")]),
+    ast.Boost(ast.Term("description", "shoes"), 2.5),
+    ast.ConstScore(ast.Term("description", "shoes"), 7.0),
+    ast.DisjunctionMax([ast.Term("description", "keyboard"),
+                        ast.Term("description", "metal")], tie_breaker=0.3),
+    ast.Range("rating", lower=2, upper=4, upper_inclusive=False),
+    ast.Range("category", lower="Electronics", upper="Footwear"),
+    ast.Exists("description"),
+    ast.Fuzzy("description", "keybord", distance=1),
+    ast.Fuzzy("description", "sheos", distance=2),
+    ast.Regex("description", "key.*"),
+    ast.Regex("description", "sho(es|p)"),
+    ast.ScoreFilter(ast.Term("description", "shoes"), min_score=3.5),
+    ast.Boolean(must=[ast.All()], must_not=[ast.Term("description", "shoes")]),
+]
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: repr(q)[:60])
+def test_differential(mock_index, pidx, q):
+    got = {r["doc_id"]: r["score"] for r in compile_query(mock_index, q).collect()}
+    want = evaluate(pidx, q)
+    assert set(got) == set(want), f"doc sets differ for {q}"
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, rel=1e-6), (q, d)
+
+
+PARSE_CASES = [
+    ("keyboard", ast.Term("description", "keyboard")),
+    ("running shoes", None),
+    ("+running +shoes", None),
+    ("running AND shoes", None),
+    ("keyboard OR shoes", None),
+    ("shoes -running", None),
+    ("shoes NOT running", None),
+    ('"running shoes"', None),
+    ('"sleek shoes"~1', None),
+    ("keybord~1", None),
+    ("shoes^2.5", None),
+    ("category:Footwear", None),
+    ("rating:[2 TO 4]", None),
+    ("rating:{2 TO 4}", None),
+    ("rating:>=4", None),
+    ("rating:>4 shoes", None),
+    ("(keyboard OR shoes) AND metal", None),
+    ("key*", None),
+    ("/sho(es|p)/", None),
+    ("high-resolution", None),  # multi-token word → phrase
+]
+
+
+@pytest.mark.parametrize("qs,expect", PARSE_CASES, ids=[c[0] for c in PARSE_CASES])
+def test_parse_differential(mock_index, pidx, qs, expect):
+    node = parse_query(qs, "description", mock_items_index_schema())
+    if expect is not None:
+        assert node == expect
+    got = {r["doc_id"]: r["score"] for r in compile_query(mock_index, node).collect()}
+    want = evaluate(pidx, node)
+    assert set(got) == set(want), f"doc sets differ for {qs!r}: {node}"
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, rel=1e-6), (qs, d)
+
+
+def test_parse_specific_semantics(mock_index, pidx):
+    # conjunction_mode flips the implicit operator
+    n1 = parse_query("running shoes", "description", mock_items_index_schema(),
+                     conjunction_mode=True)
+    assert evaluate(pidx, n1).keys() == {3}
+    n2 = parse_query("running shoes", "description", mock_items_index_schema())
+    assert set(evaluate(pidx, n2)) == {3, 4, 5}
+
+
+def test_phrase_prefix(mock_index):
+    q = ast.PhrasePrefix("description", ["running", "sho"])
+    got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
+    assert got == {3}
+    q1 = ast.PhrasePrefix("description", ["key"])
+    got1 = {r["doc_id"] for r in compile_query(mock_index, q1).collect()}
+    assert got1 == {1, 2}
+
+
+def test_proximity(mock_index):
+    # "sleek" within 1 token of "shoes" (one word between) — doc 3
+    q = ast.Proximity("description", "sleek", 1, "shoes", ordered=True)
+    got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
+    assert got == {3}
+    q0 = ast.Proximity("description", "sleek", 0, "shoes", ordered=True)
+    assert {r["doc_id"] for r in compile_query(mock_index, q0).collect()} == set()
+    qu = ast.Proximity("description", "shoes", 1, "sleek", ordered=False)
+    assert {r["doc_id"] for r in compile_query(mock_index, qu).collect()} == {3}
+
+
+def test_more_like_this(mock_index):
+    q = ast.MoreLikeThis("description", document_id=3, min_doc_frequency=1,
+                         max_query_terms=5)
+    got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
+    assert 3 not in got          # source excluded
+    assert {4, 5} <= got         # other shoes docs surface
+
+
+def test_heap_filter(mock_index):
+    q = ast.HeapFilter(ast.Term("description", "shoes"), "in_stock = true")
+    got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
+    assert got == {3, 5}
