@@ -1,0 +1,144 @@
+"""Benchmark harness (driver contract).
+
+Measures:
+1. North metric — indexed turns/sec end-to-end (tokenize → posting build →
+   index sink) over the deterministic synthetic transcript corpus, at two
+   parallelism levels (local[N] and local[4N]) on the SAME input, reporting
+   the throughput-scaling efficiency (BASELINE.json north_rule: ≥ 0.8 from
+   N to 4N executors; evidenced here as cores since the sandbox has no
+   cluster).
+2. Headline query latencies at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": ..., "value": ..., "unit": ..., "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TMP = os.environ.get("SPARKSEARCH_BENCH_TMP", "/tmp/sparksearch_bench")
+N_CONVS = int(os.environ.get("SPARKSEARCH_BENCH_CONVS", "60000"))
+N_RUNS = int(os.environ.get("SPARKSEARCH_BENCH_RUNS", "3"))
+
+
+def _new_spark(cores: int):
+    from sparksearch.session import get_spark
+    s = get_spark(app_name=f"bench-{cores}", cores=cores,
+                  shuffle_partitions=cores)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _transcript_parquet(spark) -> str:
+    """Deterministic transcript corpus, written once and reused (generation
+    cost excluded from the throughput measurement)."""
+    path = f"{BENCH_TMP}/transcripts_{N_CONVS}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        from sparksearch.fixtures import transcripts_distributed
+        df = transcripts_distributed(spark, n_convs=N_CONVS, seed=7)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _index_throughput(cores: int, src: str, runs: int = N_RUNS) -> tuple[float, int]:
+    """Build the full inverted index from the transcript parquet and sink it
+    to parquet segments; return (hot turns/sec, n_turns).
+
+    Methodology mirrors the reference benchmark harness (cold + hot runs;
+    benchmarks/README.md): run ``runs`` times, report the best — the first
+    run absorbs JIT/codegen warmup, which would otherwise swamp the
+    scaling-efficiency signal at test scale.
+    """
+    from pyspark.sql import functions as F
+    from sparksearch.index import build_and_save
+    from sparksearch.schema import IndexSchema, FieldConfig
+
+    spark = _new_spark(cores)
+    try:
+        df = spark.read.parquet(src)
+        n_turns = df.count()
+        sink = f"{BENCH_TMP}/index_{cores}"
+        docs = df.withColumn(
+            "doc_id", F.concat_ws("#", F.col("conv_id"),
+                                  F.col("turn_idx").cast("string")))
+        schema = IndexSchema(key_field="doc_id",
+                             text_fields=[FieldConfig(name="text")])
+        best = float("inf")
+        for _ in range(max(runs, 1)):
+            shutil.rmtree(sink, ignore_errors=True)
+            t0 = time.time()
+            build_and_save(docs, schema, sink)
+            best = min(best, time.time() - t0)
+        return n_turns / best, n_turns
+    finally:
+        spark.stop()
+
+
+HEADLINE = ["bm25_topk", "term_count", "conjunction", "phrase",
+            "disjunction_msm", "tpch_q1", "join_topk", "join_aggregate",
+            "date_histogram", "window_topn_per_group", "dedup_exact",
+            "ngram_jaccard_pairs", "ann_cosine_topk", "sessionize_events",
+            "quality_score"]
+
+
+def _query_latencies(spark, sf_dir: str) -> dict:
+    from sparksearch import contract
+    out = {}
+    # force index build once so per-query timings measure query exec
+    contract.get_documents_index(spark, sf_dir).postings.count()
+    for name in HEADLINE:
+        fn = contract.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    os.makedirs(BENCH_TMP, exist_ok=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_small = max(cpus // 4, 1)
+
+    boot = _new_spark(cpus)
+    src = _transcript_parquet(boot)
+    boot.stop()
+
+    tp_small, n_turns = _index_throughput(n_small, src)
+    tp_big, _ = _index_throughput(cpus, src)
+    efficiency = tp_big / (tp_small * (cpus / n_small))
+
+    spark = _new_spark(cpus)
+    try:
+        queries = _query_latencies(spark, sf_dir)
+    finally:
+        spark.stop()
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "indexed_turns_per_sec",
+        "value": round(tp_big, 1),
+        "unit": "turns/sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "turns": n_turns,
+        "scaling": {
+            "n_cores": n_small,
+            "turns_per_sec_n": round(tp_small, 1),
+            "4n_cores": cpus,
+            "turns_per_sec_4n": round(tp_big, 1),
+            "efficiency": round(efficiency, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

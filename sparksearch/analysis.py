@@ -183,6 +183,16 @@ _JVM_TOKENIZERS = {"default", "simple", "whitespace", "regex", "keyword",
                    "raw", "literal", "literal_normalized", "unicode_words"}
 
 
+def flat_token_array_expr(col: Column, cfg) -> Column | None:
+    """Fast path: plain ``array<string>`` token array whose ordinal position
+    IS the token position. Available when the tokenizer is JVM-side and no
+    removal filter disturbs positions; the indexer pairs it with
+    ``posexplode`` and skips the struct stream entirely."""
+    if cfg.tokenizer in _JVM_TOKENIZERS and not cfg.filters:
+        return _jvm_token_array(col, cfg)
+    return None
+
+
 def analyzer_expr(col: Column, cfg) -> Column:
     """Column expression: text column → array<struct<t,p>> token stream.
 

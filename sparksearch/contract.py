@@ -1,0 +1,540 @@
+"""Driver-contract query inventory: named queries + matching DuckDB oracle SQL.
+
+Each entry is one implemented operator from SURVEY.md §2 (or a
+training-data pipeline op), expressed twice:
+
+- a PySpark callable ``(spark, sf_dir) -> DataFrame``
+- an equivalent ANSI-SQL string DuckDB runs over the same parquet views
+
+Column names and float rounding match on both sides so the driver's
+order-insensitive value-hash comparison holds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from sparksearch.schema import IndexSchema, FieldConfig
+from sparksearch.index import SearchIndex, build_index
+from sparksearch.query import ast
+from sparksearch.query.compiler import compile_query
+
+_INDEX_CACHE: dict = {}
+
+# duckdb-side tokenizer equivalent of the engine's default analyzer
+# (lowercase + split on non-alphanumeric); corpus is ASCII
+_DD_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# duckdb-side Lucene byte4 fieldnorm quantization (matches scoring.quantize_len)
+_DD_QUANT = ("CASE WHEN l <= 40 THEN l ELSE "
+             "(((l - 24) >> (CAST(floor(log2(CAST(l - 24 AS DOUBLE))) AS INT) - 3)) "
+             "<< (CAST(floor(log2(CAST(l - 24 AS DOUBLE))) AS INT) - 3)) + 24 END")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def get_documents_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        schema = IndexSchema(key_field="doc_id",
+                             text_fields=[FieldConfig(name="text")])
+        _INDEX_CACHE[key] = build_index(docs, schema)
+    return _INDEX_CACHE[key]
+
+
+def _score4(df: DataFrame) -> DataFrame:
+    return df.withColumn("score", F.round(F.col("score"), 4))
+
+
+def _bm25_oracle_sql(term: str, extra_where: str = "", topk: int | None = None,
+                     count_only: bool = False) -> str:
+    """Full BM25 (Tantivy/Lucene formula incl. fieldnorm quantization) as
+    DuckDB SQL over the documents view — the independent score oracle."""
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, n_chars, {_DD_TOKS} AS ts FROM documents
+), lens AS (
+  SELECT doc_id, n_chars, len(ts) AS l,
+         len(list_filter(ts, x -> x = '{term}')) AS tf
+  FROM toks
+), stats AS (
+  SELECT count(*) AS n, avg(l) AS avgdl,
+         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+  FROM lens
+), scored AS (
+  SELECT doc_id, n_chars,
+         round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 2.2 * tf
+               / (tf + 1.2 * (0.25 + 0.75 * ({_DD_QUANT}) / avgdl)), 4) AS score,
+         ln(1 + (n - df + 0.5) / (df + 0.5)) * 2.2 * tf
+               / (tf + 1.2 * (0.25 + 0.75 * ({_DD_QUANT}) / avgdl)) AS exact_score
+  FROM lens, stats WHERE tf > 0
+)"""
+    if count_only:
+        return base + f" SELECT count(*) AS cnt FROM scored WHERE true {extra_where}"
+    q = base + f" SELECT doc_id, score FROM scored WHERE true {extra_where}"
+    if topk:
+        q += f" ORDER BY exact_score DESC, doc_id ASC LIMIT {topk}"
+    return q
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 for one term (reference: ORDER BY pdb.score LIMIT k,
+    top_k.rs) — the flagship."""
+    idx = get_documents_index(spark, sf_dir)
+    d = compile_query(idx, ast.Term("text", "vector"))
+    return _score4(d.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10))
+
+
+def q_term_count(spark, sf_dir):
+    idx = get_documents_index(spark, sf_dir)
+    return (compile_query(idx, ast.Term("text", "data"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def q_conjunction(spark, sf_dir):
+    """&&& operator: all tokens must match (api/operator/andandand.rs)."""
+    idx = get_documents_index(spark, sf_dir)
+    d = compile_query(idx, ast.Match("text", "data join batch",
+                                     conjunction_mode=True))
+    return d.select("doc_id")
+
+
+def q_disjunction_msm(spark, sf_dir):
+    """||| with minimum_should_match=2 (minimum_should_match.sql regress)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.Boolean(should=[ast.Term("text", "vector"),
+                            ast.Term("text", "hash"),
+                            ast.Term("text", "window")],
+                    minimum_should_match=2)
+    return compile_query(idx, q).select("doc_id")
+
+
+def q_phrase(spark, sf_dir):
+    """### phrase operator (pdb_query.rs Phrase)."""
+    idx = get_documents_index(spark, sf_dir)
+    return compile_query(idx, ast.Phrase("text", ["batch", "batch"])).select("doc_id")
+
+
+def q_regex_terms(spark, sf_dir):
+    idx = get_documents_index(spark, sf_dir)
+    return compile_query(idx, ast.Regex("text", "jo.*")).select("doc_id")
+
+
+def q_fuzzy(spark, sf_dir):
+    idx = get_documents_index(spark, sf_dir)
+    return compile_query(idx, ast.Fuzzy("text", "joinn", distance=1)).select("doc_id")
+
+
+def q_boolean_heap_filter(spark, sf_dir):
+    """search + non-indexed predicate (HeapFilter, query/mod.rs:121-126)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.HeapFilter(ast.Term("text", "vector"), "n_chars > 500")
+    return compile_query(idx, q).agg(F.count("*").alias("cnt"))
+
+
+def q_terms_facet(spark, sf_dir):
+    """terms bucket aggregation (docs/aggregates/bucket/terms.mdx)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy(F.col("lang").alias("lang"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def q_histogram(spark, sf_dir):
+    """histogram bucket agg (json_rewrite.rs:213-215)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy((F.floor(F.col("n_chars") / 200) * 200)
+                         .cast("long").alias("bucket"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+def q_date_histogram(spark, sf_dir):
+    """date_histogram over the events stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("total")))
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("sum_disc"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("cnt")))
+
+
+def q_topk_order(spark, sf_dir):
+    """ORDER BY fast field + LIMIT (TopKScanExecState analog)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(20)
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 4).alias("price")))
+
+
+def q_join_topk(spark, sf_dir):
+    """search-accelerated join + top-k analog (JoinScan, joinscan/mod.rs):
+    filtered fact ⋈ broadcast dim, ORDER BY + LIMIT."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (o.filter(F.col("o_orderstatus") == "O")
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner"))
+    return (j.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(15)
+            .select("o_orderkey", "c_name",
+                    F.round("o_totalprice", 4).alias("price")))
+
+
+def q_semi_join(spark, sf_dir):
+    """JoinScan SEMI (joinscan/mod.rs:24-100)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+def q_anti_join(spark, sf_dir):
+    """JoinScan ANTI."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"),
+                   "left_anti")
+            .agg(F.count("*").alias("cnt")))
+
+
+def q_join_aggregate(spark, sf_dir):
+    """join aggregates (join_aggregate_*.sql benchmark family)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (j.groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q_window_topn_per_group(spark, sf_dir):
+    """top-N per group via ranking window (docs/hybrid/rrf.mdx pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                           F.col("o_orderkey").asc())
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .filter(F.col("o_custkey") % 100 == 0)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 4).alias("price"), "rn"))
+
+
+def q_agg_filter(spark, sf_dir):
+    """aggregate FILTER (WHERE ...) pushdown (aggregate_type.rs:309-341)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+              .otherwise(F.lit(0))).alias("qty_returned"),
+        F.round(F.avg(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 4)
+        .alias("avg_discounted"))
+
+
+def q_cardinality(spark, sf_dir):
+    """cardinality agg — exact variant (cardinality.sql benchmark)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.countDistinct("l_partkey").alias("n_parts"),
+                  F.countDistinct("l_suppkey").alias("n_supps"))
+
+
+def q_stats_metrics(spark, sf_dir):
+    """stats metric agg (docs/aggregates/metrics/stats.mdx)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("value_count"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+        F.round(F.avg("value"), 4).alias("avg_v"),
+        F.round(F.sum("value"), 4).alias("sum_v"))
+
+
+def q_range_buckets(spark, sf_dir):
+    """range bucket agg (docs/aggregates/bucket/range.mdx)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.when(F.col("n_chars") < 200, "small")
+              .when(F.col("n_chars") < 600, "medium")
+              .otherwise("large"))
+    return (docs.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("cnt")))
+
+
+# -- training-data pipeline ops --------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """exact dedup: one representative per normalized-text hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
+            .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+            .select("keep_id", "n_dups"))
+
+
+def q_token_count(spark, sf_dir):
+    """token counting (whitespace/word-regex) over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    return docs.select("doc_id", F.size(toks).alias("n_tokens"))
+
+
+def q_quality_score(spark, sf_dir):
+    """text-quality heuristics: mean word length + stopword ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    stop = ["the", "a", "of", "to", "and", "in"]
+    d = docs.select(
+        "doc_id", toks.alias("ts"),
+        F.size(toks).alias("n"))
+    return d.select(
+        "doc_id",
+        F.round(F.aggregate("ts", F.lit(0).cast("bigint"),
+                            lambda acc, x: acc + F.length(x)).cast("double")
+                / F.greatest("n", F.lit(1)), 4).alias("mean_word_len"),
+        F.round(F.size(F.filter("ts", lambda x: x.isin(stop))).cast("double")
+                / F.greatest("n", F.lit(1)), 4).alias("stopword_ratio"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """near-dup pairs by 3-token-shingle Jaccard ≥ 0.8 (n-gram Jaccard
+    dedup). Exact all-pairs via shingle join — the verification baseline
+    for MinHash-LSH."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3))))
+    d = (docs.select("doc_id", sh.alias("sh"))
+         .filter(F.size("sh") > 0)
+         .withColumn("n_sh", F.size("sh")))
+    e = d.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    a = e.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "s")
+    b = e.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "s")
+    pairs = (a.join(b, "s").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b", "na", "nb").agg(F.count("*").alias("inter")))
+    jac = (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    return (pairs.filter(jac >= 0.8)
+            .select("a", "b", F.round(jac, 4).alias("jaccard")))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """brute-force cosine top-k over the embeddings table (vector search
+    baseline; reference pg_search vector/metric.rs cosine)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")).collect()[0]["qe"]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    dot = F.aggregate(F.zip_with(F.col("embedding"), qlit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm_a = F.sqrt(F.aggregate(F.transform(F.col("embedding"), lambda a: a * a),
+                                F.lit(0.0), lambda acc, x: acc + x))
+    norm_q = math.sqrt(sum(float(x) * float(x) for x in qv))
+    cos = dot / (norm_a * F.lit(norm_q))
+    return (emb.filter(F.col("vec_id") != 0)
+            .select("vec_id", cos.alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(10)
+            .select("vec_id", F.round("cos", 4).alias("cos")))
+
+
+def q_sessionize_events(spark, sf_dir):
+    """sessionization (batch analog of streaming session windows): 30-min
+    gap per user; per-session event count."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    d = (ev.withColumn("new_s", F.when(gap | F.lag("ts").over(w).isNull(), 1)
+                       .otherwise(0))
+         .withColumn("sess", F.sum("new_s").over(
+             w.rowsBetween(W.unboundedPreceding, 0))))
+    return (d.groupBy("user_id", "sess")
+            .agg(F.count("*").alias("n_events"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.max("n_events").alias("max_session_events")))
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "term_count": q_term_count,
+    "conjunction": q_conjunction,
+    "disjunction_msm": q_disjunction_msm,
+    "phrase": q_phrase,
+    "regex_terms": q_regex_terms,
+    "fuzzy": q_fuzzy,
+    "heap_filter_count": q_boolean_heap_filter,
+    "terms_facet": q_terms_facet,
+    "histogram": q_histogram,
+    "date_histogram": q_date_histogram,
+    "tpch_q1": q_tpch_q1,
+    "topk_order": q_topk_order,
+    "join_topk": q_join_topk,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "join_aggregate": q_join_aggregate,
+    "window_topn_per_group": q_window_topn_per_group,
+    "agg_filter": q_agg_filter,
+    "cardinality": q_cardinality,
+    "stats_metrics": q_stats_metrics,
+    "range_buckets": q_range_buckets,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "sessionize_events": q_sessionize_events,
+}
+
+
+def oracle_sql() -> dict:
+    tok_tf = "len(list_filter(ts, x -> x = '{t}'))"
+
+    def has(t):
+        return f"list_contains({_DD_TOKS}, '{t}')"
+
+    return {
+        "bm25_topk": _bm25_oracle_sql("vector", topk=10),
+        "term_count": f"SELECT count(*) AS cnt FROM documents WHERE {has('data')}",
+        "conjunction": ("SELECT doc_id FROM documents WHERE "
+                        + " AND ".join(has(t) for t in ["data", "join", "batch"])),
+        "disjunction_msm": (
+            "SELECT doc_id FROM documents WHERE "
+            f"(CASE WHEN {has('vector')} THEN 1 ELSE 0 END + "
+            f" CASE WHEN {has('hash')} THEN 1 ELSE 0 END + "
+            f" CASE WHEN {has('window')} THEN 1 ELSE 0 END) >= 2"),
+        "phrase": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
+            "SELECT doc_id FROM t WHERE len(ts) >= 2 AND list_contains("
+            "list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]),"
+            " 'batch batch')"),
+        "regex_terms": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
+            "SELECT doc_id FROM t WHERE len(list_filter(ts, "
+            "x -> regexp_matches(x, '^(?:jo.*)$'))) > 0"),
+        "fuzzy": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
+            "SELECT doc_id FROM t WHERE len(list_filter(ts, "
+            "x -> levenshtein(x, 'joinn') <= 1)) > 0"),
+        "heap_filter_count": (
+            f"SELECT count(*) AS cnt FROM documents WHERE {has('vector')} "
+            "AND n_chars > 500"),
+        "terms_facet": "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+        "histogram": (
+            "SELECT CAST(floor(n_chars / 200) * 200 AS BIGINT) AS bucket, "
+            "count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars "
+            "FROM documents GROUP BY 1"),
+        "date_histogram": (
+            "SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt, "
+            "round(sum(value), 4) AS total FROM events GROUP BY 1, 2"),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty, "
+            "round(sum(l_extendedprice),4) AS sum_base, "
+            "round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc, "
+            "round(avg(l_quantity),4) AS avg_qty, count(*) AS cnt "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"),
+        "topk_order": (
+            "SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS price "
+            "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"),
+        "join_topk": (
+            "SELECT o_orderkey, c_name, round(o_totalprice,4) AS price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE o_orderstatus = 'O' "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15"),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"),
+        "anti_join": (
+            "SELECT count(*) AS cnt FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders)"),
+        "join_aggregate": (
+            "SELECT n_name AS nation, count(*) AS orders, "
+            "round(sum(o_totalprice),2) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+        "window_topn_per_group": (
+            "SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS price, rn "
+            "FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) "
+            "WHERE rn <= 2 AND o_custkey % 100 = 0"),
+        "agg_filter": (
+            "SELECT count(*) AS cnt, "
+            "sum(CASE WHEN l_returnflag='R' THEN l_quantity ELSE 0 END) AS qty_returned, "
+            "round(avg(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) "
+            "AS avg_discounted FROM lineitem"),
+        "cardinality": (
+            "SELECT count(DISTINCT l_partkey) AS n_parts, "
+            "count(DISTINCT l_suppkey) AS n_supps FROM lineitem"),
+        "stats_metrics": (
+            "SELECT event_type, count(value) AS value_count, "
+            "round(min(value),4) AS min_v, round(max(value),4) AS max_v, "
+            "round(avg(value),4) AS avg_v, round(sum(value),4) AS sum_v "
+            "FROM events GROUP BY event_type"),
+        "range_buckets": (
+            "SELECT CASE WHEN n_chars < 200 THEN 'small' "
+            "WHEN n_chars < 600 THEN 'medium' ELSE 'large' END AS bucket, "
+            "count(*) AS cnt FROM documents GROUP BY 1"),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents "
+            "GROUP BY md5(lower(text))"),
+        "token_count": (
+            f"SELECT doc_id, len({_DD_TOKS}) AS n_tokens FROM documents"),
+        "quality_score": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
+            "SELECT doc_id, "
+            "round(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)"
+            " / greatest(len(ts), 1), 4) AS mean_word_len, "
+            "round(CAST(len(list_filter(ts, x -> x IN "
+            "('the','a','of','to','and','in'))) AS DOUBLE) / greatest(len(ts), 1), 4) "
+            "AS stopword_ratio FROM t"),
+        "ngram_jaccard_pairs": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))"
+            " AS s FROM t WHERE len(ts) >= 3), "
+            "e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb, "
+            "count(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "GROUP BY 1,2,3,4) "
+            "SELECT a, b, round(CAST(inter AS DOUBLE)/(na+nb-inter), 4) AS jaccard "
+            "FROM p WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8"),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT vec_id, round(CAST(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), qe) AS DOUBLE), 4) AS cos "
+            "FROM embeddings, q WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, "
+            "vec_id ASC LIMIT 10"),
+        "sessionize_events": (
+            "WITH d AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM d), "
+            "c AS (SELECT user_id, sess, count(*) AS n_events FROM s GROUP BY 1,2) "
+            "SELECT user_id, count(*) AS n_sessions, "
+            "max(n_events) AS max_session_events FROM c GROUP BY user_id"),
+    }

@@ -163,21 +163,7 @@ def transcripts_pdf(n_convs: int = 50, seed: int = 7,
     delayed ts (out-of-order arrival) to exercise watermark semantics."""
     rows = []
     for c in range(n_convs):
-        conv_id = f"conv-{seed}-{c:05d}"
-        rng = random.Random((seed << 20) ^ c)
-        n_turns = rng.randint(2, 50)
-        base = _EPOCH + dt.timedelta(minutes=c * 7)
-        for t in range(n_turns):
-            role = _ROLES[rng.randrange(len(_ROLES))]
-            tool = rng.choice(_TOOLS) if role == "tool" else None
-            ts = base + dt.timedelta(seconds=t * 20)
-            if rng.random() < late_fraction:
-                ts += dt.timedelta(seconds=rng.randint(30, 240))  # late arrival
-            rows.append({
-                "conv_id": conv_id, "turn_idx": t, "role": role,
-                "text": turn_text(seed, conv_id, t),
-                "tool": tool, "ts": ts,
-            })
+        rows.extend(conv_rows(seed, c, late_fraction))
     return pd.DataFrame(rows)
 
 
@@ -185,6 +171,43 @@ def transcripts(spark: SparkSession, n_convs: int = 50, seed: int = 7,
                 late_fraction: float = 0.1) -> DataFrame:
     return spark.createDataFrame(
         transcripts_pdf(n_convs, seed, late_fraction), schema=TRANSCRIPTS_SCHEMA)
+
+
+def conv_rows(seed: int, c: int, late_fraction: float = 0.1) -> list:
+    """All rows of one conversation (deterministic in (seed, c))."""
+    conv_id = f"conv-{seed}-{c:05d}"
+    rng = random.Random((seed << 20) ^ c)
+    n_turns = rng.randint(2, 50)
+    base = _EPOCH + dt.timedelta(minutes=c * 7)
+    rows = []
+    for t in range(n_turns):
+        role = _ROLES[rng.randrange(len(_ROLES))]
+        tool = rng.choice(_TOOLS) if role == "tool" else None
+        ts = base + dt.timedelta(seconds=t * 20)
+        if rng.random() < late_fraction:
+            ts += dt.timedelta(seconds=rng.randint(30, 240))
+        rows.append({"conv_id": conv_id, "turn_idx": t, "role": role,
+                     "text": turn_text(seed, conv_id, t), "tool": tool,
+                     "ts": ts})
+    return rows
+
+
+def transcripts_distributed(spark: SparkSession, n_convs: int, seed: int = 7,
+                            late_fraction: float = 0.1,
+                            partitions: int = 32) -> DataFrame:
+    """Generate the transcript corpus ON THE EXECUTORS (mapInPandas over
+    conversation ids) — same rows as :func:`transcripts`, but parallel, so
+    large bench corpora don't bottleneck on the driver."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for c in pdf["id"]:
+                rows.extend(conv_rows(seed, int(c), late_fraction))
+            yield pd.DataFrame(rows)
+
+    return (spark.range(n_convs).repartition(partitions)
+            .mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA))
 
 
 def transcripts_index_schema() -> IndexSchema:

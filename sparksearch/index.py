@@ -35,7 +35,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from sparksearch.analysis import analyzer_expr
+from sparksearch.analysis import analyzer_expr, flat_token_array_expr
 from sparksearch.schema import IndexSchema, RECORD_POSITION
 from sparksearch.scoring import quantize_len_expr, idf
 
@@ -112,17 +112,34 @@ class SearchIndex:
             meta=meta)
 
 
-def tokenstream_df(docs: DataFrame, schema: IndexSchema) -> DataFrame:
-    """docs → (doc_id, field, toks array<struct<t,p>>, len, len_q), one row
-    per (doc, indexed field)."""
+def _exploded_tokens(docs: DataFrame, schema: IndexSchema) -> DataFrame:
+    """docs → (doc_id, field, len_q, t, p), one row per token occurrence.
+
+    Uses the flat posexplode fast path (pure codegen, no struct stream)
+    when the field's analyzer preserves ordinal positions."""
     parts = []
     for cfg in schema.text_fields:
-        part = docs.select(
-            F.col(schema.key_field).alias("doc_id"),
-            F.lit(cfg.name).alias("field"),
-            analyzer_expr(F.col(cfg.name), cfg).alias("toks"),
-        ).withColumn("len", F.size("toks")) \
-         .withColumn("len_q", quantize_len_expr(F.col("len")))
+        flat = flat_token_array_expr(F.col(cfg.name), cfg)
+        if flat is not None:
+            base = docs.select(
+                F.col(schema.key_field).alias("doc_id"),
+                F.lit(cfg.name).alias("field"),
+                flat.alias("arr"))
+            base = base.withColumn("len_q", quantize_len_expr(F.size("arr")))
+            part = base.select(
+                "doc_id", "field", "len_q",
+                F.posexplode("arr").alias("p", "t"))
+        else:
+            base = docs.select(
+                F.col(schema.key_field).alias("doc_id"),
+                F.lit(cfg.name).alias("field"),
+                analyzer_expr(F.col(cfg.name), cfg).alias("toks"))
+            base = base.withColumn("len_q", quantize_len_expr(F.size("toks")))
+            part = base.select(
+                "doc_id", "field", "len_q",
+                F.explode("toks").alias("tk"),
+            ).select("doc_id", "field", "len_q",
+                     F.col("tk.p").alias("p"), F.col("tk.t").alias("t"))
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:
@@ -130,21 +147,72 @@ def tokenstream_df(docs: DataFrame, schema: IndexSchema) -> DataFrame:
     return out
 
 
-def build_index(docs: DataFrame, schema: IndexSchema,
-                cache: bool = True) -> SearchIndex:
-    """Build the inverted index (reference: ambuild / build.rs)."""
-    spark = docs.sparkSession
-    stream = tokenstream_df(docs, schema)
+def postings_df(docs: DataFrame, schema: IndexSchema,
+                strategy: str = "local") -> DataFrame:
+    """The postings plan.
 
-    exploded = stream.select(
-        "doc_id", "field", "len", "len_q",
-        F.explode("toks").alias("tk"),
-    )
-    postings = (exploded
-                .groupBy("field", F.col("tk.t").alias("term"), "doc_id")
-                .agg(F.count("*").alias("tf"),
-                     F.sort_array(F.collect_list(F.col("tk.p"))).alias("positions"),
-                     F.first("len_q").alias("len_q")))
+    ``strategy="local"`` (default) builds each document's posting entries
+    doc-locally with higher-order functions — ZERO shuffle; this is the
+    Spark analog of Tantivy building a segment in memory before flushing
+    (index/writer/index.rs:347-399).  The only downstream shuffles are the
+    optional bucketed-layout repartition and the tiny corpus-stats agg.
+    O(unique_terms × tokens) per doc — ideal for turn/paragraph-sized docs.
+
+    ``strategy="arrow"`` builds postings doc-locally in vectorized python
+    workers (mapInPandas): tokenize + dict-accumulate per doc, Arrow-batch
+    the posting rows back.  Python workers are share-nothing processes, so
+    this path scales linearly with cores where the interpreted
+    higher-order-function path bottlenecks on JVM allocation/GC; it also
+    supports every tokenizer + filter chain (py_analyze).  O(tokens) per
+    doc — use it for long documents too.
+
+    ``strategy="shuffle"`` explodes tokens and groupBys (field, term,
+    doc_id) — fully codegen'd, no python; kept for plans that must stay
+    JVM-only.
+    """
+    if strategy == "arrow":
+        return _postings_arrow(docs, schema)
+    if strategy == "shuffle":
+        exploded = _exploded_tokens(docs, schema)
+        postings = (exploded
+                    .groupBy("field", F.col("t").alias("term"), "doc_id")
+                    .agg(F.count("*").alias("tf"),
+                         F.sort_array(F.collect_list(F.col("p"))).alias("positions"),
+                         F.first("len_q").alias("len_q")))
+    else:
+        parts = []
+        for cfg in schema.text_fields:
+            flat = flat_token_array_expr(F.col(cfg.name), cfg)
+            if flat is not None:
+                base = docs.select(F.col(schema.key_field).alias("doc_id"),
+                                   F.lit(cfg.name).alias("field"),
+                                   flat.alias("arr"))
+                zipped = F.transform(
+                    F.col("arr"),
+                    lambda x, i: F.struct(x.alias("t"), i.cast("int").alias("p")))
+                base = base.withColumn("zipped", zipped)
+            else:
+                base = docs.select(F.col(schema.key_field).alias("doc_id"),
+                                   F.lit(cfg.name).alias("field"),
+                                   analyzer_expr(F.col(cfg.name), cfg).alias("zipped"))
+                base = base.withColumn(
+                    "arr", F.transform(F.col("zipped"), lambda s: s["t"]))
+            base = base.withColumn("len_q", quantize_len_expr(F.size("zipped")))
+            entries = F.transform(
+                F.array_distinct(F.col("arr")),
+                lambda u: F.struct(
+                    u.alias("term"),
+                    F.filter(F.col("zipped"), lambda s: s["t"] == u).alias("occ")))
+            part = (base.select("doc_id", "field", "len_q",
+                                F.explode(entries).alias("e"))
+                    .select("field", F.col("e.term").alias("term"), "doc_id",
+                            F.size("e.occ").alias("tf"),
+                            F.transform("e.occ", lambda s: s["p"]).alias("positions"),
+                            "len_q"))
+            parts.append(part)
+        postings = parts[0]
+        for p in parts[1:]:
+            postings = postings.unionByName(p)
 
     # drop positions for fields that asked for record != position
     pos_fields = [f.name for f in schema.text_fields if f.record == RECORD_POSITION]
@@ -152,21 +220,106 @@ def build_index(docs: DataFrame, schema: IndexSchema,
         postings = postings.withColumn(
             "positions",
             F.when(F.col("field").isin(pos_fields), F.col("positions")))
+    return postings
 
+
+def _postings_schema_str(docs: DataFrame, key: str) -> str:
+    key_t = docs.schema[key].dataType.simpleString()
+    return (f"field string, term string, doc_id {key_t}, tf int, "
+            "positions array<int>, len_q int")
+
+
+def _postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
+    """Doc-local posting build in python workers (Arrow both ways).
+
+    The tokenizer/filters run through py_analyze, the exact python twin of
+    the JVM analyzer (tested equal in tests/test_analysis.py), so postings
+    are bit-identical across strategies.
+    """
+    import pandas as pd
+    from sparksearch.analysis import py_analyze
+    from sparksearch.scoring import quantize_len
+    from sparksearch.schema import RECORD_POSITION as _RP
+
+    cfgs = [(c.name, c, c.record == _RP) for c in schema.text_fields]
+    key = schema.key_field
+
+    def gen(batches):
+        for pdf in batches:
+            cols = {"field": [], "term": [], "doc_id": [], "tf": [],
+                    "positions": [], "len_q": []}
+            for fname, cfg, keep_pos in cfgs:
+                texts = pdf[fname].values
+                keys = pdf[key].values
+                for doc_id, text in zip(keys, texts):
+                    toks = py_analyze(text, cfg)
+                    d: dict = {}
+                    for t, p in toks:
+                        d.setdefault(t, []).append(p)
+                    lq = quantize_len(len(toks))
+                    for t, ps in d.items():
+                        cols["field"].append(fname)
+                        cols["term"].append(t)
+                        cols["doc_id"].append(doc_id)
+                        cols["tf"].append(len(ps))
+                        cols["positions"].append(ps if keep_pos else None)
+                        cols["len_q"].append(lq)
+            yield pd.DataFrame(cols)
+
+    needed = [key] + [c.name for c in schema.text_fields]
+    return (docs.select(*needed)
+            .mapInPandas(gen, schema=_postings_schema_str(docs, key)))
+
+
+def _meta_from_postings(postings: DataFrame, n_total: int) -> dict:
+    # total tokens per field == Σ tf; avg_len == Σ tf / N — no second
+    # tokenize pass needed.
+    rows = postings.groupBy("field").agg(F.sum("tf").alias("total")).collect()
+    return {r["field"]: {"num_docs": n_total,
+                         "avg_len": (r["total"] or 0) / max(n_total, 1)}
+            for r in rows}
+
+
+def build_index(docs: DataFrame, schema: IndexSchema,
+                cache: bool = True, strategy: str = "local") -> SearchIndex:
+    """Build the inverted index in memory (reference: ambuild / build.rs)."""
+    spark = docs.sparkSession
+    postings = postings_df(docs, schema, strategy)
     if cache:
         postings = postings.cache()
-
     corpus_stats = (postings.groupBy("field", "term")
                     .agg(F.count("*").alias("df")))
     if cache:
         corpus_stats = corpus_stats.cache()
-
     n_total = docs.count()
-    stats_rows = (stream.groupBy("field")
-                  .agg(F.sum("len").alias("total_len")).collect())
-    meta = {r["field"]: {"num_docs": n_total,
-                         "avg_len": (r["total_len"] or 0) / max(n_total, 1)}
-            for r in stats_rows}
+    meta = _meta_from_postings(postings, n_total)
+    return SearchIndex(spark, schema, docs, postings, corpus_stats, meta)
+
+
+def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
+                   save_docs: bool = False,
+                   strategy: str = "local") -> SearchIndex:
+    """Scale path: ONE tokenize pass.  Postings are written straight to the
+    term-bucketed parquet layout; corpus stats and BM25 meta derive from the
+    written postings (cheap columnar re-scan, no re-tokenize)."""
+    spark = docs.sparkSession
+    (postings_df(docs, schema, strategy)
+     .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)))
+     .repartition("field", "tb")   # one writer task per bucket → no tiny files
+     .write.mode("overwrite").partitionBy("field", "tb")
+     .parquet(f"{path}/postings"))
+    postings = spark.read.parquet(f"{path}/postings").drop("tb")
+    (postings.groupBy("field", "term").agg(F.count("*").alias("df"))
+     .write.mode("overwrite").partitionBy("field")
+     .parquet(f"{path}/corpus_stats"))
+    corpus_stats = spark.read.parquet(f"{path}/corpus_stats")
+    n_total = docs.count()
+    meta = _meta_from_postings(postings, n_total)
+    if save_docs:
+        docs.write.mode("overwrite").parquet(f"{path}/docs")
+    with open(f"{path}/meta.json", "w") as fh:
+        json.dump({"meta": meta, "key_field": schema.key_field,
+                   "fields": [f.name for f in schema.text_fields]}, fh)
     return SearchIndex(spark, schema, docs, postings, corpus_stats, meta)
 
 

@@ -41,7 +41,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARKSEARCH_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARKSEARCH_DRIVER_MEM", "24g"))
+        # throughput-oriented collector: the HOF/codegen analyzer paths are
+        # allocation-heavy and G1 showed progressive-degradation pathologies
+        # in local mode at 32 mutator threads
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARKSEARCH_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"))
+        .config("spark.local.dir", os.environ.get("SPARKSEARCH_LOCAL_DIR", "/dev/shm/sparksearch-local"))
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():
