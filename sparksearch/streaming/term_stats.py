@@ -1,0 +1,83 @@
+"""Stateful per-term document-frequency / term-frequency aggregation,
+keyed by SALTED token (north-star: applyInPandasWithState maintains
+per-term posting/DF state keyed by salted token to defeat skew).
+
+Zipfian tokens ("the", "a") would hot-spot a per-term state key; salting
+splits each term's state across N_SALT buckets keyed by
+``term#hash(doc) % N_SALT`` (two-level aggregation: per-salt running
+state in the state store, salt-bucket merge at read).
+
+Reference analog: the LSM maintains per-segment postings and doc-freqs
+incrementally and merges them at query time (merge_policy.rs,
+reader/index.rs) — here the state store holds the running (df, tf) per
+salted term and each trigger emits the updated rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (LongType, StringType, StructField, StructType,
+                               IntegerType)
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+OUTPUT_SCHEMA = StructType([
+    StructField("salted", StringType()),
+    StructField("term", StringType()),
+    StructField("salt", IntegerType()),
+    StructField("df", LongType()),
+    StructField("tf", LongType()),
+])
+STATE_SCHEMA = StructType([
+    StructField("df", LongType()),
+    StructField("tf", LongType()),
+])
+
+
+def _update(key, pdfs, state):
+    df0, tf0 = state.get if state.exists else (0, 0)
+    seen = set()
+    tf = 0
+    for pdf in pdfs:
+        seen.update(pdf["doc_id"].values)
+        tf += int(pdf["tf"].sum())
+    df0, tf0 = df0 + len(seen), tf0 + tf
+    state.update((df0, tf0))
+    salted = key[0]
+    term, _, salt = salted.rpartition("#")
+    yield pd.DataFrame([{"salted": salted, "term": term, "salt": int(salt),
+                         "df": df0, "tf": tf0}])
+
+
+def salted_term_stats(turns_with_watermark: DataFrame, field_cfg,
+                      n_salt: int = 8) -> DataFrame:
+    """turns stream → per-(term, salt) running (df, tf), updated per trigger.
+
+    Input must carry ``conv_id``, ``turn_idx`` and the text column named by
+    ``field_cfg.name``.  Output rows are per salted key; merge salt buckets
+    with ``groupBy(term).sum(df, tf)`` downstream (see
+    :func:`merge_salted_stats`).
+    """
+    from sparksearch.analysis import flat_token_array_expr, analyzer_expr
+    name = field_cfg.name
+    flat = flat_token_array_expr(F.col(name), field_cfg)
+    if flat is None:
+        flat = F.transform(analyzer_expr(F.col(name), field_cfg),
+                           lambda s: s["t"])
+    doc_id = F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+    toks = (turns_with_watermark
+            .select(doc_id.alias("doc_id"), F.col("ts"),
+                    F.explode(flat).alias("term"))
+            .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)))
+            .withColumn("salted", F.concat_ws("#", "term",
+                                              F.col("salt").cast("string")))
+            .withColumn("tf", F.lit(1).cast("long")))
+    return (toks.groupBy("salted")
+            .applyInPandasWithState(_update, OUTPUT_SCHEMA, STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def merge_salted_stats(stats: DataFrame) -> DataFrame:
+    """Second aggregation level: collapse salt buckets per term."""
+    return (stats.groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("tf").alias("tf")))

@@ -1,0 +1,313 @@
+"""Streaming-tier tests: exactly-once segmented indexing, checkpoint
+resume, session windows with stable turn order, salted stateful term
+stats, and the tool-context stream-stream join."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch.fixtures import (transcripts_pdf, TRANSCRIPTS_SCHEMA,
+                                  transcripts_index_schema, turn_text)
+from sparksearch.index import build_index
+from sparksearch.query import ast
+from sparksearch.query.compiler import compile_query
+from sparksearch.schema import FieldConfig, IndexSchema
+from sparksearch.streaming import (StreamingIndexer, open_segmented_index,
+                                   compact_segments, conversation_docs,
+                                   enrich_with_tool_context,
+                                   salted_term_stats)
+from sparksearch.streaming.sessions import conversation_docs_batch
+from sparksearch.streaming.enrich import enrich_batch_oracle
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path)
+
+
+def _write_stream_files(spark, tdir, n_convs=30, parts=4, seed=11):
+    """Write the transcript corpus as several parquet files so the file
+    stream sees multiple batches (maxFilesPerTrigger=1)."""
+    # arrival order ≈ event-time order (a real stream), so chunk boundaries
+    # never create lateness beyond the generator's late_fraction jitter
+    pdf = transcripts_pdf(n_convs, seed=seed).sort_values(
+        ["ts", "conv_id", "turn_idx"]).reset_index(drop=True)
+    src = f"{tdir}/stream_src"
+    os.makedirs(src, exist_ok=True)
+    chunk = (len(pdf) + parts - 1) // parts
+    for i in range(parts):
+        part = pdf.iloc[i * chunk:(i + 1) * chunk]
+        if len(part):
+            spark.createDataFrame(part, schema=TRANSCRIPTS_SCHEMA) \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(f"{src}/f{i:03d}")
+    # flatten: spark file stream wants files in one dir
+    flat = f"{tdir}/stream_flat"
+    os.makedirs(flat, exist_ok=True)
+    n = 0
+    base_mtime = 1_700_000_000
+    for p in sorted(glob.glob(f"{src}/f*/*.parquet")):
+        dst = f"{flat}/part{n:03d}.parquet"
+        shutil.copy(p, dst)
+        # the file source orders batches by mtime; make it strict so batch
+        # order follows event-time order deterministically
+        os.utime(dst, (base_mtime + n, base_mtime + n))
+        n += 1
+    return flat, spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+
+
+def _read_stream(spark, path):
+    return (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(path))
+
+
+def _turn_schema():
+    return IndexSchema(key_field="doc_id",
+                       text_fields=[FieldConfig(name="text")])
+
+
+def _postings_set(df):
+    rows = df.select("field", "term", "doc_id", "tf",
+                     F.col("positions").cast("string").alias("pos"),
+                     "len_q").collect()
+    return {(r["field"], r["term"], r["doc_id"], r["tf"], r["pos"], r["len_q"])
+            for r in rows}
+
+
+def test_streaming_index_matches_batch(spark, tdir):
+    flat, full_df = _write_stream_files(spark, tdir)
+    idx_path, ckpt = f"{tdir}/idx", f"{tdir}/ckpt"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt, watermark="10 minutes")
+    q = ix.start(_read_stream(spark, flat))
+    q.processAllAvailable()
+    q.stop()
+
+    segs = glob.glob(f"{idx_path}/segments/epoch=*")
+    assert len(segs) >= 2, "expected multiple micro-batch segments"
+
+    sidx = open_segmented_index(spark, idx_path, _turn_schema())
+    batch_docs = full_df.withColumn(
+        "doc_id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
+    bidx = build_index(batch_docs, _turn_schema())
+    assert _postings_set(sidx.postings) == _postings_set(bidx.postings)
+    assert sidx.meta == bidx.meta
+
+    # BM25 parity streaming vs batch on the same query
+    qd = ast.Term("text", "zephyr")
+    got = {(r["doc_id"], round(r["score"], 6))
+           for r in compile_query(sidx, qd).collect()}
+    want = {(r["doc_id"], round(r["score"], 6))
+            for r in compile_query(bidx, qd).collect()}
+    assert got == want and got
+
+    # lineage was recorded per epoch with partition counts
+    lin = open(f"{idx_path}/_lineage.jsonl").read().strip().splitlines()
+    assert len(lin) == len(segs)
+    import json
+    rec = json.loads(lin[0])
+    assert rec["docs"] > 0 and rec["partitions"]
+    assert rec["source_offsets"], "per-epoch source offsets missing"
+
+
+def test_exactly_once_replay_is_idempotent(spark, tdir):
+    flat, full_df = _write_stream_files(spark, tdir, n_convs=10, parts=2)
+    idx_path, ckpt = f"{tdir}/idx", f"{tdir}/ckpt"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt)
+    docs = full_df.withColumn(
+        "doc_id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
+    ix.sink_batch(docs, epoch_id=7)
+    once = _postings_set(open_segmented_index(spark, idx_path, _turn_schema()).postings)
+    ix.sink_batch(docs, epoch_id=7)  # replay of the same epoch
+    twice = _postings_set(open_segmented_index(spark, idx_path, _turn_schema()).postings)
+    assert once == twice
+
+
+def test_checkpoint_resume(spark, tdir):
+    """Kill mid-stream, restart from checkpoint, verify no loss & no dups."""
+    flat, full_df = _write_stream_files(spark, tdir, n_convs=20, parts=4)
+    idx_path, ckpt = f"{tdir}/idx", f"{tdir}/ckpt"
+
+    # phase 1: only two input files visible
+    half = f"{tdir}/half"
+    os.makedirs(half, exist_ok=True)
+    files = sorted(glob.glob(f"{flat}/*.parquet"))
+    for p in files[:2]:
+        shutil.copy(p, half)
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt, watermark="10 minutes")
+    q = ix.start(_read_stream(spark, half))
+    q.processAllAvailable()
+    q.stop()  # "kill"
+    n_segs_1 = len(glob.glob(f"{idx_path}/segments/epoch=*"))
+    assert n_segs_1 >= 1
+
+    # phase 2: rest of the input arrives; restart with SAME checkpoint
+    for p in files[2:]:
+        shutil.copy(p, half)
+    ix2 = StreamingIndexer(_turn_schema(), idx_path, ckpt, watermark="10 minutes")
+    q2 = ix2.start(_read_stream(spark, half))
+    q2.processAllAvailable()
+    q2.stop()
+
+    sidx = open_segmented_index(spark, idx_path, _turn_schema())
+    batch_docs = full_df.withColumn(
+        "doc_id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
+    bidx = build_index(batch_docs, _turn_schema())
+    assert _postings_set(sidx.postings) == _postings_set(bidx.postings)
+    assert sidx.meta == bidx.meta
+
+
+def test_compaction_preserves_index(spark, tdir):
+    flat, full_df = _write_stream_files(spark, tdir, n_convs=10, parts=3)
+    idx_path, ckpt = f"{tdir}/idx", f"{tdir}/ckpt"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt, watermark="10 minutes")
+    q = ix.start(_read_stream(spark, flat))
+    q.processAllAvailable()
+    q.stop()
+    before = _postings_set(open_segmented_index(spark, idx_path, _turn_schema()).postings)
+    meta_before = open_segmented_index(spark, idx_path, _turn_schema()).meta
+    compact_segments(spark, idx_path, _turn_schema())
+    assert len(glob.glob(f"{idx_path}/segments/epoch=*")) == 1
+    after_idx = open_segmented_index(spark, idx_path, _turn_schema())
+    assert _postings_set(after_idx.postings) == before
+    assert after_idx.meta == meta_before
+
+
+def test_session_windows_stable_turn_order(spark, tdir):
+    """Out-of-order arrival must not affect conversation text order."""
+    pdf = transcripts_pdf(12, seed=23, late_fraction=0.0)
+    shuffled = pdf.sample(frac=1.0, random_state=5)  # scramble arrival order
+    src = spark.createDataFrame(shuffled, schema=TRANSCRIPTS_SCHEMA)
+
+    # streaming via memory-source-free route: batch oracle vs streaming agg
+    # (session_window works in batch mode too — same code path as stream)
+    stream_like = conversation_docs(src.withWatermark("ts", "2 minutes"),
+                                    gap="5 minutes")
+    got = {r["doc_id"]: (r["text"], list(r["turn_idxs"]), r["n_turns"])
+           for r in stream_like.collect()}
+    want = {r["doc_id"]: (r["text"], list(r["turn_idxs"]), r["n_turns"])
+            for r in conversation_docs_batch(src, 300).collect()}
+    assert got == want
+    # turn order inside each doc is by turn_idx (stable), not arrival
+    for _, (text, idxs, n) in got.items():
+        assert idxs == sorted(idxs)
+    # per-turn text equality under stable turn ordering: reconstruct from
+    # (seed, conv_id, turn_idx) — the per-row invariant
+    one = next(iter(sorted(got)))
+    conv_id = one.split("#")[0]
+    doc = got[one]
+    regen = " ".join(turn_text(23, conv_id, i) for i in doc[1])
+    assert doc[0] == regen
+
+
+def test_streaming_session_windows_emit_on_watermark(spark, tdir):
+    """True streaming run: session docs emitted via foreachBatch sink."""
+    flat, full_df = _write_stream_files(spark, tdir, n_convs=8, parts=3, seed=31)
+    idx_path, ckpt = f"{tdir}/conv_idx", f"{tdir}/conv_ckpt"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt, mode="conversation",
+                          watermark="1 minute", session_gap="5 minutes")
+    q = ix.start(_read_stream(spark, flat))
+    q.processAllAvailable()
+    q.stop()
+    # sessions whose watermark passed are indexed; at least the early convs
+    segs = glob.glob(f"{idx_path}/segments/epoch=*")
+    emitted = 0
+    if segs:
+        sidx = open_segmented_index(spark, idx_path, _turn_schema())
+        emitted = sidx.postings.select("doc_id").distinct().count()
+    want = conversation_docs_batch(
+        full_df, 300).select("doc_id").distinct().count()
+    # append-mode sessions can hold back the final windows (watermark not
+    # yet passed at end of input) — emitted ⊆ expected
+    assert emitted <= want
+    assert emitted > 0, "no sessions emitted — watermark never advanced"
+
+
+def test_salted_term_stats(spark, tdir):
+    flat, full_df = _write_stream_files(spark, tdir, n_convs=10, parts=2, seed=41)
+    out = (salted_term_stats(
+        _read_stream(spark, flat).withWatermark("ts", "2 minutes"),
+        FieldConfig(name="text"), n_salt=4)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tstats")
+        .option("checkpointLocation", f"{tdir}/ts_ckpt").start())
+    out.processAllAvailable()
+    out.stop()
+    # latest state per salted key, then merge salt buckets
+    latest = spark.sql("""
+        SELECT term, sum(df) AS df, sum(tf) AS tf FROM (
+          SELECT salted, term, df, tf,
+                 row_number() OVER (PARTITION BY salted ORDER BY df DESC) rn
+          FROM tstats) WHERE rn = 1 GROUP BY term""")
+    got = {r["term"]: (r["df"], r["tf"]) for r in latest.collect()}
+
+    from sparksearch.analysis import py_tokenize
+    want_df, want_tf = {}, {}
+    for _, row in full_df.toPandas().iterrows():
+        ts = py_tokenize(row["text"])
+        for t in set(ts):
+            want_df[t] = want_df.get(t, 0) + 1
+        for t in ts:
+            want_tf[t] = want_tf.get(t, 0) + 1
+    assert got == {t: (want_df[t], want_tf[t]) for t in want_df}
+
+
+def test_stream_stream_join_tool_context(spark, tdir):
+    flat, full_df = _write_stream_files(spark, tdir, n_convs=12, parts=3, seed=53)
+    # watermark spans the whole corpus so equality with the batch oracle is
+    # deterministic regardless of micro-batch order; late-drop semantics
+    # are covered separately by test_watermark_drops_late_events
+    enr = enrich_with_tool_context(_read_stream(spark, flat),
+                                   watermark="3 hours", bound_seconds=120)
+    q = (enr.writeStream.outputMode("append").format("memory")
+         .queryName("enriched").option("checkpointLocation", f"{tdir}/j_ckpt")
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, tool, tool_turn_idx FROM enriched "
+        "WHERE tool IS NOT NULL").collect()
+    got_set = {(r["conv_id"], r["turn_idx"], r["tool"], r["tool_turn_idx"])
+               for r in got}
+    want = enrich_batch_oracle(full_df, 120).filter(F.col("tool").isNotNull())
+    want_set = {(r["conv_id"], r["turn_idx"], r["tool"], r["tool_turn_idx"])
+                for r in want.collect()}
+    # streaming left-outer emits matched rows as they join; matched pairs
+    # must agree exactly with the batch oracle
+    assert got_set == want_set and want_set
+
+
+def test_watermark_drops_late_events(spark, tdir):
+    """A row arriving with event time far behind the watermark is dropped
+    (late-data semantics) — the streaming index intentionally misses it."""
+    import pandas as pd, datetime as dt
+    rows1 = [{"conv_id": "c1", "turn_idx": i, "role": "user",
+              "text": f"turn {i} alpha", "tool": None,
+              "ts": dt.datetime(2026, 1, 1, 10, 0, i)} for i in range(3)]
+    # a much newer event advances the watermark
+    rows1.append({"conv_id": "c2", "turn_idx": 0, "role": "user",
+                  "text": "future beacon", "tool": None,
+                  "ts": dt.datetime(2026, 1, 1, 11, 0, 0)})
+    late = [{"conv_id": "c1", "turn_idx": 3, "role": "user",
+             "text": "very late straggler", "tool": None,
+             "ts": dt.datetime(2026, 1, 1, 10, 0, 30)}]
+    src = f"{tdir}/late_src"
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(pd.DataFrame(rows1), schema=TRANSCRIPTS_SCHEMA) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{tdir}/w1")
+    shutil.copy(glob.glob(f"{tdir}/w1/*.parquet")[0], f"{src}/a.parquet")
+    idx_path, ckpt = f"{tdir}/lidx", f"{tdir}/lckpt"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt, watermark="1 minute")
+    q = ix.start(_read_stream(spark, src))
+    q.processAllAvailable()
+    spark.createDataFrame(pd.DataFrame(late), schema=TRANSCRIPTS_SCHEMA) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{tdir}/w2")
+    shutil.copy(glob.glob(f"{tdir}/w2/*.parquet")[0], f"{src}/b.parquet")
+    q.processAllAvailable()
+    q.stop()
+    sidx = open_segmented_index(spark, idx_path, _turn_schema())
+    docs = {r["doc_id"] for r in sidx.postings.select("doc_id").distinct().collect()}
+    assert "c1#3" not in docs, "late straggler should be dropped by watermark"
+    assert {"c1#0", "c1#1", "c1#2", "c2#0"} <= docs
