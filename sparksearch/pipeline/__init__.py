@@ -1,0 +1,20 @@
+"""Large-scale training-data pipeline operators.
+
+These are the operations a 100 TB training-data pipeline needs on top of
+the search engine: deduplication (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine), similarity search (brute-force + LSH-bucketed
+ANN), text analysis (language id, quality scoring, token counting,
+fingerprinting), and multimodal column plumbing.
+"""
+
+from sparksearch.pipeline.dedup import (  # noqa: F401
+    exact_duplicates, minhash_signatures, lsh_candidate_pairs,
+    minhash_near_duplicates, simhash64, simhash_near_duplicates,
+    shingle_jaccard_pairs, embedding_near_duplicates, dedup_keep_first,
+)
+from sparksearch.pipeline.similarity import (  # noqa: F401
+    cosine_topk, lsh_cosine_topk,
+)
+from sparksearch.pipeline.text import (  # noqa: F401
+    language_id, quality_scores, token_counts, fingerprint64,
+)

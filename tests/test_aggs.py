@@ -1,0 +1,119 @@
+"""JSON aggregation DSL tests (reference: api/aggregate.rs ES-compatible
+surface; docs/documentation/aggregates/*)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch.aggs import run_aggs, search_aggregate, AggError
+from sparksearch.query import ast
+
+
+def test_terms_agg(mock_index):
+    res = run_aggs(mock_index.docs,
+                   '{"cats": {"terms": {"field": "category", "size": 3}}}')
+    buckets = res["aggregations"]["cats"]["buckets"]
+    assert len(buckets) == 3
+    # Electronics/Footwear are the biggest categories (5,6... compute: Footwear
+    # ids 3,4,5,13,23,33 = 6; Electronics 1,2,12,22,32 = 5)
+    assert buckets[0]["key"] == "Footwear" and buckets[0]["doc_count"] == 6
+    assert buckets[1]["key"] == "Electronics" and buckets[1]["doc_count"] == 5
+
+
+def test_terms_with_metrics(mock_index):
+    res = run_aggs(mock_index.docs, {
+        "cats": {"terms": {"field": "category", "size": 2},
+                 "aggs": {"avg_rating": {"avg": {"field": "rating"}},
+                          "rating_stats": {"stats": {"field": "rating"}}}}})
+    b0 = res["aggregations"]["cats"]["buckets"][0]
+    assert b0["key"] == "Footwear"
+    assert b0["avg_rating"]["value"] == pytest.approx(24 / 6)
+    assert b0["rating_stats"]["count"] == 6
+    assert b0["rating_stats"]["sum"] == 24
+
+
+def test_histogram(mock_index):
+    res = run_aggs(mock_index.docs,
+                   {"r": {"histogram": {"field": "rating", "interval": 2}}})
+    buckets = {b["key"]: b["doc_count"] for b in
+               res["aggregations"]["r"]["buckets"]}
+    rows = mock_index.docs.groupBy((F.floor(F.col("rating") / 2) * 2)
+                                   .alias("k")).count().collect()
+    want = {float(r["k"]): r["count"] for r in rows}
+    assert buckets == want
+
+
+def test_date_histogram_calendar(mock_index):
+    res = run_aggs(mock_index.docs, {
+        "d": {"date_histogram": {"field": "created_at",
+                                 "calendar_interval": "month"}}})
+    buckets = {b["key"][:7]: b["doc_count"]
+               for b in res["aggregations"]["d"]["buckets"]}
+    assert buckets == {"2023-04": 30, "2023-05": 11}
+
+
+def test_range_agg(mock_index):
+    res = run_aggs(mock_index.docs, {
+        "r": {"range": {"field": "rating",
+                        "ranges": [{"to": 3}, {"from": 3, "to": 5},
+                                   {"from": 5, "key": "high"}]}}})
+    buckets = {b["key"]: b["doc_count"] for b in res["aggregations"]["r"]["buckets"]}
+    assert buckets["*-3"] == 4      # ratings 1,2 → 1+3
+    assert buckets["3-5"] == 25     # ratings 3,4 → 9+16
+    assert buckets["high"] == 12    # rating 5
+
+
+def test_filters_agg(mock_index):
+    res = run_aggs(mock_index.docs, {
+        "f": {"filters": {"filters": {
+            "instock": {"term": {"in_stock": True}},
+            "good": {"range": {"rating": {"gte": 4}}}}}}})
+    buckets = {b["key"]: b["doc_count"] for b in res["aggregations"]["f"]["buckets"]}
+    # first matching named filter wins (single-pass bucketing)
+    assert buckets["instock"] == 28
+
+
+def test_metrics_top_level(mock_index):
+    res = run_aggs(mock_index.docs, {
+        "n": {"value_count": {"field": "rating"}},
+        "card": {"cardinality": {"field": "category"}},
+        "s": {"stats": {"field": "rating"}},
+        "p": {"percentiles": {"field": "rating", "percents": [50]}}})
+    a = res["aggregations"]
+    assert a["n"]["value"] == 41
+    assert a["card"]["value"] == 10  # approx_count_distinct exact at tiny n
+    assert a["s"]["min"] == 1 and a["s"]["max"] == 5
+    assert a["p"]["50"] == 4
+
+
+def test_top_hits(mock_index):
+    res = run_aggs(mock_index.docs, {
+        "cats": {"terms": {"field": "category", "size": 1},
+                 "aggs": {"top": {"top_hits": {
+                     "size": 2, "sort": [{"rating": {"order": "desc"}}],
+                     "_source": ["id", "rating"]}}}}})
+    b0 = res["aggregations"]["cats"]["buckets"][0]
+    hits = b0["top"]["hits"]
+    assert len(hits) == 2
+    assert hits[0]["rating"] >= hits[1]["rating"]
+
+
+def test_search_aggregate(mock_index):
+    # paradedb.aggregate('idx', query, agg): aggregate over search matches
+    res = search_aggregate(mock_index, ast.Term("description", "shoes"), {
+        "cats": {"terms": {"field": "category"}}})
+    buckets = res["aggregations"]["cats"]["buckets"]
+    assert buckets == [{"key": "Footwear", "doc_count": 3}]
+
+
+def test_nested_buckets(mock_index):
+    res = run_aggs(mock_index.docs, {
+        "stock": {"terms": {"field": "in_stock"},
+                  "aggs": {"cats": {"terms": {"field": "category", "size": 2}}}}})
+    b = res["aggregations"]["stock"]["buckets"]
+    assert b[0]["key"] is True and b[0]["doc_count"] == 28
+    assert len(b[0]["cats"]["buckets"]) == 2
+
+
+def test_bad_agg_raises(mock_index):
+    with pytest.raises(AggError):
+        run_aggs(mock_index.docs, {"x": {"nope": {"field": "rating"}}})

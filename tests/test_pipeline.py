@@ -1,0 +1,185 @@
+"""Training-data pipeline operator tests: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch.pipeline import (
+    exact_duplicates, minhash_near_duplicates, minhash_signatures,
+    lsh_candidate_pairs, simhash64, simhash_near_duplicates,
+    shingle_jaccard_pairs, embedding_near_duplicates, dedup_keep_first,
+    cosine_topk, lsh_cosine_topk, language_id, quality_scores, token_counts,
+    fingerprint64)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away to the deep green forest")
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup of 0
+        (2, base.replace("quick", "rapid")),        # near dup of 0
+        (3, base + " with a tiny extra suffix here"),  # near dup of 0
+        (4, "completely different text about spark query engines and "
+            "distributed joins across the cluster nodes tonight"),
+        (5, "another unrelated document mentioning vectors embeddings and "
+            "similarity search at massive scale for training data"),
+        (6, "The  Quick Brown FOX jumps over the lazy dog and then runs far "
+            "away to the deep green forest"),       # case/space variant
+    ]
+    return spark.createDataFrame(rows, "id int, text string").cache()
+
+
+def test_exact_duplicates(dup_docs):
+    groups = exact_duplicates(dup_docs, "id").collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in groups}
+    assert by_keep[0] >= 2          # 0 and 1 identical (6 differs by spacing)
+    total = sum(r["n_dups"] for r in groups)
+    assert total == 7
+
+
+def test_minhash_near_duplicates(dup_docs):
+    pairs = {(r["a"], r["b"]): r["est_jaccard"]
+             for r in minhash_near_duplicates(dup_docs, "id",
+                                              threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert any(a == 0 and b in (2, 3, 6) for a, b in pairs)
+    assert not any({a, b} & {4, 5} and {a, b} - {4, 5} for a, b in pairs)
+
+
+def test_minhash_agrees_with_exact_jaccard(dup_docs):
+    exact = {(r["a"], r["b"]): r["jaccard"]
+             for r in shingle_jaccard_pairs(dup_docs, "id",
+                                            threshold=0.5).collect()}
+    est = {(r["a"], r["b"]): r["est_jaccard"]
+           for r in minhash_near_duplicates(dup_docs, "id",
+                                            threshold=0.5).collect()}
+    # every exact pair ≥ 0.7 is found by LSH, estimate within 0.25
+    for pair, j in exact.items():
+        if j >= 0.7:
+            assert pair in est, f"LSH missed {pair} (jaccard {j})"
+            assert abs(est[pair] - j) < 0.25
+
+
+def test_lsh_bands_shapes(dup_docs):
+    sigs = minhash_signatures(dup_docs, "id", n_hashes=64)
+    assert len(sigs.first()["sig"]) == 64
+    cands = lsh_candidate_pairs(sigs, bands=16)
+    assert cands.columns == ["a", "b"]
+
+
+def test_simhash(dup_docs, spark):
+    vals = {r["id"]: r["sh"] for r in
+            dup_docs.select("id", simhash64(F.col("text")).alias("sh")).collect()}
+    assert vals[0] == vals[1] == vals[6]    # token stream identical
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_near_duplicates(dup_docs, "id",
+                                              max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert all(h <= 6 for h in pairs.values())
+
+
+def test_dedup_keep_first(dup_docs):
+    pairs = minhash_near_duplicates(dup_docs, "id", threshold=0.5)
+    kept = dedup_keep_first(dup_docs, pairs, "id")
+    ids = {r["id"] for r in kept.select("id").collect()}
+    assert 0 in ids and 4 in ids and 5 in ids
+    assert 1 not in ids
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import random
+    rng = random.Random(77)
+    rows = []
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    for i in range(60):
+        if i % 10 == 0:  # clones of base + tiny noise → near-dups
+            v = [x + rng.gauss(0, 0.01) for x in base]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
+
+
+def test_cosine_topk_and_lsh_recall(embeddings):
+    q = embeddings.filter("vec_id = 0").first()["embedding"]
+    exact = [r["id"] for r in cosine_topk(embeddings.filter("vec_id <> 0"),
+                                          "vec_id", "embedding", q, 5).collect()]
+    assert set(exact[:5]) >= {10, 20, 30, 40, 50} - set()  # the clone club
+    approx = [r["id"] for r in
+              lsh_cosine_topk(embeddings.filter("vec_id <> 0"), "vec_id",
+                              "embedding", q, 5, n_planes=16, bands=4).collect()]
+    # LSH must find most of the exact top-5 (same-sign near-identical vecs
+    # share all bands with overwhelming probability)
+    assert len(set(approx) & set(exact)) >= 4
+
+
+def test_embedding_near_duplicates(embeddings):
+    pairs = embedding_near_duplicates(embeddings, "vec_id", "embedding",
+                                      threshold=0.99).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    clones = {0, 10, 20, 30, 40, 50}
+    expected = {(a, b) for a in clones for b in clones if a < b}
+    assert got >= expected
+    assert all(a in clones and b in clones for a, b in got)
+
+
+def test_language_id(spark):
+    rows = [(1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht in das haus und ich bin"),
+            (3, "le chat est dans la maison et il est content"),
+            (4, "el perro es un animal y no es el gato"),
+            (5, "zxqv wvut plomk")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "Diverse texts, with 42 numbers!")],
+        "id int, text string")
+    rows = {r["id"]: r for r in quality_scores(df).collect()}
+    assert rows[1]["distinct_token_ratio"] == 0.25
+    assert rows[2]["digit_ratio"] > 0
+    assert rows[2]["punct_ratio"] > 0
+    assert rows[1]["stopword_ratio"] == 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, extraordinary!")],
+                               "id int, text string")
+    r = token_counts(df).first()
+    assert r["ws_tokens"] == 3
+    assert r["word_tokens"] == 3
+    # hello(2) + world(2) + extraordinary(4) chunks + 2 punct = 10
+    assert r["bpe_ish_tokens"] == 10
+
+
+def test_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World"), (2, "hello world"), (3, "other text")],
+        "id int, text string")
+    got = {r["id"]: r["fp"] for r in
+           df.select("id", fingerprint64(F.col("text")).alias("fp")).collect()}
+    assert got[1] == got[2] != got[3]
+
+
+def test_multimodal_plumbing(spark):
+    from sparksearch.pipeline.multimodal import (
+        synth_media, decode_images, extract_audio_features,
+        sample_video_frames)
+    media = synth_media(spark, n=24).cache()
+    img = decode_images(media).collect()
+    assert len(img) == 8
+    assert all(len(r["embedding"]) == 16 and r["channels"] == 3 for r in img)
+    # determinism: same bytes → same features
+    img2 = decode_images(media).collect()
+    assert {r["media_id"]: r["embedding"] for r in img} == \
+           {r["media_id"]: r["embedding"] for r in img2}
+    aud = extract_audio_features(media).collect()
+    assert len(aud) == 8 and all(len(r["mfcc"]) == 13 for r in aud)
+    frames = sample_video_frames(media).collect()
+    assert frames and all(r["frame_bytes"] for r in frames)
