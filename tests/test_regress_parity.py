@@ -1,0 +1,97 @@
+"""Ports of additional reference pg_regress cases (beyond topk_scores).
+
+- minimum_should_match.out — msm row-set semantics on its 6-doc corpus
+- score_filter.out — BM25 score golden on its 3-doc corpus
+  (independent corpus → independently validates N/df/avgdl handling)
+"""
+
+import pytest
+
+from sparksearch.index import build_index
+from sparksearch.query import ast
+from sparksearch.query.compiler import compile_query
+from sparksearch.schema import FieldConfig, IndexSchema
+
+
+@pytest.fixture(scope="module")
+def msm_index(spark):
+    # /root/reference/pg_search/tests/pg_regress/expected/minimum_should_match.out:4-18
+    rows = [
+        (1, "apple banana cherry", "fruit salad"),
+        (2, "apple banana", "two fruits"),
+        (3, "apple only", "just apple"),
+        (4, "banana cherry date", "three fruits"),
+        (5, "cherry date elderberry", "more fruits"),
+        (6, "unrelated document", "no match"),
+    ]
+    docs = spark.createDataFrame(rows, "id int, title string, body string")
+    schema = IndexSchema(key_field="id",
+                         text_fields=[FieldConfig(name="title"),
+                                      FieldConfig(name="body")])
+    return build_index(docs, schema)
+
+
+def _ids(index, q):
+    return sorted(r["doc_id"] for r in compile_query(index, q).collect())
+
+
+def test_msm_2_of_3(msm_index):
+    # expected/minimum_should_match.out Test 1 → ids 1, 2, 4
+    q = ast.Boolean(should=[ast.Term("title", "apple"),
+                            ast.Term("title", "banana"),
+                            ast.Term("title", "cherry")],
+                    minimum_should_match=2)
+    assert _ids(msm_index, q) == [1, 2, 4]
+
+
+def test_msm_3_of_3(msm_index):
+    # Test 2 → only id 1
+    q = ast.Boolean(should=[ast.Term("title", "apple"),
+                            ast.Term("title", "banana"),
+                            ast.Term("title", "cherry")],
+                    minimum_should_match=3)
+    assert _ids(msm_index, q) == [1]
+
+
+def test_msm_1_of_3_all_matching(msm_index):
+    q = ast.Boolean(should=[ast.Term("title", "apple"),
+                            ast.Term("title", "banana"),
+                            ast.Term("title", "cherry")],
+                    minimum_should_match=1)
+    assert _ids(msm_index, q) == [1, 2, 3, 4, 5]
+
+
+def test_msm_with_must(msm_index):
+    # must apple + at least 1 of banana/cherry → 1, 2
+    q = ast.Boolean(must=[ast.Term("title", "apple")],
+                    should=[ast.Term("title", "banana"),
+                            ast.Term("title", "cherry")],
+                    minimum_should_match=1)
+    assert _ids(msm_index, q) == [1, 2]
+
+
+@pytest.fixture(scope="module")
+def score_items_index(spark):
+    # /root/reference/pg_search/tests/pg_regress/expected/score_filter.out:10-18
+    rows = [
+        (1, "PostgreSQL is amazing"),
+        (2, "Search engines are powerful"),
+        (3, "Tantivy is fast"),
+    ]
+    docs = spark.createDataFrame(rows, "id int, description string")
+    schema = IndexSchema(key_field="id",
+                         text_fields=[FieldConfig(name="description")])
+    return build_index(docs, schema)
+
+
+def test_score_filter_golden(score_items_index):
+    # expected/score_filter.out TEST 1: score(postgresql on doc1) = 1.0226655
+    q = ast.Parse("PostgreSQL", field="description")
+    rows = compile_query(score_items_index, q).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
+    assert rows[0]["score"] == pytest.approx(1.0226655, abs=2e-6)
+
+    sf = ast.ScoreFilter(q, min_score=0.0)
+    assert [r["doc_id"] for r in compile_query(score_items_index, sf).collect()] == [1]
+    sf_hi = ast.ScoreFilter(q, min_score=2.0)
+    assert compile_query(score_items_index, sf_hi).count() == 0
