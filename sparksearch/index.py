@@ -61,15 +61,43 @@ class SearchIndex:
     def avg_len(self, field: str) -> float:
         return self.meta[field]["avg_len"]
 
-    def term_dfs(self, field: str, terms: list) -> dict:
-        """doc-freq for a small set of query terms (driver-side collect —
-        bounded by query size, not corpus size)."""
+    def term_meta(self, field: str, terms: list) -> dict:
+        """{term: (df, bucket)} for a small set of query terms (driver-side
+        collect — bounded by query size, not corpus size).  The bucket id
+        is computed JVM-side in the same collect so the compiler can prune
+        the postings scan to matching ``tb`` partitions."""
         if not terms:
             return {}
         rows = (self.corpus_stats
-                .filter((F.col("field") == field) & F.col("term").isin(list(set(terms))))
+                .filter((F.col("field") == field)
+                        & F.col("term").isin(list(set(terms))))
+                .select("term", "df",
+                        F.pmod(F.xxhash64("term"),
+                               F.lit(N_TERM_BUCKETS)).alias("tb"))
                 .collect())
-        return {r["term"]: r["df"] for r in rows}
+        return {r["term"]: (r["df"], r["tb"]) for r in rows}
+
+    def term_dfs(self, field: str, terms: list) -> dict:
+        return {t: df for t, (df, _) in self.term_meta(field, terms).items()}
+
+    @property
+    def bucketed(self) -> bool:
+        return "tb" in self.postings.columns
+
+    def postings_for_terms(self, field: str, terms: list,
+                           meta: dict | None = None) -> DataFrame:
+        """Bucket-pruned postings scan for an explicit term list: the
+        ``tb`` partition filter prunes to |buckets| of the 64 dirs before
+        the parquet row-group term filter applies."""
+        scan = self.postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(terms)))
+        if self.bucketed and terms:
+            if meta is None:
+                meta = self.term_meta(field, list(terms))
+            buckets = sorted({tb for _, tb in meta.values()})
+            if buckets:
+                scan = scan.filter(F.col("tb").isin(buckets))
+        return scan
 
     def expand_terms(self, field: str, predicate, limit: int = 50) -> list:
         """Term-dictionary expansion for fuzzy/regex/prefix queries.
@@ -107,7 +135,7 @@ class SearchIndex:
         return SearchIndex(
             spark, schema,
             docs=spark.read.parquet(f"{path}/docs"),
-            postings=spark.read.parquet(f"{path}/postings").drop("tb"),
+            postings=spark.read.parquet(f"{path}/postings"),
             corpus_stats=spark.read.parquet(f"{path}/corpus_stats"),
             meta=meta)
 
@@ -308,7 +336,7 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
      .repartition("field", "tb")   # one writer task per bucket → no tiny files
      .write.mode("overwrite").partitionBy("field", "tb")
      .parquet(f"{path}/postings"))
-    postings = spark.read.parquet(f"{path}/postings").drop("tb")
+    postings = spark.read.parquet(f"{path}/postings")
     (postings.groupBy("field", "term").agg(F.count("*").alias("df"))
      .write.mode("overwrite").partitionBy("field")
      .parquet(f"{path}/corpus_stats"))

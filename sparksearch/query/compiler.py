@@ -68,16 +68,17 @@ class _Compiler:
         return value
 
     def _terms_scan(self, field: str, terms: list, boost: float = 1.0) -> DataFrame:
-        """One postings scan scoring several terms: (doc_id, term, score)."""
-        dfs = self.index.term_dfs(field, terms)
-        present = sorted(set(t for t in terms if t in dfs))
+        """One bucket-pruned postings scan scoring several terms:
+        (doc_id, term, score)."""
+        meta = self.index.term_meta(field, terms)
+        present = sorted(set(t for t in terms if t in meta))
         if not present:
             return self._empty().withColumn("term", F.lit(None).cast("string"))
         kv = []
         for t in present:
-            kv += [F.lit(t), F.lit(float(self.index.idf(field, dfs[t])) * boost)]
+            kv += [F.lit(t), F.lit(float(self.index.idf(field, meta[t][0])) * boost)]
         idf_map = F.create_map(*kv)
-        scan = self._postings(field).filter(F.col("term").isin(present))
+        scan = self.index.postings_for_terms(field, present, meta)
         score = bm25_expr(F.col("tf"), F.col("len_q"),
                           F.element_at(idf_map, F.col("term")),
                           self.index.avg_len(field))
@@ -100,8 +101,7 @@ class _Compiler:
     def _c_termset(self, node: ast.TermSet) -> DataFrame:
         terms = [self._norm(node.field, t) for t in node.terms]
         str_terms = [t for t in terms if isinstance(t, str)]
-        scan = (self._postings(node.field)
-                .filter(F.col("term").isin(str_terms))
+        scan = (self.index.postings_for_terms(node.field, str_terms)
                 .select("doc_id").distinct()
                 .withColumn("score", F.lit(1.0)))
         return scan
@@ -160,8 +160,8 @@ class _Compiler:
         matched = self.index.expand_terms(node.field, pred, MAX_EXPANSIONS * 20)
         if not matched:
             return self._empty()
-        return (self._postings(node.field)
-                .filter(F.col("term").isin([t for t, _ in matched]))
+        return (self.index.postings_for_terms(node.field,
+                                              [t for t, _ in matched])
                 .select("doc_id").distinct()
                 .withColumn("score", F.lit(1.0)))
 
@@ -174,7 +174,7 @@ class _Compiler:
         when a slot has no dictionary match.
         """
         uniq = sorted({t for ts in slot_terms for t in ts})
-        scan = self._postings(field).filter(F.col("term").isin(uniq))
+        scan = self.index.postings_for_terms(field, uniq)
         aggs = [F.first("len_q").alias("len_q")]
         for j, terms in enumerate(slot_terms):
             cond = F.col("term").isin(terms)

@@ -169,7 +169,7 @@ def open_segmented_index(spark: SparkSession, index_path: str,
         raise FileNotFoundError(f"no committed segments under {index_path}")
     postings = reduce(
         lambda a, b: a.unionByName(b),
-        [spark.read.parquet(f"{s}/postings").drop("tb") for s in segs])
+        [spark.read.parquet(f"{s}/postings") for s in segs])
     corpus_stats = postings.groupBy("field", "term").agg(F.count("*").alias("df"))
     n_docs, totals = 0, {}
     for s in segs:
