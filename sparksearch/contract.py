@@ -446,6 +446,39 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fingerprint64(F.col("text")).alias("fp"))
 
 
+def q_rollup_agg(spark, sf_dir):
+    """GROUP BY ROLLUP (reference falls back to PG for grouping sets —
+    Spark has it natively; SURVEY §2.7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("l_quantity"), 4).alias("qty")))
+
+
+def q_window_total_count(spark, sf_dir):
+    """COUNT(*) OVER () alongside top-k rows in one pass
+    (api/window_aggregate.rs:18-40)."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+    total = F.count("*").over(W.partitionBy())
+    return (o.withColumn("total", total)
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(5)
+            .select("o_orderkey", F.round("o_totalprice", 4).alias("price"),
+                    "total"))
+
+
+def q_json_field_agg(spark, sf_dir):
+    """JSON field access + aggregation (reference Json field type with
+    nested paths, schema/mod.rs:321-323): group events by a JSON prop."""
+    ev = _t(spark, sf_dir, "events")
+    k_bucket = (F.floor(F.get_json_object("props", "$.k").cast("long") / 10)
+                * 10).cast("long")
+    return (ev.groupBy(k_bucket.alias("k_bucket"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("total")))
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "term_count": q_term_count,
@@ -482,6 +515,9 @@ QUERIES = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "snippet_topk": q_snippet_topk,
     "fingerprint": q_fingerprint,
+    "rollup_agg": q_rollup_agg,
+    "window_total_count": q_window_total_count,
+    "json_field_agg": q_json_field_agg,
 }
 
 
@@ -655,6 +691,18 @@ SELECT doc_id, CASE
   WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
   ELSE 'und' END AS lang_pred
 FROM r"""),
+        "rollup_agg": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+            "round(sum(l_quantity),4) AS qty FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+        "window_total_count": (
+            "SELECT o_orderkey, round(o_totalprice,4) AS price, "
+            "count(*) OVER () AS total FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5"),
+        "json_field_agg": (
+            "SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT)"
+            " / 10) * 10 AS BIGINT) AS k_bucket, count(*) AS cnt, "
+            "round(sum(value),4) AS total FROM events GROUP BY 1"),
         "sessionize_events": (
             "WITH d AS (SELECT user_id, ts, event_id, "
             "CASE WHEN lag(ts) OVER w IS NULL OR "

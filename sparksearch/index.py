@@ -308,6 +308,14 @@ def _meta_from_postings(postings: DataFrame, n_total: int) -> dict:
             for r in rows}
 
 
+def corpus_stats_df(postings: DataFrame) -> DataFrame:
+    """(field, term, df, total_tf) — df for idf, total_tf so corpus-level
+    BM25 meta derives from this tiny table instead of re-scanning
+    postings."""
+    return (postings.groupBy("field", "term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf")))
+
+
 def build_index(docs: DataFrame, schema: IndexSchema,
                 cache: bool = True, strategy: str = "local") -> SearchIndex:
     """Build the inverted index in memory (reference: ambuild / build.rs)."""
@@ -315,12 +323,14 @@ def build_index(docs: DataFrame, schema: IndexSchema,
     postings = postings_df(docs, schema, strategy)
     if cache:
         postings = postings.cache()
-    corpus_stats = (postings.groupBy("field", "term")
-                    .agg(F.count("*").alias("df")))
+    corpus_stats = corpus_stats_df(postings)
     if cache:
         corpus_stats = corpus_stats.cache()
     n_total = docs.count()
-    meta = _meta_from_postings(postings, n_total)
+    rows = corpus_stats.groupBy("field").agg(F.sum("total_tf").alias("t")).collect()
+    meta = {r["field"]: {"num_docs": n_total,
+                         "avg_len": (r["t"] or 0) / max(n_total, 1)}
+            for r in rows}
     return SearchIndex(spark, schema, docs, postings, corpus_stats, meta)
 
 
@@ -337,12 +347,15 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
      .write.mode("overwrite").partitionBy("field", "tb")
      .parquet(f"{path}/postings"))
     postings = spark.read.parquet(f"{path}/postings")
-    (postings.groupBy("field", "term").agg(F.count("*").alias("df"))
+    (corpus_stats_df(postings)
      .write.mode("overwrite").partitionBy("field")
      .parquet(f"{path}/corpus_stats"))
     corpus_stats = spark.read.parquet(f"{path}/corpus_stats")
     n_total = docs.count()
-    meta = _meta_from_postings(postings, n_total)
+    rows = corpus_stats.groupBy("field").agg(F.sum("total_tf").alias("t")).collect()
+    meta = {r["field"]: {"num_docs": n_total,
+                         "avg_len": (r["t"] or 0) / max(n_total, 1)}
+            for r in rows}
     if save_docs:
         docs.write.mode("overwrite").parquet(f"{path}/docs")
     with open(f"{path}/meta.json", "w") as fh:

@@ -170,7 +170,8 @@ def open_segmented_index(spark: SparkSession, index_path: str,
     postings = reduce(
         lambda a, b: a.unionByName(b),
         [spark.read.parquet(f"{s}/postings") for s in segs])
-    corpus_stats = postings.groupBy("field", "term").agg(F.count("*").alias("df"))
+    from sparksearch.index import corpus_stats_df
+    corpus_stats = corpus_stats_df(postings)
     n_docs, totals = 0, {}
     for s in segs:
         with open(f"{s}/stats.json") as fh:
