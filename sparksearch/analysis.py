@@ -60,6 +60,24 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
     if text is None:
         return []
     opts = opts or {}
+    if tokenizer == "json":
+        # JSON field (reference json_fields, schema/mod.rs:321-323):
+        # terms are "<path>:<value-token>"; per-path position sequences.
+        import json as _json
+        try:
+            obj = _json.loads(text)
+        except (ValueError, TypeError):
+            return []
+        if not isinstance(obj, dict):
+            return []
+        vt = opts.get("value_tokenizer", "raw")
+        out = []
+        for k, v in obj.items():
+            if not isinstance(v, str):
+                v = _json.dumps(v)
+            for t in py_tokenize(v, vt, None, lowercase):
+                out.append(f"{k}:{t}")
+        return out
     if lowercase and tokenizer not in ("keyword", "literal"):
         text = text.lower()
     if tokenizer in ("default", "simple"):
@@ -180,7 +198,8 @@ def _light_stem(t: str) -> str:
 # ---------------------------------------------------------------------------
 
 _JVM_TOKENIZERS = {"default", "simple", "whitespace", "regex", "keyword",
-                   "raw", "literal", "literal_normalized", "unicode_words"}
+                   "raw", "literal", "literal_normalized", "unicode_words",
+                   "json"}
 
 
 def flat_token_array_expr(col: Column, cfg) -> Column | None:
@@ -223,6 +242,22 @@ def _jvm_token_array(col: Column, cfg) -> Column:
     elif tok in ("keyword", "raw", "literal", "literal_normalized"):
         arr = F.when(col.isNull() | (F.length(col) == 0), F.array().cast("array<string>")) \
                .otherwise(F.array(base))
+    elif tok == "json":
+        vt = opts.get("value_tokenizer", "raw")
+
+        def _value_tokens(v):
+            s = F.lower(v) if cfg.lowercase else v
+            if vt in ("default", "simple"):
+                return F.regexp_extract_all(s, F.lit(_JAVA_WORD), 0)
+            if vt == "whitespace":
+                return F.filter(F.split(s, r"\s+"), lambda x: x != "")
+            return F.array(s)  # raw
+
+        m = F.from_json(col, "map<string,string>")
+        arr = F.flatten(F.transform(
+            F.map_entries(m),
+            lambda e: F.transform(_value_tokens(e["value"]),
+                                  lambda x: F.concat(e["key"], F.lit(":"), x))))
     else:  # pragma: no cover
         raise ValueError(tok)
     return F.coalesce(arr, F.array().cast("array<string>"))

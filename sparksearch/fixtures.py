@@ -104,7 +104,11 @@ def mock_items_index_schema() -> IndexSchema:
         text_fields=[
             FieldConfig(name="description", tokenizer="default"),
             FieldConfig(name="category", tokenizer="keyword"),
-            FieldConfig(name="metadata", tokenizer="raw", lowercase=True),
+            # json_fields='{"metadata": {"fast": true, "tokenizer":
+            # {"type": "raw", "lowercase": true}}}' (topk_scores.out:13)
+            FieldConfig(name="metadata", tokenizer="json",
+                        tokenizer_opts={"value_tokenizer": "raw"},
+                        lowercase=True),
         ])
 
 

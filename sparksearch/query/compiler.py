@@ -62,10 +62,15 @@ class _Compiler:
         return self.index.postings.filter(F.col("field") == field)
 
     def _norm(self, field: str, value):
-        cfg = self.index.schema.field(field)
+        cfg, prefix = self.index.schema.resolve(field)
         if isinstance(value, str) and cfg.lowercase and cfg.tokenizer not in ("keyword", "literal"):
-            return value.lower()
+            value = value.lower()
+        if isinstance(value, str) and prefix:
+            value = prefix + value
         return value
+
+    def _real_field(self, field: str) -> str:
+        return self.index.schema.resolve(field)[0].name
 
     def _terms_scan(self, field: str, terms: list, boost: float = 1.0) -> DataFrame:
         """One bucket-pruned postings scan scoring several terms:
@@ -92,22 +97,26 @@ class _Compiler:
         return self._empty()
 
     def _c_term(self, node: ast.Term) -> DataFrame:
-        t = self._norm(node.field, node.value)
+        try:
+            t = self._norm(node.field, node.value)
+        except KeyError:
+            # unindexed column → constant-score attribute filter
+            return self._attr_filter(F.col(node.field) == F.lit(node.value))
         if not isinstance(t, str):
             # numeric/bool term over a doc attribute → constant-score filter
             return self._attr_filter(F.col(node.field) == F.lit(t))
-        return self._terms_scan(node.field, [t]).drop("term")
+        return self._terms_scan(self._real_field(node.field), [t]).drop("term")
 
     def _c_termset(self, node: ast.TermSet) -> DataFrame:
         terms = [self._norm(node.field, t) for t in node.terms]
         str_terms = [t for t in terms if isinstance(t, str)]
-        scan = (self.index.postings_for_terms(node.field, str_terms)
+        scan = (self.index.postings_for_terms(self._real_field(node.field), str_terms)
                 .select("doc_id").distinct()
                 .withColumn("score", F.lit(1.0)))
         return scan
 
     def _c_match(self, node: ast.Match) -> DataFrame:
-        cfg = self.index.schema.field(node.field)
+        cfg = self.index.schema.value_analyzer(node.field)
         tokens = py_tokenize(node.value, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase)
         if not tokens:
             return self._empty()
@@ -147,20 +156,20 @@ class _Compiler:
                            <= node.distance)
         else:
             pred = pred & (F.levenshtein(F.col("term"), F.lit(v)) <= node.distance)
-        matched = self.index.expand_terms(node.field, pred, MAX_EXPANSIONS)
+        matched = self.index.expand_terms(self._real_field(node.field), pred, MAX_EXPANSIONS)
         if not matched:
             return self._empty()
         # union-of-term-queries semantics: doc score = Σ matched-term BM25
-        out = self._terms_scan(node.field, [t for t, _ in matched])
+        out = self._terms_scan(self._real_field(node.field), [t for t, _ in matched])
         return out.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
     def _c_regex(self, node: ast.Regex) -> DataFrame:
         # Tantivy regex must match the whole term; constant score 1.0
         pred = F.col("term").rlike(f"^(?:{node.pattern})$")
-        matched = self.index.expand_terms(node.field, pred, MAX_EXPANSIONS * 20)
+        matched = self.index.expand_terms(self._real_field(node.field), pred, MAX_EXPANSIONS * 20)
         if not matched:
             return self._empty()
-        return (self.index.postings_for_terms(node.field,
+        return (self.index.postings_for_terms(self._real_field(node.field),
                                               [t for t, _ in matched])
                 .select("doc_id").distinct()
                 .withColumn("score", F.lit(1.0)))
@@ -228,12 +237,12 @@ class _Compiler:
         return g.withColumn("ptf", _sloppy(pos_arrays)).filter(F.col("ptf") > 0)
 
     def _c_phrase(self, node: ast.Phrase) -> DataFrame:
-        field = node.field
-        terms = [self._norm(field, t) for t in node.phrases]
+        field = self._real_field(node.field)
+        terms = [self._norm(node.field, t) for t in node.phrases]
         if not terms:
             return self._empty()
         if len(terms) == 1:
-            return self._c_term(ast.Term(field, terms[0]))
+            return self._terms_scan(field, terms).drop("term")
         dfs = self.index.term_dfs(field, terms)
         if any(t not in dfs for t in terms):
             return self._empty()
@@ -246,8 +255,8 @@ class _Compiler:
         return g.select("doc_id", score.alias("score"))
 
     def _c_phraseprefix(self, node: ast.PhrasePrefix) -> DataFrame:
-        field = node.field
-        terms = [self._norm(field, t) for t in node.phrases]
+        field = self._real_field(node.field)
+        terms = [self._norm(node.field, t) for t in node.phrases]
         prefix = terms[-1]
         expansions = self.index.expand_terms(
             field, F.col("term").startswith(prefix), node.max_expansions)
@@ -269,8 +278,8 @@ class _Compiler:
         return g.select("doc_id", score.alias("score"))
 
     def _c_proximity(self, node: ast.Proximity) -> DataFrame:
-        field = node.field
-        lt, rt = self._norm(field, node.left), self._norm(field, node.right)
+        field = self._real_field(node.field)
+        lt, rt = self._norm(node.field, node.left), self._norm(node.field, node.right)
         dfs = self.index.term_dfs(field, [lt, rt])
         if lt not in dfs or rt not in dfs:
             return self._empty()

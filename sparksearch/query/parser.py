@@ -177,7 +177,7 @@ class _Parser:
     def _quoted(self, field, raw):
         m = re.match(r'"([^"]*)"(?:~(\d+))?(?:\^([\d.]+))?$', raw)
         body, slop, boost = m.group(1), m.group(2), m.group(3)
-        cfg = self.schema.field(field)
+        cfg = self.schema.value_analyzer(field)
         toks = py_tokenize(body, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase)
         if not toks:
             q = ast.Empty()
@@ -243,7 +243,7 @@ class _Parser:
             w, prefix = w[:-1], True
 
         try:
-            cfg = self.schema.field(field)
+            cfg = self.schema.value_analyzer(field)
         except KeyError:
             # unindexed column → constant-score attribute equality
             q = ast.Term(field, _literal(w))

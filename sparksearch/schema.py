@@ -59,6 +59,32 @@ class IndexSchema:
                 return f
         raise KeyError(f"field {name!r} not in index schema")
 
+    def resolve(self, fieldref: str) -> tuple:
+        """Resolve a field reference, supporting JSON path refs like
+        ``metadata.color`` (reference json_fields nested paths,
+        schema/mod.rs:321-323).  Returns (FieldConfig, term_prefix) where
+        terms of a JSON path are stored as ``<path>:<token>``."""
+        try:
+            return self.field(fieldref), ""
+        except KeyError:
+            if "." in fieldref:
+                head, path = fieldref.split(".", 1)
+                cfg = self.field(head)
+                if cfg.tokenizer == "json":
+                    return cfg, path + ":"
+            raise
+
+    def value_analyzer(self, fieldref: str) -> FieldConfig:
+        """The tokenizer config that applies to a query VALUE for this
+        field reference (for JSON paths: the value tokenizer)."""
+        cfg, prefix = self.resolve(fieldref)
+        if prefix:
+            return FieldConfig(name=fieldref,
+                               tokenizer=cfg.tokenizer_opts.get(
+                                   "value_tokenizer", "raw"),
+                               lowercase=cfg.lowercase)
+        return cfg
+
     @property
     def field_names(self) -> list:
         return [f.name for f in self.text_fields]

@@ -142,3 +142,42 @@ def test_heap_filter(mock_index):
     q = ast.HeapFilter(ast.Term("description", "shoes"), "in_stock = true")
     got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
     assert got == {3, 5}
+
+
+def test_json_field_search(mock_index):
+    # reference json_fields: metadata.color / metadata.location paths
+    # (e.g. regress queries over the topk_scores index config)
+    q = ast.Term("metadata.color", "Silver")   # raw+lowercase normalizer
+    got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
+    assert got == {1, 9}
+    q2 = ast.Term("metadata.location", "United States")
+    got2 = {r["doc_id"] for r in compile_query(mock_index, q2).collect()}
+    assert len(got2) == 14  # every 3rd row starting at id 1
+    # parse syntax with json path
+    from sparksearch.query import parse_query
+    from sparksearch.fixtures import mock_items_index_schema
+    n = parse_query('metadata.color:Silver', "description",
+                    mock_items_index_schema())
+    got3 = {r["doc_id"] for r in compile_query(mock_index, n).collect()}
+    assert got3 == {1, 9}
+    # boolean combination with a text field
+    combo = ast.Boolean(must=[ast.Term("description", "keyboard"),
+                              ast.Term("metadata.location", "Canada")])
+    got4 = {r["doc_id"] for r in compile_query(mock_index, combo).collect()}
+    assert got4 == {2}
+
+
+def test_json_field_tokens_spark_python_parity(spark):
+    import pyspark.sql.functions as F
+    from sparksearch.analysis import analyzer_expr, py_analyze
+    from sparksearch.schema import FieldConfig
+    cfg = FieldConfig(name="m", tokenizer="json",
+                      tokenizer_opts={"value_tokenizer": "default"},
+                      lowercase=True)
+    texts = ['{"color":"Sky Blue","loc":"US"}', '{"a":"x y"}', None,
+             "not json", "{}"]
+    df = spark.createDataFrame([(t,) for t in texts], "m string")
+    got = [[(e["t"], e["p"]) for e in r["s"]] for r in
+           df.select(analyzer_expr(F.col("m"), cfg).alias("s")).collect()]
+    for t, g in zip(texts, got):
+        assert g == py_analyze(t, cfg), t
