@@ -78,7 +78,9 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
             for t in py_tokenize(v, vt, None, lowercase):
                 out.append(f"{k}:{t}")
         return out
-    if lowercase and tokenizer not in ("keyword", "literal"):
+    if lowercase and tokenizer not in ("keyword", "literal", "source_code"):
+        # source_code must see the original case (camelCase boundaries);
+        # it lowercases its own output tokens
         text = text.lower()
     if tokenizer in ("default", "simple"):
         return _PY_WORD.findall(text)

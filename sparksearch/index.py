@@ -147,7 +147,7 @@ def _exploded_tokens(docs: DataFrame, schema: IndexSchema) -> DataFrame:
     when the field's analyzer preserves ordinal positions."""
     parts = []
     for cfg in schema.text_fields:
-        flat = flat_token_array_expr(F.col(cfg.name), cfg)
+        flat = flat_token_array_expr(F.col(cfg.source or cfg.name), cfg)
         if flat is not None:
             base = docs.select(
                 F.col(schema.key_field).alias("doc_id"),
@@ -161,7 +161,7 @@ def _exploded_tokens(docs: DataFrame, schema: IndexSchema) -> DataFrame:
             base = docs.select(
                 F.col(schema.key_field).alias("doc_id"),
                 F.lit(cfg.name).alias("field"),
-                analyzer_expr(F.col(cfg.name), cfg).alias("toks"))
+                analyzer_expr(F.col(cfg.source or cfg.name), cfg).alias("toks"))
             base = base.withColumn("len_q", quantize_len_expr(F.size("toks")))
             part = base.select(
                 "doc_id", "field", "len_q",
@@ -210,7 +210,7 @@ def postings_df(docs: DataFrame, schema: IndexSchema,
     else:
         parts = []
         for cfg in schema.text_fields:
-            flat = flat_token_array_expr(F.col(cfg.name), cfg)
+            flat = flat_token_array_expr(F.col(cfg.source or cfg.name), cfg)
             if flat is not None:
                 base = docs.select(F.col(schema.key_field).alias("doc_id"),
                                    F.lit(cfg.name).alias("field"),
@@ -222,7 +222,7 @@ def postings_df(docs: DataFrame, schema: IndexSchema,
             else:
                 base = docs.select(F.col(schema.key_field).alias("doc_id"),
                                    F.lit(cfg.name).alias("field"),
-                                   analyzer_expr(F.col(cfg.name), cfg).alias("zipped"))
+                                   analyzer_expr(F.col(cfg.source or cfg.name), cfg).alias("zipped"))
                 base = base.withColumn(
                     "arr", F.transform(F.col("zipped"), lambda s: s["t"]))
             base = base.withColumn("len_q", quantize_len_expr(F.size("zipped")))
@@ -269,15 +269,16 @@ def _postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
     from sparksearch.scoring import quantize_len
     from sparksearch.schema import RECORD_POSITION as _RP
 
-    cfgs = [(c.name, c, c.record == _RP) for c in schema.text_fields]
+    cfgs = [(c.name, c.source or c.name, c, c.record == _RP)
+            for c in schema.text_fields]
     key = schema.key_field
 
     def gen(batches):
         for pdf in batches:
             cols = {"field": [], "term": [], "doc_id": [], "tf": [],
                     "positions": [], "len_q": []}
-            for fname, cfg, keep_pos in cfgs:
-                texts = pdf[fname].values
+            for fname, src_col, cfg, keep_pos in cfgs:
+                texts = pdf[src_col].values
                 keys = pdf[key].values
                 for doc_id, text in zip(keys, texts):
                     toks = py_analyze(text, cfg)
@@ -294,7 +295,7 @@ def _postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
                         cols["len_q"].append(lq)
             yield pd.DataFrame(cols)
 
-    needed = [key] + [c.name for c in schema.text_fields]
+    needed = [key] + sorted({c.source or c.name for c in schema.text_fields})
     return (docs.select(*needed)
             .mapInPandas(gen, schema=_postings_schema_str(docs, key)))
 

@@ -127,6 +127,44 @@ class Exists(Query):
 
 
 @dataclass
+class RangeValue:
+    """A PG-style range literal: bounds may be None (unbounded)."""
+    lower: object = None
+    upper: object = None
+    lower_inclusive: bool = True
+    upper_inclusive: bool = False  # PG int ranges normalize to [lo, hi)
+
+
+@dataclass
+class RangeTerm(Query):
+    """Range column contains a point (pdb_query.rs:274-312 RangeTerm:
+    ``weight_range @@@ '5'``)."""
+    field: str
+    value: object
+
+
+@dataclass
+class RangeContains(Query):
+    """Range column contains the given range (range_contains)."""
+    field: str
+    value: RangeValue
+
+
+@dataclass
+class RangeIntersects(Query):
+    """Range column intersects the given range (range_intersects)."""
+    field: str
+    value: RangeValue
+
+
+@dataclass
+class RangeWithin(Query):
+    """Range column lies within the given range (range_within)."""
+    field: str
+    value: RangeValue
+
+
+@dataclass
 class Boolean(Query):
     """Lucene boolean (query/mod.rs:69-86): score = Σ matching clause
     scores; must_not excludes; minimum_should_match filters on the number

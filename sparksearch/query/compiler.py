@@ -145,6 +145,73 @@ class _Compiler:
     def _c_exists(self, node: ast.Exists) -> DataFrame:
         return self._attr_filter(F.col(node.field).isNotNull())
 
+    # -- PG range-type columns (struct<lower, upper, lower_inclusive,
+    # upper_inclusive>, nulls = unbounded) — pdb_query.rs:274-312 ---------
+    @staticmethod
+    def _pt_ge_lower(v, r) -> Column:
+        return (r["lower"].isNull()
+                | F.when(r["lower_inclusive"], v >= r["lower"])
+                .otherwise(v > r["lower"]))
+
+    @staticmethod
+    def _pt_le_upper(v, r) -> Column:
+        return (r["upper"].isNull()
+                | F.when(r["upper_inclusive"], v <= r["upper"])
+                .otherwise(v < r["upper"]))
+
+    @staticmethod
+    def _lower_le_lower(a, b) -> Column:
+        """bound-position(a.lower) ≤ bound-position(b.lower)."""
+        return (a["lower"].isNull()
+                | (b["lower"].isNotNull()
+                   & ((a["lower"] < b["lower"])
+                      | ((a["lower"] == b["lower"])
+                         & (a["lower_inclusive"]
+                            | ~b["lower_inclusive"])))))
+
+    @staticmethod
+    def _upper_ge_upper(a, b) -> Column:
+        return (a["upper"].isNull()
+                | (b["upper"].isNotNull()
+                   & ((a["upper"] > b["upper"])
+                      | ((a["upper"] == b["upper"])
+                         & (a["upper_inclusive"]
+                            | ~b["upper_inclusive"])))))
+
+    @staticmethod
+    def _range_lit(rv) -> Column:
+        return F.struct(
+            F.lit(rv.lower).alias("lower"), F.lit(rv.upper).alias("upper"),
+            F.lit(rv.lower_inclusive).alias("lower_inclusive"),
+            F.lit(rv.upper_inclusive).alias("upper_inclusive"))
+
+    def _c_rangeterm(self, node) -> DataFrame:
+        r = F.col(node.field)
+        v = F.lit(node.value)
+        return self._attr_filter(r.isNotNull() & self._pt_ge_lower(v, r)
+                                 & self._pt_le_upper(v, r))
+
+    def _c_rangecontains(self, node) -> DataFrame:
+        a, b = F.col(node.field), self._range_lit(node.value)
+        return self._attr_filter(a.isNotNull() & self._lower_le_lower(a, b)
+                                 & self._upper_ge_upper(a, b))
+
+    def _c_rangewithin(self, node) -> DataFrame:
+        a, b = F.col(node.field), self._range_lit(node.value)
+        return self._attr_filter(a.isNotNull() & self._lower_le_lower(b, a)
+                                 & self._upper_ge_upper(b, a))
+
+    def _c_rangeintersects(self, node) -> DataFrame:
+        a, b = F.col(node.field), self._range_lit(node.value)
+        # disjoint iff a ends before b starts or b ends before a starts
+        def ends_before(x, y) -> Column:
+            return (x["upper"].isNotNull() & y["lower"].isNotNull()
+                    & ((x["upper"] < y["lower"])
+                       | ((x["upper"] == y["lower"])
+                          & ~(x["upper_inclusive"] & y["lower_inclusive"]))))
+        return self._attr_filter(a.isNotNull()
+                                 & ~ends_before(a, b) & ~ends_before(b, a))
+
     def _c_fuzzy(self, node: ast.Fuzzy) -> DataFrame:
         v = self._norm(node.field, node.value)
         # length prefilter keeps the dictionary scan cheap before the

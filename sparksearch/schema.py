@@ -29,6 +29,8 @@ class FieldConfig:
 
     name: str
     tokenizer: str = "default"          # key into analysis.TOKENIZERS
+    source: str | None = None           # source column (alias fields: several
+    # index fields from one column — reference schema/mod.rs:527-561)
     tokenizer_opts: dict = dc_field(default_factory=dict)
     filters: list | None = None          # token-filter chain; None = tokenizer default
     record: str = RECORD_POSITION

@@ -181,3 +181,23 @@ def test_json_field_tokens_spark_python_parity(spark):
            df.select(analyzer_expr(F.col("m"), cfg).alias("s")).collect()]
     for t, g in zip(texts, got):
         assert g == py_analyze(t, cfg), t
+
+
+def test_aliased_multi_source_fields(spark):
+    """Several index fields sourced from one column with different
+    tokenizers (reference alias/column option, schema/mod.rs:527-561)."""
+    from sparksearch.index import build_index
+    from sparksearch.schema import IndexSchema, FieldConfig
+    rows = [(1, "GetUserData fast"), (2, "get user data slow")]
+    docs = spark.createDataFrame(rows, "id int, body string")
+    schema = IndexSchema(key_field="id", text_fields=[
+        FieldConfig(name="body", tokenizer="default"),
+        FieldConfig(name="body_code", source="body", tokenizer="source_code"),
+    ])
+    idx = build_index(docs, schema)
+    d = {r["doc_id"] for r in
+         compile_query(idx, ast.Term("body", "getuserdata")).collect()}
+    assert d == {1}
+    c = {r["doc_id"] for r in
+         compile_query(idx, ast.Term("body_code", "user")).collect()}
+    assert c == {1, 2}   # camelCase split only in the code-tokenized field
