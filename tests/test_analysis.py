@@ -78,3 +78,12 @@ def test_filters_spark_parity(spark):
     got = _spark_tokens(spark, cfg, texts)
     for text, g in zip(texts, got):
         assert g == py_analyze(text, cfg)
+
+
+def test_stopwords_positions_golden():
+    # reference expected/stopwords.out: 'something, stopword, else' with
+    # stopwords=['stopword'] → something@0, else@2 (position gap preserved)
+    cfg = FieldConfig(name="t", tokenizer="default",
+                      filters=[("stopwords", {"stopword"})])
+    assert py_analyze("something, stopword, else", cfg) == \
+        [("something", 0), ("else", 2)]
