@@ -84,9 +84,10 @@ class _Compiler:
             kv += [F.lit(t), F.lit(float(self.index.idf(field, meta[t][0])) * boost)]
         idf_map = F.create_map(*kv)
         scan = self.index.postings_for_terms(field, present, meta)
+        cfg = self.index.schema.field(field)
         score = bm25_expr(F.col("tf"), F.col("len_q"),
                           F.element_at(idf_map, F.col("term")),
-                          self.index.avg_len(field))
+                          self.index.avg_len(field), k1=cfg.k1, b=cfg.b)
         return scan.select("doc_id", "term", score.alias("score"))
 
     # -- leaves ---------------------------------------------------------
@@ -317,8 +318,9 @@ class _Compiler:
         g = self._phrase_tf(g, len(terms), node.slop)
         # phrase idf = Σ per-term idf (duplicates counted), Lucene-style
         idf_sum = sum(self.index.idf(field, dfs[t]) for t in terms)
+        cfg = self.index.schema.field(field)
         score = bm25_expr(F.col("ptf"), F.col("len_q"), idf_sum,
-                          self.index.avg_len(field))
+                          self.index.avg_len(field), k1=cfg.k1, b=cfg.b)
         return g.select("doc_id", score.alias("score"))
 
     def _c_phraseprefix(self, node: ast.PhrasePrefix) -> DataFrame:
@@ -340,8 +342,9 @@ class _Compiler:
         g = self._phrase_scan(field, [[t] for t in head] + [exp_terms])
         g = self._phrase_tf(g, len(terms), 0)
         idf_sum = sum(self.index.idf(field, dfs[t]) for t in head)
+        cfg = self.index.schema.field(field)
         score = bm25_expr(F.col("ptf"), F.col("len_q"), idf_sum,
-                          self.index.avg_len(field))
+                          self.index.avg_len(field), k1=cfg.k1, b=cfg.b)
         return g.select("doc_id", score.alias("score"))
 
     def _c_proximity(self, node: ast.Proximity) -> DataFrame:

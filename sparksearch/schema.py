@@ -37,6 +37,8 @@ class FieldConfig:
     fast: bool = True                    # columnar (always true on Spark)
     indexed: bool = True
     lowercase: bool = True               # normalizer for keyword/raw fields
+    k1: float = 1.2                      # per-field BM25 params (reference
+    b: float = 0.75                      # typmod tuning, bm25-params.out)
 
     def analyzer_key(self) -> tuple:
         return (self.tokenizer, tuple(sorted(self.tokenizer_opts.items())),

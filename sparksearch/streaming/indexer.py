@@ -153,6 +153,22 @@ def _committed_segments(index_path: str) -> list:
     return segs
 
 
+def delete_docs(spark: SparkSession, index_path: str, doc_ids: list) -> int:
+    """Logical delete (reference ambulkdelete, postgres/delete.rs):
+    tombstones are appended under ``_deletes/`` and filtered out of every
+    read; compaction applies them physically (vacuum analog)."""
+    df = spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
+    df.coalesce(1).write.mode("append").parquet(f"{index_path}/_deletes")
+    return len(doc_ids)
+
+
+def _deletes_df(spark: SparkSession, index_path: str) -> DataFrame | None:
+    p = f"{index_path}/_deletes"
+    if os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p)):
+        return spark.read.parquet(p).select("doc_id").distinct()
+    return None
+
+
 def open_segmented_index(spark: SparkSession, index_path: str,
                          schema: IndexSchema,
                          docs: DataFrame | None = None) -> SearchIndex:
@@ -170,6 +186,11 @@ def open_segmented_index(spark: SparkSession, index_path: str,
     postings = reduce(
         lambda a, b: a.unionByName(b),
         [spark.read.parquet(f"{s}/postings") for s in segs])
+    deletes = _deletes_df(spark, index_path)
+    n_deleted = 0
+    if deletes is not None:
+        postings = postings.join(deletes, "doc_id", "left_anti")
+        n_deleted = deletes.count()
     from sparksearch.index import corpus_stats_df
     corpus_stats = corpus_stats_df(postings)
     n_docs, totals = 0, {}
@@ -179,6 +200,9 @@ def open_segmented_index(spark: SparkSession, index_path: str,
         n_docs += st["n_docs"]
         for f_, v in st["fields"].items():
             totals[f_] = totals.get(f_, 0) + v["total_len"]
+    # like the reference, corpus stats stay approximate after logical
+    # deletes until compaction rewrites them; doc count is adjusted
+    n_docs = max(n_docs - n_deleted, 1)
     meta = {f_: {"num_docs": n_docs, "avg_len": t / max(n_docs, 1)}
             for f_, t in totals.items()}
     if docs is None:
@@ -201,16 +225,26 @@ def compact_segments(spark: SparkSession, index_path: str,
     postings = reduce(
         lambda a, b: a.unionByName(b),
         [spark.read.parquet(f"{s}/postings") for s in segs])
+    deletes = _deletes_df(spark, index_path)
+    if deletes is not None:
+        postings = postings.join(deletes, "doc_id", "left_anti")
     (postings.repartition("field", "tb")
      .write.mode("overwrite").partitionBy("field", "tb")
      .parquet(f"{merged}/postings"))
-    n_docs, totals = 0, {}
-    for s in segs:
-        with open(f"{s}/stats.json") as fh:
-            st = json.load(fh)
-        n_docs += st["n_docs"]
-        for f_, v in st["fields"].items():
-            totals[f_] = totals.get(f_, 0) + v["total_len"]
+    written = spark.read.parquet(f"{merged}/postings")
+    if deletes is not None:
+        # vacuum: recompute exact stats from the surviving postings
+        n_docs = written.select("doc_id").distinct().count()
+        rows = written.groupBy("field").agg(F.sum("tf").alias("t")).collect()
+        totals = {r["field"]: r["t"] for r in rows}
+    else:
+        n_docs, totals = 0, {}
+        for s in segs:
+            with open(f"{s}/stats.json") as fh:
+                st = json.load(fh)
+            n_docs += st["n_docs"]
+            for f_, v in st["fields"].items():
+                totals[f_] = totals.get(f_, 0) + v["total_len"]
     with open(f"{merged}/stats.json", "w") as fh:
         json.dump({"n_docs": n_docs, "epoch": -1,
                    "fields": {f_: {"total_len": t} for f_, t in totals.items()}},
@@ -221,4 +255,6 @@ def compact_segments(spark: SparkSession, index_path: str,
     shutil.rmtree(final, ignore_errors=True)
     os.rename(merged, final)
     _atomic_success(final)
+    if deletes is not None:
+        shutil.rmtree(f"{index_path}/_deletes", ignore_errors=True)
     return final

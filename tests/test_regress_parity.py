@@ -95,3 +95,35 @@ def test_score_filter_golden(score_items_index):
     assert [r["doc_id"] for r in compile_query(score_items_index, sf).collect()] == [1]
     sf_hi = ast.ScoreFilter(q, min_score=2.0)
     assert compile_query(score_items_index, sf_hi).count() == 0
+
+
+@pytest.fixture(scope="module")
+def bm25_params_docs(spark):
+    # /root/reference/pg_search/tests/pg_regress/expected/bm25-params.out:6-15
+    rows = [
+        (1, "search search search"),
+        (2, "search engine"),
+        (3, "database query"),
+        (4, "search"),
+    ]
+    return spark.createDataFrame(rows, "id int, short_text string")
+
+
+def _scores(spark_docs, k1, b):
+    schema = IndexSchema(key_field="id", text_fields=[
+        FieldConfig(name="short_text", k1=k1, b=b)])
+    idx = build_index(spark_docs, schema)
+    rows = compile_query(idx, ast.Term("short_text", "search")).collect()
+    return {r["doc_id"]: round(r["score"], 4) for r in rows}
+
+
+def test_bm25_default_params_golden(bm25_params_docs):
+    # bm25-params.out TEST 1 (k1=1.2, b=0.75)
+    assert _scores(bm25_params_docs, 1.2, 0.75) == \
+        {1: 0.5062, 4: 0.4484, 2: 0.3567}
+
+
+def test_bm25_k1_zero_golden(bm25_params_docs):
+    # TEST 2: k1=0 → pure IDF, all matches tie
+    assert _scores(bm25_params_docs, 0.0, 0.75) == \
+        {1: 0.3567, 2: 0.3567, 4: 0.3567}

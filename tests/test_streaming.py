@@ -311,3 +311,41 @@ def test_watermark_drops_late_events(spark, tdir):
     docs = {r["doc_id"] for r in sidx.postings.select("doc_id").distinct().collect()}
     assert "c1#3" not in docs, "late straggler should be dropped by watermark"
     assert {"c1#0", "c1#1", "c1#2", "c2#0"} <= docs
+
+
+def test_delete_docs_and_vacuum(spark, tdir):
+    """ambulkdelete/vacuum analog: logical tombstones filtered at read,
+    applied physically (with stats rewrite) at compaction."""
+    from sparksearch.streaming.indexer import delete_docs
+    flat, full_df = _write_stream_files(spark, tdir, n_convs=8, parts=2, seed=61)
+    idx_path, ckpt = f"{tdir}/idx", f"{tdir}/ckpt"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt, watermark="10 minutes")
+    q = ix.start(_read_stream(spark, flat))
+    q.processAllAvailable()
+    q.stop()
+
+    sidx = open_segmented_index(spark, idx_path, _turn_schema())
+    all_docs = [r["doc_id"] for r in
+                sidx.postings.select("doc_id").distinct().collect()]
+    victims = sorted(all_docs)[:3]
+    n_before = len(all_docs)
+
+    delete_docs(spark, idx_path, victims)
+    sidx2 = open_segmented_index(spark, idx_path, _turn_schema())
+    remaining = {r["doc_id"] for r in
+                 sidx2.postings.select("doc_id").distinct().collect()}
+    assert not (set(victims) & remaining)
+    assert len(remaining) == n_before - 3
+    assert sidx2.meta["text"]["num_docs"] == n_before - 3
+
+    compact_segments(spark, idx_path, _turn_schema())
+    import os as _os
+    assert not _os.path.isdir(f"{idx_path}/_deletes")
+    sidx3 = open_segmented_index(spark, idx_path, _turn_schema())
+    remaining3 = {r["doc_id"] for r in
+                  sidx3.postings.select("doc_id").distinct().collect()}
+    assert remaining3 == remaining
+    # vacuum recomputed exact stats: avg_len over surviving docs only
+    from pyspark.sql import functions as F
+    total_tf = sidx3.postings.agg(F.sum("tf")).collect()[0][0]
+    assert sidx3.meta["text"]["avg_len"] == total_tf / len(remaining)
