@@ -28,10 +28,31 @@ N_CONVS = int(os.environ.get("SPARKSEARCH_BENCH_CONVS", "60000"))
 N_RUNS = int(os.environ.get("SPARKSEARCH_BENCH_RUNS", "3"))
 
 
+BENCH_MODE = os.environ.get("SPARKSEARCH_BENCH_MODE", "local")
+
+
 def _new_spark(cores: int):
     from sparksearch.session import get_spark
-    s = get_spark(app_name=f"bench-{cores}", cores=cores,
-                  shuffle_partitions=cores)
+    if BENCH_MODE == "local-cluster":
+        # real separate executor JVMs: N executors × 8 cores — the literal
+        # "N vs 4N executors" form of the scaling rule
+        from pyspark.sql import SparkSession
+        n_exec = max(cores // 8, 1)
+        s = (SparkSession.builder
+             .master(f"local-cluster[{n_exec},8,6144]")
+             .appName(f"bench-lc-{n_exec}")
+             .config("spark.executor.memory", "6g")
+             .config("spark.sql.shuffle.partitions", str(n_exec * 8))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .config("spark.local.dir", "/dev/shm/sparksearch-local")
+             .config("spark.executor.extraJavaOptions",
+                     "-XX:+UseParallelGC")
+             .getOrCreate())
+    else:
+        s = get_spark(app_name=f"bench-{cores}", cores=cores,
+                      shuffle_partitions=cores)
     s.sparkContext.setLogLevel("ERROR")
     return s
 

@@ -39,20 +39,31 @@ from sparksearch.analysis import analyzer_expr, flat_token_array_expr
 from sparksearch.schema import IndexSchema, RECORD_POSITION
 from sparksearch.scoring import quantize_len_expr, idf
 
-N_TERM_BUCKETS = 64
+N_TERM_BUCKETS = 64          # cap; see adaptive_buckets()
+DOCS_PER_BUCKET = 100_000    # target volume per bucket partition
+
+
+def adaptive_buckets(n_docs: int) -> int:
+    """Bucket count sized to data volume: enough buckets for pruning,
+    few enough that per-bucket files stay big (the dynamic-partition
+    commit cost is O(tasks × buckets) and dominates small builds; at
+    100 TB the cap applies and files are GB-sized)."""
+    return int(min(N_TERM_BUCKETS, max(8, n_docs // DOCS_PER_BUCKET)))
 
 
 class SearchIndex:
     """An in-memory handle on the index tables + corpus stats."""
 
     def __init__(self, spark: SparkSession, schema: IndexSchema, docs: DataFrame,
-                 postings: DataFrame, corpus_stats: DataFrame, meta: dict):
+                 postings: DataFrame, corpus_stats: DataFrame, meta: dict,
+                 n_buckets: int = N_TERM_BUCKETS):
         self.spark = spark
         self.schema = schema
         self.docs = docs
         self.postings = postings
         self.corpus_stats = corpus_stats
         self.meta = meta  # {field: {"num_docs": int, "avg_len": float}}
+        self.n_buckets = n_buckets
 
     # -- stats ------------------------------------------------------------
     def num_docs(self, field: str) -> int:
@@ -72,8 +83,8 @@ class SearchIndex:
                 .filter((F.col("field") == field)
                         & F.col("term").isin(list(set(terms))))
                 .select("term", "df",
-                        F.pmod(F.xxhash64("term"),
-                               F.lit(N_TERM_BUCKETS)).alias("tb"))
+                        (F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
+                         if self.n_buckets else F.lit(None)).alias("tb"))
                 .collect())
         return {r["term"]: (r["df"], r["tb"]) for r in rows}
 
@@ -82,7 +93,7 @@ class SearchIndex:
 
     @property
     def bucketed(self) -> bool:
-        return "tb" in self.postings.columns
+        return "tb" in self.postings.columns and self.n_buckets is not None
 
     def postings_for_terms(self, field: str, terms: list,
                            meta: dict | None = None) -> DataFrame:
@@ -94,7 +105,7 @@ class SearchIndex:
         if self.bucketed and terms:
             if meta is None:
                 meta = self.term_meta(field, list(terms))
-            buckets = sorted({tb for _, tb in meta.values()})
+            buckets = sorted({tb for _, tb in meta.values() if tb is not None})
             if buckets:
                 scan = scan.filter(F.col("tb").isin(buckets))
         return scan
@@ -117,8 +128,10 @@ class SearchIndex:
 
     # -- persistence ("segments") ----------------------------------------
     def save(self, path: str) -> None:
+        nb = adaptive_buckets(next(iter(self.meta.values()))["num_docs"]
+                              if self.meta else 0)
         (self.postings
-         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)))
+         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(nb)))
          .repartition("field", "tb")
          .write.mode("overwrite").partitionBy("field", "tb").parquet(f"{path}/postings"))
         self.corpus_stats.write.mode("overwrite").partitionBy("field") \
@@ -126,18 +139,20 @@ class SearchIndex:
         self.docs.write.mode("overwrite").parquet(f"{path}/docs")
         with open(f"{path}/meta.json", "w") as fh:
             json.dump({"meta": self.meta, "key_field": self.schema.key_field,
+                       "n_buckets": nb,
                        "fields": [f.name for f in self.schema.text_fields]}, fh)
 
     @staticmethod
     def load(spark: SparkSession, path: str, schema: IndexSchema) -> "SearchIndex":
         with open(f"{path}/meta.json") as fh:
-            meta = json.load(fh)["meta"]
+            blob = json.load(fh)
         return SearchIndex(
             spark, schema,
             docs=spark.read.parquet(f"{path}/docs"),
             postings=spark.read.parquet(f"{path}/postings"),
             corpus_stats=spark.read.parquet(f"{path}/corpus_stats"),
-            meta=meta)
+            meta=blob["meta"],
+            n_buckets=blob.get("n_buckets", N_TERM_BUCKETS))
 
 
 def _exploded_tokens(docs: DataFrame, schema: IndexSchema) -> DataFrame:
@@ -342,8 +357,10 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
     term-bucketed parquet layout; corpus stats and BM25 meta derive from the
     written postings (cheap columnar re-scan, no re-tokenize)."""
     spark = docs.sparkSession
+    n_total = docs.count()
+    nb = adaptive_buckets(n_total)
     (postings_df(docs, schema, strategy)
-     .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)))
+     .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(nb)))
      .repartition("field", "tb")   # one writer task per bucket → no tiny files
      .write.mode("overwrite").partitionBy("field", "tb")
      .parquet(f"{path}/postings"))
@@ -352,7 +369,6 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
      .write.mode("overwrite").partitionBy("field")
      .parquet(f"{path}/corpus_stats"))
     corpus_stats = spark.read.parquet(f"{path}/corpus_stats")
-    n_total = docs.count()
     rows = corpus_stats.groupBy("field").agg(F.sum("total_tf").alias("t")).collect()
     meta = {r["field"]: {"num_docs": n_total,
                          "avg_len": (r["t"] or 0) / max(n_total, 1)}
@@ -361,8 +377,10 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
         docs.write.mode("overwrite").parquet(f"{path}/docs")
     with open(f"{path}/meta.json", "w") as fh:
         json.dump({"meta": meta, "key_field": schema.key_field,
+                   "n_buckets": nb,
                    "fields": [f.name for f in schema.text_fields]}, fh)
-    return SearchIndex(spark, schema, docs, postings, corpus_stats, meta)
+    return SearchIndex(spark, schema, docs, postings, corpus_stats, meta,
+                       n_buckets=nb)
 
 
 def load_or_build(spark: SparkSession, docs: DataFrame, schema: IndexSchema,

@@ -53,7 +53,12 @@ class StreamingIndexer:
 
     def __init__(self, schema: IndexSchema, index_path: str, checkpoint: str,
                  watermark: str = "2 minutes", session_gap: str = "5 minutes",
-                 mode: str = "turn", strategy: str = "local"):
+                 mode: str = "turn", strategy: str = "local",
+                 n_buckets: int = 16):
+        # n_buckets is fixed per index (not per segment) so bucket pruning
+        # works across the whole LSM; micro-batch segments default to 16
+        # buckets (commit cost is O(tasks x buckets) per batch)
+        self.n_buckets = n_buckets
         self.schema = schema
         self.index_path = index_path
         self.checkpoint = checkpoint
@@ -90,7 +95,7 @@ class StreamingIndexer:
             if n_docs == 0:
                 return
             (postings_df(batch_df, self.schema, self.strategy)
-             .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)))
+             .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)))
              .repartition("field", "tb")
              .write.mode("overwrite").partitionBy("field", "tb")
              .parquet(f"{seg}/postings"))
@@ -99,6 +104,7 @@ class StreamingIndexer:
                      .agg(F.sum("tf").alias("total_len")).collect())
             with open(f"{seg}/stats.json", "w") as fh:
                 json.dump({"n_docs": n_docs, "epoch": epoch_id,
+                           "n_buckets": self.n_buckets,
                            "fields": {r["field"]: {"total_len": r["total_len"]}
                                       for r in stats}}, fh)
             _atomic_success(seg)
@@ -193,11 +199,12 @@ def open_segmented_index(spark: SparkSession, index_path: str,
         n_deleted = deletes.count()
     from sparksearch.index import corpus_stats_df
     corpus_stats = corpus_stats_df(postings)
-    n_docs, totals = 0, {}
+    n_docs, totals, buckets = 0, {}, set()
     for s in segs:
         with open(f"{s}/stats.json") as fh:
             st = json.load(fh)
         n_docs += st["n_docs"]
+        buckets.add(st.get("n_buckets"))
         for f_, v in st["fields"].items():
             totals[f_] = totals.get(f_, 0) + v["total_len"]
     # like the reference, corpus stats stay approximate after logical
@@ -207,7 +214,10 @@ def open_segmented_index(spark: SparkSession, index_path: str,
             for f_, t in totals.items()}
     if docs is None:
         docs = (postings.select("doc_id").distinct())
-    return SearchIndex(spark, schema, docs, postings, corpus_stats, meta)
+    # bucket pruning only when every segment shares one modulus
+    nb = buckets.pop() if len(buckets) == 1 else None
+    return SearchIndex(spark, schema, docs, postings, corpus_stats, meta,
+                       n_buckets=nb)
 
 
 def compact_segments(spark: SparkSession, index_path: str,
@@ -232,6 +242,11 @@ def compact_segments(spark: SparkSession, index_path: str,
      .write.mode("overwrite").partitionBy("field", "tb")
      .parquet(f"{merged}/postings"))
     written = spark.read.parquet(f"{merged}/postings")
+    seg_buckets = set()
+    for s in segs:
+        with open(f"{s}/stats.json") as fh:
+            seg_buckets.add(json.load(fh).get("n_buckets"))
+    nb = seg_buckets.pop() if len(seg_buckets) == 1 else None
     if deletes is not None:
         # vacuum: recompute exact stats from the surviving postings
         n_docs = written.select("doc_id").distinct().count()
@@ -246,7 +261,7 @@ def compact_segments(spark: SparkSession, index_path: str,
             for f_, v in st["fields"].items():
                 totals[f_] = totals.get(f_, 0) + v["total_len"]
     with open(f"{merged}/stats.json", "w") as fh:
-        json.dump({"n_docs": n_docs, "epoch": -1,
+        json.dump({"n_docs": n_docs, "epoch": -1, "n_buckets": nb,
                    "fields": {f_: {"total_len": t} for f_, t in totals.items()}},
                   fh)
     # commit order: new segment becomes visible only after olds are gone
