@@ -64,6 +64,8 @@ class SearchIndex:
         self.corpus_stats = corpus_stats
         self.meta = meta  # {field: {"num_docs": int, "avg_len": float}}
         self.n_buckets = n_buckets
+        # set by expand_terms when a dictionary expansion hit its cap
+        self.last_expansion_truncated = False
 
     # -- stats ------------------------------------------------------------
     def num_docs(self, field: str) -> int:
@@ -110,17 +112,33 @@ class SearchIndex:
                 scan = scan.filter(F.col("tb").isin(buckets))
         return scan
 
-    def expand_terms(self, field: str, predicate, limit: int = 50) -> list:
+    def expand_terms(self, field: str, predicate, limit: int = 50,
+                     order: str = "df", prefix: str | None = None) -> list:
         """Term-dictionary expansion for fuzzy/regex/prefix queries.
 
         ``predicate`` is a Column over ``term``; returns [(term, df)].
+        ``order='df'`` keeps the highest-df terms under the cap (fuzzy);
+        ``order='term'`` truncates in term-dictionary order, matching
+        Lucene/Tantivy enumeration for prefix expansion.  ``prefix``
+        prunes the dictionary scan to the term's hash bucket range via a
+        term range predicate (sortable dictionary order) before the full
+        predicate applies.  A truncated expansion is recorded on
+        ``self.last_expansion_truncated`` instead of failing silently.
         Reference analog: Tantivy automaton walks over the term dict
         (pg_search/src/query/pdb_query.rs fuzzy/regex nodes).
         """
-        rows = (self.corpus_stats
-                .filter(F.col("field") == field).filter(predicate)
-                .orderBy(F.col("df").desc(), F.col("term"))
-                .limit(limit).collect())
+        scan = self.corpus_stats.filter(F.col("field") == field)
+        if prefix:
+            # dictionary-order range prune: prefix <= term < prefix+￿
+            scan = scan.filter((F.col("term") >= prefix)
+                               & (F.col("term") < prefix + "￿"))
+        key = (F.col("term").asc() if order == "term"
+               else F.col("df").desc())
+        rows = (scan.filter(predicate)
+                .orderBy(key, F.col("term"))
+                .limit(limit + 1).collect())
+        self.last_expansion_truncated = len(rows) > limit
+        rows = rows[:limit]
         return [(r["term"], r["df"]) for r in rows]
 
     def idf(self, field: str, doc_freq: int) -> float:

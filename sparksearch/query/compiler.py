@@ -311,6 +311,7 @@ class _Compiler:
             return self._empty()
         if len(terms) == 1:
             return self._terms_scan(field, terms).drop("term")
+        self._position_field(node.field, "phrase")
         dfs = self.index.term_dfs(field, terms)
         if any(t not in dfs for t in terms):
             return self._empty()
@@ -327,15 +328,18 @@ class _Compiler:
         field = self._real_field(node.field)
         terms = [self._norm(node.field, t) for t in node.phrases]
         prefix = terms[-1]
+        # truncate in term-dictionary order, like Lucene/Tantivy expansion,
+        # with a dictionary range prune on the prefix
         expansions = self.index.expand_terms(
-            field, F.col("term").startswith(prefix), node.max_expansions)
-        # term-dict order, like Lucene/Tantivy expansion
-        exp_terms = sorted(t for t, _ in expansions)[: node.max_expansions]
+            field, F.col("term").startswith(prefix), node.max_expansions,
+            order="term", prefix=prefix)
+        exp_terms = [t for t, _ in expansions]
         if not exp_terms:
             return self._empty()
         if len(terms) == 1:
             return self._c_termset(ast.TermSet(field, exp_terms))
         head = terms[:-1]
+        self._position_field(node.field, "phrase-prefix")
         dfs = self.index.term_dfs(field, head)
         if any(t not in dfs for t in head):
             return self._empty()
@@ -348,7 +352,7 @@ class _Compiler:
         return g.select("doc_id", score.alias("score"))
 
     def _c_proximity(self, node: ast.Proximity) -> DataFrame:
-        field = self._real_field(node.field)
+        field = self._position_field(node.field, "proximity")
         lt, rt = self._norm(node.field, node.left), self._norm(node.field, node.right)
         dfs = self.index.term_dfs(field, [lt, rt])
         if lt not in dfs or rt not in dfs:
@@ -475,13 +479,39 @@ class _Compiler:
             out = out.join(excl, "doc_id", "left_anti")
         return out
 
-    @staticmethod
-    def _is_plain_term(c) -> bool:
-        return isinstance(c, ast.Term) and isinstance(c.value, str)
+    def _is_plain_term(self, c) -> bool:
+        """Batchable leaf = string Term over a *plain indexed* field.
+
+        JSON-path refs (``metadata.color``) and unindexed attribute columns
+        must route through the general ``_c_term`` path, which applies the
+        term prefix / attr-filter fallback — batching them through
+        ``_terms_scan`` would look up the raw ref in the term dictionary
+        and silently match nothing."""
+        if not (isinstance(c, ast.Term) and isinstance(c.value, str)):
+            return False
+        try:
+            cfg, prefix = self.index.schema.resolve(c.field)
+        except KeyError:
+            return False
+        return prefix == "" and cfg.name == c.field
 
     def _all_terms(self, clauses) -> bool:
         return (len(clauses) > 1 and all(self._is_plain_term(c) for c in clauses)
                 and len({c.field for c in clauses}) == 1)
+
+    def _position_field(self, fieldref: str, what: str) -> str:
+        """Resolve a field ref for a position-dependent query; raise a clear
+        error when the field was indexed without positions (the reference
+        errors likewise instead of returning empty, record option in
+        pg_search/src/schema/config.rs)."""
+        cfg, _ = self.index.schema.resolve(fieldref)
+        from sparksearch.schema import RECORD_POSITION
+        if cfg.record != RECORD_POSITION:
+            raise ValueError(
+                f"{what} query on field {fieldref!r} requires record="
+                f"'position' but the field was indexed with record="
+                f"{cfg.record!r}")
+        return cfg.name
 
     def _clause_batch(self, clauses) -> DataFrame:
         fld = clauses[0].field

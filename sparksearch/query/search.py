@@ -54,10 +54,13 @@ def search(index, query, limit: int | None = None, offset: int = 0,
 
     if limit is not None:
         narrow = narrow.orderBy(*sort_exprs).limit(limit + offset)
-        if offset:
-            w = W.orderBy(*sort_exprs)
-            narrow = (narrow.withColumn("_rn", F.row_number().over(w))
-                      .filter(F.col("_rn") > offset).drop("_rn"))
+    if offset:
+        # applies with or without a limit (offset-only paging is valid;
+        # the bounded-limit case above has already shrunk the input to
+        # limit+offset rows so the single-partition window is tiny)
+        w = W.orderBy(*sort_exprs)
+        narrow = (narrow.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") > offset).drop("_rn"))
 
     out_cols = columns or [c for c in index.docs.columns]
     docs = index.docs

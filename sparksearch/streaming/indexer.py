@@ -147,16 +147,47 @@ class StreamingIndexer:
         return writer.start()
 
 
+def _manifest_path(index_path: str) -> str:
+    return f"{index_path}/_MANIFEST.json"
+
+
+def _read_manifest(index_path: str) -> dict | None:
+    try:
+        with open(_manifest_path(index_path)) as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
+def _write_manifest(index_path: str, live: list, retired: list, gen: int) -> None:
+    """Atomic manifest swap (tmp + rename): readers either see the old
+    segment set or the new one, never a partial state."""
+    tmp = _manifest_path(index_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"live": sorted(live), "retired": sorted(set(retired)),
+                   "gen": gen}, fh)
+    os.replace(tmp, _manifest_path(index_path))
+
+
 def _committed_segments(index_path: str) -> list:
+    """Live segments = manifest list (when present) plus any
+    marker-committed segment dirs the manifest doesn't know about yet
+    (streaming appends land new epochs without touching the manifest)."""
     base = f"{index_path}/segments"
     if not os.path.isdir(base):
         return []
-    segs = []
+    marker_committed = []
     for d in sorted(os.listdir(base)):
         p = os.path.join(base, d)
         if os.path.exists(os.path.join(p, "_SEGMENT_COMMITTED")):
-            segs.append(p)
-    return segs
+            marker_committed.append(d)
+    man = _read_manifest(index_path)
+    if man is None:
+        return [os.path.join(base, d) for d in marker_committed]
+    live = [d for d in man["live"] if os.path.isdir(os.path.join(base, d))]
+    known = set(man["live"]) | set(man.get("retired", []))
+    live += [d for d in marker_committed if d not in known]
+    return [os.path.join(base, d) for d in sorted(set(live))]
 
 
 def delete_docs(spark: SparkSession, index_path: str, doc_ids: list) -> int:
@@ -220,28 +251,33 @@ def open_segmented_index(spark: SparkSession, index_path: str,
                        n_buckets=nb)
 
 
-def compact_segments(spark: SparkSession, index_path: str,
-                     schema: IndexSchema) -> str:
-    """Merge all committed segments into one base segment (reference merge
-    policy analog: merge_policy.rs layered merges; here a single-layer
-    full compaction — Iceberg's rewrite_data_files equivalent)."""
+def _merge_into_segment(spark: SparkSession, index_path: str, segs: list,
+                        out_name: str, apply_deletes: bool) -> str:
+    """Merge ``segs`` into one new segment, committed crash-safely:
+
+    1. write merged postings + stats + commit marker to the NEW dir;
+    2. atomically swap the manifest (live = old − merged + new) —
+       this is the commit point; a crash before it leaves the old
+       segments live, a crash after it leaves the new set live;
+    3. best-effort delete of the retired dirs (re-deletable on retry;
+       readers resolve from the manifest so leftovers are invisible).
+    """
     import shutil
-    segs = _committed_segments(index_path)
-    if len(segs) <= 1:
-        return segs[0] if segs else ""
     from functools import reduce
-    merged = f"{index_path}/segments/epoch=-1__compacting"
-    final = f"{index_path}/segments/epoch=-1"
-    postings = reduce(
-        lambda a, b: a.unionByName(b),
-        [spark.read.parquet(f"{s}/postings") for s in segs])
-    deletes = _deletes_df(spark, index_path)
+    base = f"{index_path}/segments"
+    final = os.path.join(base, out_name)
+    merged = final + "__compacting"
+    shutil.rmtree(merged, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+
+    postings = reduce(lambda a, b: a.unionByName(b),
+                      [spark.read.parquet(f"{s}/postings") for s in segs])
+    deletes = _deletes_df(spark, index_path) if apply_deletes else None
     if deletes is not None:
         postings = postings.join(deletes, "doc_id", "left_anti")
     (postings.repartition("field", "tb")
      .write.mode("overwrite").partitionBy("field", "tb")
      .parquet(f"{merged}/postings"))
-    written = spark.read.parquet(f"{merged}/postings")
     seg_buckets = set()
     for s in segs:
         with open(f"{s}/stats.json") as fh:
@@ -249,6 +285,7 @@ def compact_segments(spark: SparkSession, index_path: str,
     nb = seg_buckets.pop() if len(seg_buckets) == 1 else None
     if deletes is not None:
         # vacuum: recompute exact stats from the surviving postings
+        written = spark.read.parquet(f"{merged}/postings")
         n_docs = written.select("doc_id").distinct().count()
         rows = written.groupBy("field").agg(F.sum("tf").alias("t")).collect()
         totals = {r["field"]: r["t"] for r in rows}
@@ -261,15 +298,101 @@ def compact_segments(spark: SparkSession, index_path: str,
             for f_, v in st["fields"].items():
                 totals[f_] = totals.get(f_, 0) + v["total_len"]
     with open(f"{merged}/stats.json", "w") as fh:
-        json.dump({"n_docs": n_docs, "epoch": -1, "n_buckets": nb,
+        json.dump({"n_docs": n_docs, "epoch": out_name, "n_buckets": nb,
                    "fields": {f_: {"total_len": t} for f_, t in totals.items()}},
                   fh)
-    # commit order: new segment becomes visible only after olds are gone
-    for s in segs:
-        shutil.rmtree(s)
-    shutil.rmtree(final, ignore_errors=True)
     os.rename(merged, final)
+
+    # commit point: swap the manifest. The new dir carries no commit
+    # marker yet, so marker-scan readers can't see old + new together if
+    # we crash right before this line; manifest readers flip atomically.
+    merged_names = {os.path.basename(s) for s in segs}
+    live_now = {os.path.basename(s) for s in _committed_segments(index_path)}
+    man = _read_manifest(index_path) or {"retired": [], "gen": 0}
+    new_live = (live_now - merged_names) | {out_name}
+    _write_manifest(index_path, list(new_live),
+                    list(set(man.get("retired", [])) | merged_names),
+                    man.get("gen", 0) + 1)
     _atomic_success(final)
+
+    for s in segs:
+        shutil.rmtree(s, ignore_errors=True)
     if deletes is not None:
         shutil.rmtree(f"{index_path}/_deletes", ignore_errors=True)
     return final
+
+
+def _next_gen(index_path: str) -> int:
+    man = _read_manifest(index_path)
+    return (man.get("gen", 0) + 1) if man else 1
+
+
+def compact_segments(spark: SparkSession, index_path: str,
+                     schema: IndexSchema) -> str:
+    """Merge all committed segments into one base segment (full
+    compaction — Iceberg's rewrite_data_files equivalent).  For
+    continuous ingest at scale use ``compact_layered`` instead, which
+    never rewrites the whole index."""
+    segs = _committed_segments(index_path)
+    if len(segs) <= 1:
+        return segs[0] if segs else ""
+    return _merge_into_segment(spark, index_path, segs,
+                               f"epoch=c{_next_gen(index_path)}",
+                               apply_deletes=True)
+
+
+def _segment_bytes(seg: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(os.path.join(seg, "postings")):
+        for f_ in files:
+            if not f_.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f_))
+    return total
+
+
+def compact_layered(spark: SparkSession, index_path: str, schema: IndexSchema,
+                    layer_sizes: list | None = None,
+                    min_merge_count: int = 2) -> list:
+    """Tiered merge policy (reference: LayeredMergePolicy,
+    pg_search/src/index/merge_policy.rs:31-60 and candidate computation
+    at :246-300): for each layer size, largest first, greedily group
+    segments no bigger than the layer until the group's total bytes
+    reach layer_size + layer_size/3, then merge that group into one new
+    segment.  Groups that never fill their layer, or with fewer than
+    ``min_merge_count`` members, are left alone — so steady-state work
+    per compaction is O(one layer), never a full index rewrite.
+
+    Returns the list of newly written segment paths.
+    """
+    if layer_sizes is None:
+        layer_sizes = [100 * 1024, 1024 * 1024, 10 * 1024 * 1024]
+    segs = _committed_segments(index_path)
+    if len(segs) < min_merge_count:
+        return []
+    sizes = {s: _segment_bytes(s) for s in segs}
+    candidates: list[list] = []
+    used: set = set()
+    for layer in sorted(layer_sizes, reverse=True):
+        extended = layer + layer // 3
+        group: list = []
+        group_bytes = 0
+        # largest → smallest, like the reference's collect_mergeable_segments
+        for s in sorted((x for x in segs if x not in used),
+                        key=lambda x: -sizes[x]):
+            if sizes[s] > layer:
+                continue
+            group.append(s)
+            group_bytes += sizes[s]
+            if group_bytes >= extended:
+                candidates.append(group)
+                used.update(group)
+                group, group_bytes = [], 0
+        # partial group: not enough bytes to graduate this layer — skip
+    out = []
+    gen = _next_gen(index_path)
+    for i, group in enumerate(c for c in candidates
+                              if len(c) >= min_merge_count):
+        out.append(_merge_into_segment(
+            spark, index_path, group, f"epoch=c{gen}_{i}",
+            apply_deletes=False))
+    return out

@@ -38,10 +38,15 @@ class PyIndex:
         self.n = len(rows)
 
     def norm(self, field, v):
-        cfg = self.schema.field(field)
+        cfg, prefix = self.schema.resolve(field)
         if isinstance(v, str) and cfg.lowercase and cfg.tokenizer not in ("keyword", "literal"):
-            return v.lower()
+            v = v.lower()
+        if isinstance(v, str) and prefix:
+            v = prefix + v
         return v
+
+    def real_field(self, field):
+        return self.schema.resolve(field)[0].name
 
     def term_score(self, doc, field, term):
         ts = self.toks[(doc, field)]
@@ -63,12 +68,17 @@ def evaluate(pidx: PyIndex, node) -> dict:
     if isinstance(node, ast.Empty):
         return {}
     if isinstance(node, ast.Term):
-        v = pidx.norm(node.field, node.value)
+        try:
+            v = pidx.norm(node.field, node.value)
+        except KeyError:
+            # unindexed attribute → constant-score filter, like the compiler
+            return {r[key]: 1.0 for r in rows if r.get(node.field) == node.value}
         if not isinstance(v, str):
             return {r[key]: 1.0 for r in rows if r.get(node.field) == v}
+        fld = pidx.real_field(node.field)
         out = {}
         for r in rows:
-            s = pidx.term_score(r[key], node.field, v)
+            s = pidx.term_score(r[key], fld, v)
             if s is not None:
                 out[r[key]] = s
         return out

@@ -201,3 +201,67 @@ def test_aliased_multi_source_fields(spark):
     c = {r["doc_id"] for r in
          compile_query(idx, ast.Term("body_code", "user")).collect()}
     assert c == {1, 2}   # camelCase split only in the code-tokenized field
+
+
+def test_boolean_batched_jsonpath_terms(mock_index):
+    """Regression: JSON-path terms inside should/must must not be batched
+    through the plain term-dictionary scan (they need the path prefix)."""
+    q = ast.Boolean(should=[ast.Term("metadata.color", "Silver"),
+                            ast.Term("metadata.color", "White")])
+    got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
+    silver = {r["doc_id"] for r in
+              compile_query(mock_index, ast.Term("metadata.color", "Silver")).collect()}
+    white = {r["doc_id"] for r in
+             compile_query(mock_index, ast.Term("metadata.color", "White")).collect()}
+    assert silver and white and got == silver | white
+    # mixed should: plain text term + json-path term keeps both clauses
+    mixed = ast.Boolean(should=[ast.Term("description", "keyboard"),
+                                ast.Term("metadata.color", "Silver")])
+    gm = {r["doc_id"] for r in compile_query(mock_index, mixed).collect()}
+    kb = {r["doc_id"] for r in
+          compile_query(mock_index, ast.Term("description", "keyboard")).collect()}
+    assert gm == kb | silver
+    # must over two json-path terms of the same field ref
+    m = ast.Boolean(must=[ast.Term("metadata.color", "Silver"),
+                          ast.Term("metadata.location", "United States")])
+    gmu = {r["doc_id"] for r in compile_query(mock_index, m).collect()}
+    us = {r["doc_id"] for r in compile_query(
+        mock_index, ast.Term("metadata.location", "United States")).collect()}
+    assert gmu == silver & us and gmu
+
+
+def test_boolean_batched_unindexed_attr_terms(mock_index):
+    """Regression: unindexed string-attribute terms inside booleans route
+    through the attr-filter fallback instead of raising KeyError."""
+    q = ast.Boolean(should=[ast.Term("latest_available_time", "09:12:34"),
+                            ast.Term("latest_available_time", "13:27:09")])
+    got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
+    assert got == {1, 2}
+    q2 = ast.Boolean(must=[ast.Term("description", "keyboard"),
+                           ast.Term("latest_available_time", "09:12:34")])
+    assert compile_query(mock_index, q2).count() >= 0  # no KeyError
+
+
+def test_search_offset_without_limit(mock_index):
+    from sparksearch.query.search import search
+    allrows = search(mock_index, ast.Term("description", "shoes"),
+                     columns=["id"]).collect()
+    off = search(mock_index, ast.Term("description", "shoes"),
+                 offset=1, columns=["id"]).collect()
+    assert len(off) == len(allrows) - 1
+    assert [r["id"] for r in off] == [r["id"] for r in allrows][1:]
+
+
+def test_phrase_requires_positions(spark):
+    """Phrase/proximity on a record!='position' field raises a clear error
+    (the reference errors instead of returning empty)."""
+    import pytest as _pytest
+    from sparksearch.index import build_index
+    from sparksearch.schema import IndexSchema, FieldConfig, RECORD_FREQ
+    docs = spark.createDataFrame([(1, "alpha beta gamma")], "id int, body string")
+    idx = build_index(docs, IndexSchema(key_field="id", text_fields=[
+        FieldConfig(name="body", tokenizer="default", record=RECORD_FREQ)]))
+    with _pytest.raises(ValueError, match="position"):
+        compile_query(idx, ast.Phrase("body", ["alpha", "beta"]))
+    with _pytest.raises(ValueError, match="position"):
+        compile_query(idx, ast.Proximity("body", "alpha", "gamma", 2))

@@ -28,8 +28,17 @@ def gen_query(rng: random.Random, depth: int = 0) -> ast.Query:
     node_kinds = ["bool", "boost", "const", "dismax"] if depth < 3 else []
     kind = rng.choice(leaf_kinds * 2 + node_kinds * 3)
     if kind == "term":
-        if rng.random() < 0.2:
+        roll = rng.random()
+        if roll < 0.15:
             return ast.Term("category", rng.choice(CATS))
+        if roll < 0.35:
+            # json-path term (ADVICE: json-path fields inside booleans)
+            if rng.random() < 0.5:
+                return ast.Term("metadata.color",
+                                rng.choice(["Silver", "White", "Black",
+                                            "Blue", "zzz_nope"]))
+            return ast.Term("metadata.location",
+                            rng.choice(["United States", "Canada", "China"]))
         return ast.Term("description", rng.choice(VOCAB))
     if kind == "termset":
         return ast.TermSet("description",

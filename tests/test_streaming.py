@@ -349,3 +349,64 @@ def test_delete_docs_and_vacuum(spark, tdir):
     from pyspark.sql import functions as F
     total_tf = sidx3.postings.agg(F.sum("tf")).collect()[0][0]
     assert sidx3.meta["text"]["avg_len"] == total_tf / len(remaining)
+
+
+def test_layered_compaction(spark, tdir):
+    """Tiered merge (reference LayeredMergePolicy): small segments merge
+    into a layer segment; search results identical pre/post; a second
+    pass with nothing to gain merges nothing."""
+    from sparksearch.streaming.indexer import compact_layered, _committed_segments
+    flat, full_df = _write_stream_files(spark, tdir, n_convs=12, parts=4)
+    idx_path, ckpt = f"{tdir}/idx", f"{tdir}/ckpt"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt, watermark="10 minutes")
+    q = ix.start(_read_stream(spark, flat))
+    q.processAllAvailable()
+    q.stop()
+    before_segs = _committed_segments(idx_path)
+    assert len(before_segs) >= 2
+    before = _postings_set(open_segmented_index(spark, idx_path, _turn_schema()).postings)
+    meta_before = open_segmented_index(spark, idx_path, _turn_schema()).meta
+    # choose a layer each segment fits in (size <= layer) and that the
+    # group's total fills (total >= layer + layer/3)
+    from sparksearch.streaming.indexer import _segment_bytes
+    sizes = [_segment_bytes(s) for s in before_segs]
+    layer = int(sum(sizes) * 0.7)
+    assert max(sizes) <= layer
+    new = compact_layered(spark, idx_path, _turn_schema(),
+                          layer_sizes=[layer])
+    assert new, "expected at least one merge candidate"
+    after_idx = open_segmented_index(spark, idx_path, _turn_schema())
+    assert _postings_set(after_idx.postings) == before
+    assert after_idx.meta == meta_before
+    # steady state: the merged segment now exceeds the layer → no-op
+    assert compact_layered(spark, idx_path, _turn_schema(),
+                           layer_sizes=[layer]) == []
+
+
+def test_manifest_hides_retired_segments(spark, tdir):
+    """Crash-safety: a retired segment dir that survives (crash between
+    manifest swap and delete) must stay invisible to readers."""
+    import json as _json
+    import os as _os
+    from sparksearch.streaming.indexer import (_committed_segments,
+                                               _read_manifest)
+    flat, _ = _write_stream_files(spark, tdir, n_convs=8, parts=3)
+    idx_path, ckpt = f"{tdir}/idx", f"{tdir}/ckpt"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt, watermark="10 minutes")
+    q = ix.start(_read_stream(spark, flat))
+    q.processAllAvailable()
+    q.stop()
+    before = _postings_set(open_segmented_index(spark, idx_path, _turn_schema()).postings)
+    compact_segments(spark, idx_path, _turn_schema())
+    man = _read_manifest(idx_path)
+    assert man and man["retired"]
+    # simulate the crash: resurrect a retired dir with a commit marker
+    zombie = f"{idx_path}/segments/{sorted(man['retired'])[0]}"
+    _os.makedirs(zombie, exist_ok=True)
+    with open(f"{zombie}/_SEGMENT_COMMITTED", "w") as fh:
+        fh.write("zombie")
+    live = _committed_segments(idx_path)
+    assert zombie not in live and len(live) == 1
+    # readers still see exactly the compacted data
+    assert _postings_set(open_segmented_index(
+        spark, idx_path, _turn_schema()).postings) == before
