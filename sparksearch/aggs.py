@@ -177,21 +177,62 @@ def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list) -> dict:
             return {"value": _jval(vals["v"])}
         return {k.split(".", 1)[1]: _jval(v) for k, v in vals.items()}
     if _is_top_hits(spec):
-        th = spec["top_hits"]
-        size = th.get("size", 3)
-        sort = th.get("sort", [])
-        cols = []
-        for s in sort:
-            ((f, o),) = s.items() if isinstance(s, dict) else ((s, "asc"),)
-            order = o["order"] if isinstance(o, dict) else o
-            cols.append(F.col(f).desc() if order == "desc" else F.col(f).asc())
-        hits = df.orderBy(*cols).limit(size) if cols else df.limit(size)
-        src = th.get("_source")
-        if src:
-            hits = hits.select(*src)
-        return {"hits": [r.asDict(recursive=True) for r in hits.collect()]}
+        hits_by_key = _top_hits_level(df, spec, [])
+        return {"hits": hits_by_key.get((), [])}
+    by_parent = _bucket_level(df, spec, [])
+    return {"buckets": by_parent.get((), [])}
 
+
+def _top_hits_sort_cols(spec: dict) -> list:
+    cols = []
+    for s in spec["top_hits"].get("sort", []):
+        ((f, o),) = s.items() if isinstance(s, dict) else ((s, "asc"),)
+        order = o["order"] if isinstance(o, dict) else o
+        cols.append(F.col(f).desc() if order == "desc" else F.col(f).asc())
+    return cols
+
+
+def _top_hits_level(df: DataFrame, spec: dict, pcols: list) -> dict:
+    """top_hits for EVERY bucket in one job: ranking window partitioned by
+    the parent key columns (reference executes per-bucket top_hits via
+    tantivy collectors per segment; per-bucket driver loops would be an
+    N+1-jobs anti-pattern at scale)."""
+    th = spec["top_hits"]
+    size = th.get("size", 3)
+    cols = _top_hits_sort_cols(spec)
+    if pcols:
+        w = W.partitionBy(*pcols).orderBy(*(cols or [F.lit(1)]))
+        ranked = (df.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= size).drop("__rn"))
+    else:
+        ranked = df.orderBy(*cols).limit(size) if cols else df.limit(size)
+    src = th.get("_source")
+    keep = (pcols + src) if src else ranked.columns
+    rows = ranked.select(*keep).collect()
+    out: dict = {}
+    for r in rows:
+        d = r.asDict(recursive=True)
+        ptuple = tuple(d.pop(p) for p in pcols)
+        if src:
+            d = {k: d[k] for k in src}
+        else:
+            d = {k: v for k, v in d.items() if not k.startswith("__k")}
+        out.setdefault(ptuple, []).append(d)
+    return out
+
+
+def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
+    """Compile one bucket level for ALL parent buckets at once.
+
+    ``df`` carries the parent key columns ``__k0..__k{d-1}`` already
+    filtered to the kept parent buckets; this level groups by
+    (parents..., this key) in ONE multi-key groupBy — a single Exchange
+    per nesting level regardless of bucket counts (reference:
+    aggregatescan/build.rs:185-190 nested aggs).  Returns
+    {parent_key_tuple: [bucket dict, ...]}.
+    """
     kind, key_col, opts = _bucket_expr(spec)
+    kd = f"__k{len(pcols)}"
     sub = spec.get("aggs", {})
     metric_exprs, sub_buckets, top_hits = [], {}, {}
     for sname, sspec in sub.items():
@@ -202,13 +243,13 @@ def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list) -> dict:
         else:
             sub_buckets[sname] = sspec
 
-    keyed = df.withColumn("__key", key_col)
+    keyed = df.withColumn(kd, key_col)
     if kind in ("range", "filters"):
-        keyed = keyed.filter(F.col("__key").isNotNull())
+        keyed = keyed.filter(F.col(kd).isNotNull())
     agg_exprs = [F.count("*").alias("doc_count")]
     for alias, e in metric_exprs:
         agg_exprs.append(e.alias(alias))
-    g = keyed.groupBy("__key").agg(*agg_exprs)
+    g = keyed.groupBy(*pcols, kd).agg(*agg_exprs)
 
     min_dc = opts.get("min_doc_count", 0 if kind != "terms" else 1)
     if min_dc:
@@ -217,17 +258,43 @@ def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list) -> dict:
         order = opts.get("order", {"_count": "desc"})
         ((ofield, odir),) = order.items()
         oc = (F.col("doc_count") if ofield == "_count"
-              else F.col("__key") if ofield == "_key" else F.col(ofield))
-        g = g.orderBy(oc.desc() if odir == "desc" else oc.asc(),
-                      F.col("__key").asc())
-        g = g.limit(int(opts.get("size", 10)))
+              else F.col(kd) if ofield == "_key" else F.col(ofield))
+        oc = oc.desc() if odir == "desc" else oc.asc()
+        size = int(opts.get("size", 10))
+        if pcols:
+            # per-parent top-size buckets in one ranking window
+            w = W.partitionBy(*pcols).orderBy(oc, F.col(kd).asc())
+            g = (g.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= size).drop("__rn"))
+            g = g.orderBy(*pcols, oc, F.col(kd).asc())
+        else:
+            g = g.orderBy(oc, F.col(kd).asc()).limit(size)
     else:
-        g = g.orderBy(F.col("__key").asc())
+        g = g.orderBy(*pcols, F.col(kd).asc())
 
     rows = g.collect()
-    buckets = []
+
+    # children: ONE filtered frame for all kept buckets of this level
+    child_by_parent: dict = {}
+    th_by_parent: dict = {}
+    if sub_buckets or top_hits:
+        kept = [tuple(r[p] for p in pcols) + (r[kd],) for r in rows]
+        if len(pcols) == 0:
+            child = keyed.filter(F.col(kd).isin([k[-1] for k in kept]))
+        else:
+            spark = keyed.sparkSession
+            kdf = spark.createDataFrame(kept, keyed.select(*pcols, kd).schema)
+            child = keyed.join(F.broadcast(kdf), on=pcols + [kd], how="left_semi")
+        for sname, sspec in sub_buckets.items():
+            child_by_parent[sname] = _bucket_level(child, sspec, pcols + [kd])
+        for sname, sspec in top_hits.items():
+            th_by_parent[sname] = _top_hits_level(child, sspec, pcols + [kd])
+
+    out: dict = {}
     for r in rows:
-        b = {"key": _jval(r["__key"]), "doc_count": r["doc_count"]}
+        ptuple = tuple(r[p] for p in pcols)
+        full = ptuple + (r[kd],)
+        b = {"key": _jval(r[kd]), "doc_count": r["doc_count"]}
         d = r.asDict()
         for alias, _ in metric_exprs:
             if "." in alias:
@@ -235,14 +302,12 @@ def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list) -> dict:
                 b.setdefault(top, {})[leaf] = _jval(d[alias])
             else:
                 b[alias] = {"value": _jval(d[alias])}
-        for sname, sspec in sub_buckets.items():
-            sdf = keyed.filter(F.col("__key") == r["__key"]).drop("__key")
-            b[sname] = _run_one(sdf, sname, sspec, parent_keys + [r["__key"]])
-        for sname, sspec in top_hits.items():
-            sdf = keyed.filter(F.col("__key") == r["__key"]).drop("__key")
-            b[sname] = _run_one(sdf, sname, sspec, parent_keys)
-        buckets.append(b)
-    return {"buckets": buckets}
+        for sname, by_p in child_by_parent.items():
+            b[sname] = {"buckets": by_p.get(full, [])}
+        for sname, by_p in th_by_parent.items():
+            b[sname] = {"hits": by_p.get(full, [])}
+        out.setdefault(ptuple, []).append(b)
+    return out
 
 
 def _jval(v):

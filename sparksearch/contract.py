@@ -82,6 +82,50 @@ WITH toks AS (
     return q
 
 
+def _bm25_multi_cte(terms: list) -> str:
+    """CTE computing per-doc BM25 score columns s0..s{n-1} (0 when the
+    term is absent) for several terms — shared by the compound-query
+    oracles (boost / dismax / score_filter)."""
+    tf_cols = ", ".join(
+        f"len(list_filter(ts, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    s_cols = ", ".join(
+        f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * 2.2 * tf{i}"
+        f" / (tf{i} + 1.2 * (0.25 + 0.75 * ({_DD_QUANT}) / avgdl)) AS s{i}"
+        for i in range(len(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DD_TOKS} AS ts FROM documents
+), lens AS (
+  SELECT doc_id, len(ts) AS l, {tf_cols} FROM toks
+), stats AS (
+  SELECT count(*) AS n, avg(l) AS avgdl, {df_cols} FROM lens
+), sc AS (
+  SELECT doc_id, {s_cols} FROM lens, stats
+)"""
+
+
+def get_range_docs_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """documents + a derived PG-style range column cr = [n_chars,
+    n_chars+100) for the range-type predicate entries
+    (pdb_query.rs:274-312)."""
+    key = (id(spark), sf_dir, "range")
+    if key not in _INDEX_CACHE:
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "cr", F.struct(
+                F.col("n_chars").cast("long").alias("lower"),
+                (F.col("n_chars") + 100).cast("long").alias("upper"),
+                F.lit(True).alias("lower_inclusive"),
+                F.lit(False).alias("upper_inclusive")))
+        schema = IndexSchema(key_field="doc_id",
+                             text_fields=[FieldConfig(name="text")])
+        _INDEX_CACHE[key] = build_index(docs, schema)
+    return _INDEX_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # query implementations
 # ---------------------------------------------------------------------------
@@ -388,7 +432,7 @@ def q_hybrid_rrf(spark, sf_dir):
                        "embedding", qv, k=50)
            .select(F.col("id").alias("doc_id"), F.col("cos").alias("score")))
     from sparksearch.hybrid import rrf_fuse as _fuse
-    fused = _fuse([bm25, cos], key="doc_id", k=60).limit(10)
+    fused = _fuse([bm25, cos], key="doc_id", k=60, depth=100).limit(10)
     return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf"))
 
 
@@ -400,19 +444,34 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (xxhash-based — rows-only
-    check; exact-Jaccard twin is oracle-checked as ngram_jaccard_pairs)."""
-    from sparksearch.pipeline.dedup import minhash_near_duplicates
+    """MinHash+LSH candidates (threshold 0.5) exact-verified to true
+    3-gram Jaccard ≥ 0.8 — the production dedup shape (LSH prunes the
+    pair space sub-quadratically, exact verification trims false
+    positives).  The DuckDB oracle computes the same ≥0.8 pair set
+    all-pairs, so this row also proves LSH recall on this corpus."""
+    from sparksearch.pipeline.dedup import minhash_near_duplicates, _shingles
     docs = _t(spark, sf_dir, "documents")
-    return (minhash_near_duplicates(docs, "doc_id", threshold=0.6)
-            .select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard")))
+    cands = (minhash_near_duplicates(docs, "doc_id", threshold=0.5)
+             .select("a", "b"))
+    d = docs.select("doc_id", _shingles(F.col("text"), 3).alias("sh"))
+    da = d.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    db = d.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    return (cands.join(da, "a").join(db, "b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.8)
+            .select("a", "b", F.round("jaccard", 4).alias("jaccard")))
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs over the md5-derived 60-bit hash — fully
+    reproducible by the DuckDB oracle (bit construction + pigeonhole
+    blocking are both deterministic)."""
     from sparksearch.pipeline.dedup import simhash_near_duplicates
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", max_hamming=8)
+    return simhash_near_duplicates(docs, "doc_id", max_hamming=8,
+                                   base_hash="md5_60")
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -440,10 +499,13 @@ def q_snippet_topk(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    """64-bit document fingerprints (rows-only: xxhash64-based)."""
-    from sparksearch.pipeline.text import fingerprint64
+    """Document fingerprints: MinHash-1 sketch (min md5 over 3-token
+    shingles) — md5-based so the DuckDB oracle reproduces it exactly;
+    the xxhash64 rolling variant (fingerprint64) stays the fast path."""
+    from sparksearch.pipeline.text import kgram_min_fingerprint
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint64(F.col("text")).alias("fp"))
+    return docs.select("doc_id",
+                       kgram_min_fingerprint(F.col("text"), 3).alias("fp"))
 
 
 def q_rollup_agg(spark, sf_dir):
@@ -456,12 +518,15 @@ def q_rollup_agg(spark, sf_dir):
 
 
 def q_window_total_count(spark, sf_dir):
-    """COUNT(*) OVER () alongside top-k rows in one pass
-    (api/window_aggregate.rs:18-40)."""
+    """COUNT(*) OVER () alongside top-k rows (api/window_aggregate.rs:18-40).
+
+    NOT compiled as an unpartitioned window (that pulls every row through
+    one partition): the total is a separate partial/final count aggregate
+    broadcast-cross-joined onto the distributed top-k — same result, no
+    single-task stage."""
     o = _t(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
-    total = F.count("*").over(W.partitionBy())
-    return (o.withColumn("total", total)
+    tot = o.agg(F.count("*").alias("total"))
+    return (o.crossJoin(F.broadcast(tot))
             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
             .limit(5)
             .select("o_orderkey", F.round("o_totalprice", 4).alias("price"),
@@ -477,6 +542,128 @@ def q_json_field_agg(spark, sf_dir):
     return (ev.groupBy(k_bucket.alias("k_bucket"))
             .agg(F.count("*").alias("cnt"),
                  F.round(F.sum("value"), 4).alias("total")))
+
+
+# -- compound scoring / remaining query-AST operators -----------------------
+
+def q_boost(spark, sf_dir):
+    """Boost decorator inside a should-boolean (query/mod.rs:87-90)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.Boolean(should=[ast.Boost(ast.Term("text", "vector"), 2.0),
+                            ast.Term("text", "hash")])
+    return _score4(compile_query(idx, q))
+
+
+def q_const_score(spark, sf_dir):
+    """ConstScore decorator (pdb_query.rs:191-194)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.ConstScore(ast.Boolean(should=[ast.Term("text", "vector"),
+                                           ast.Term("text", "hash")]), 1.5)
+    return compile_query(idx, q)
+
+
+def q_dismax(spark, sf_dir):
+    """DisjunctionMax with tie_breaker (query/mod.rs:98-101)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.DisjunctionMax([ast.Term("text", "vector"),
+                            ast.Term("text", "hash")], tie_breaker=0.3)
+    return _score4(compile_query(idx, q))
+
+
+def q_score_filter(spark, sf_dir):
+    """ScoreFilter bounds (query/score.rs:24-39)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.ScoreFilter(ast.Term("text", "vector"), min_score=0.35)
+    return _score4(compile_query(idx, q))
+
+
+def q_termset(spark, sf_dir):
+    """TermSet: any-of-N terms, no scoring (pdb_query.rs:324-326)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.TermSet("text", ["stream", "shuffle", "spark"])
+    return compile_query(idx, q).select("doc_id")
+
+
+def q_phrase_prefix(spark, sf_dir):
+    """PhrasePrefix: 'data jo*' (pdb_query.rs:249-252)."""
+    idx = get_documents_index(spark, sf_dir)
+    return (compile_query(idx, ast.PhrasePrefix("text", ["data", "jo"]))
+            .select("doc_id"))
+
+
+def q_slop_phrase(spark, sf_dir):
+    """Phrase with slop=1: 'data join'~1 (pdb_query.rs Phrase slop)."""
+    idx = get_documents_index(spark, sf_dir)
+    return (compile_query(idx, ast.Phrase("text", ["data", "join"], slop=1))
+            .select("doc_id"))
+
+
+def q_proximity(spark, sf_dir):
+    """## proximity operator: data ##3 join, in order
+    (query/proximity/mod.rs)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.Proximity("text", "data", 3, "join", ordered=True)
+    return compile_query(idx, q).select("doc_id")
+
+
+def q_more_like_this(spark, sf_dir):
+    """MoreLikeThis by document key (query/more_like_this.rs): top-5
+    TF-IDF terms of doc 3 re-queried; match set (scores omitted — term
+    selection is the contract)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.MoreLikeThis("text", document_id=3, max_query_terms=5)
+    return compile_query(idx, q).select("doc_id")
+
+
+def q_parse_query(spark, sf_dir):
+    """Tantivy mini-language parse: AND/OR/NOT + grouping
+    (pdb_query.rs:229-240)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.Parse("data AND (join OR batch) AND NOT window", field="text")
+    return compile_query(idx, q).select("doc_id")
+
+
+def q_range_term(spark, sf_dir):
+    """RangeTerm: range column contains a point (pdb_query.rs:274-312)."""
+    idx = get_range_docs_index(spark, sf_dir)
+    return compile_query(idx, ast.RangeTerm("cr", 350)).select("doc_id")
+
+
+def q_range_contains(spark, sf_dir):
+    """RangeContains: cr @> [350, 400)."""
+    idx = get_range_docs_index(spark, sf_dir)
+    rv = ast.RangeValue(lower=350, upper=400)
+    return compile_query(idx, ast.RangeContains("cr", rv)).select("doc_id")
+
+
+def q_range_intersects(spark, sf_dir):
+    """RangeIntersects: cr && [400, 420)."""
+    idx = get_range_docs_index(spark, sf_dir)
+    rv = ast.RangeValue(lower=400, upper=420)
+    return compile_query(idx, ast.RangeIntersects("cr", rv)).select("doc_id")
+
+
+def q_range_within(spark, sf_dir):
+    """RangeWithin: cr <@ [300, 600)."""
+    idx = get_range_docs_index(spark, sf_dir)
+    rv = ast.RangeValue(lower=300, upper=600)
+    return compile_query(idx, ast.RangeWithin("cr", rv)).select("doc_id")
+
+
+def q_nested_agg(spark, sf_dir):
+    """Nested bucket aggs (terms → histogram) through the JSON agg DSL
+    (aggregatescan/build.rs:185-190), flattened to rows for the oracle."""
+    from sparksearch.aggs import run_aggs
+    docs = _t(spark, sf_dir, "documents")
+    res = run_aggs(docs, {
+        "langs": {"terms": {"field": "lang", "size": 3},
+                  "aggs": {"sizes": {"histogram": {"field": "n_chars",
+                                                   "interval": 300}}}}})
+    rows = []
+    for b in res["aggregations"]["langs"]["buckets"]:
+        for sb in b["sizes"]["buckets"]:
+            rows.append((b["key"], float(sb["key"]), sb["doc_count"]))
+    return spark.createDataFrame(rows, "lang string, bucket double, cnt long")
 
 
 QUERIES = {
@@ -518,7 +705,34 @@ QUERIES = {
     "rollup_agg": q_rollup_agg,
     "window_total_count": q_window_total_count,
     "json_field_agg": q_json_field_agg,
+    "boost": q_boost,
+    "const_score": q_const_score,
+    "dismax": q_dismax,
+    "score_filter": q_score_filter,
+    "termset": q_termset,
+    "phrase_prefix": q_phrase_prefix,
+    "slop_phrase": q_slop_phrase,
+    "proximity": q_proximity,
+    "more_like_this": q_more_like_this,
+    "parse_query": q_parse_query,
+    "range_term": q_range_term,
+    "range_contains": q_range_contains,
+    "range_intersects": q_range_intersects,
+    "range_within": q_range_within,
+    "nested_agg": q_nested_agg,
 }
+
+
+def _simhash60_bits_expr() -> str:
+    """DuckDB expression (over a column ``hs`` = list of 60-bit token
+    hashes) computing the SimHash bit-OR — exact twin of
+    dedup.simhash64(base_hash='md5_60')."""
+    bits = []
+    for i in range(60):
+        ones = f"len(list_filter(hs, h -> (h >> {i}) & 1 = 1))"
+        bits.append(f"(CASE WHEN {ones} * 2 > len(hs) THEN CAST(1 AS BIGINT)"
+                    f" << {i} ELSE 0 END)")
+    return " | ".join(bits)
 
 
 def oracle_sql() -> dict:
@@ -656,8 +870,10 @@ WITH toks AS (
   SELECT doc_id, ln(1 + (n - df + 0.5) / (df + 0.5)) * 2.2 * tf
          / (tf + 1.2 * (0.25 + 0.75 * ({_DD_QUANT}) / avgdl)) AS score
   FROM lens, stats WHERE tf > 0
+), bm100 AS (
+  SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id ASC LIMIT 100
 ), bmr AS (
-  SELECT doc_id, rank() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm
+  SELECT doc_id, rank() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm100
 ), q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
 ), cos_all AS (
@@ -713,4 +929,106 @@ FROM r"""),
             "c AS (SELECT user_id, sess, count(*) AS n_events FROM s GROUP BY 1,2) "
             "SELECT user_id, count(*) AS n_sessions, "
             "max(n_events) AS max_session_events FROM c GROUP BY user_id"),
+        "boost": (
+            _bm25_multi_cte(["vector", "hash"])
+            + " SELECT doc_id, round(2.0 * s0 + s1, 4) AS score FROM sc"
+              " WHERE s0 > 0 OR s1 > 0"),
+        "const_score": (
+            f"SELECT doc_id, CAST(1.5 AS DOUBLE) AS score FROM documents"
+            f" WHERE {has('vector')} OR {has('hash')}"),
+        "dismax": (
+            _bm25_multi_cte(["vector", "hash"])
+            + " SELECT doc_id, round(greatest(s0, s1)"
+              " + 0.3 * (s0 + s1 - greatest(s0, s1)), 4) AS score FROM sc"
+              " WHERE s0 > 0 OR s1 > 0"),
+        "score_filter": (
+            _bm25_multi_cte(["vector"])
+            + " SELECT doc_id, round(s0, 4) AS score FROM sc"
+              " WHERE s0 >= 0.35"),
+        "termset": (
+            f"SELECT doc_id FROM documents WHERE {has('stream')}"
+            f" OR {has('shuffle')} OR {has('spark')}"),
+        "phrase_prefix": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
+            "SELECT doc_id FROM t WHERE len(list_filter(range(1, len(ts)), "
+            "i -> ts[i] = 'data' AND ts[i+1] LIKE 'jo%')) > 0"),
+        "slop_phrase": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
+            "SELECT doc_id FROM t WHERE len(list_filter(range(1, len(ts)), "
+            "i -> ts[i] = 'data' AND (ts[i+1] = 'join' OR ts[i+2] = 'join')"
+            ")) > 0"),
+        "proximity": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
+            "SELECT doc_id FROM t WHERE len(list_filter(range(1, len(ts)+1), "
+            "p -> ts[p] = 'data' AND len(list_filter(range(1, len(ts)+1), "
+            "q -> ts[q] = 'join' AND q - p BETWEEN 1 AND 4)) > 0)) > 0"),
+        "more_like_this": (
+            f"""
+WITH toks AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents),
+src AS (SELECT ts FROM toks WHERE doc_id = 3),
+tf AS (SELECT g AS t, count(*) AS tf
+       FROM (SELECT unnest(ts) AS g FROM src) GROUP BY 1),
+stats AS (SELECT count(*) AS n FROM toks),
+dfs AS (SELECT tf.t, tf.tf, count(*) AS df
+        FROM tf JOIN toks ON list_contains(toks.ts, tf.t) GROUP BY 1, 2),
+top AS (SELECT t FROM dfs, stats
+        ORDER BY tf * ln(1 + (n - df + 0.5) / (df + 0.5)) DESC, t DESC
+        LIMIT 5),
+tl AS (SELECT list(t) AS tl FROM top)
+SELECT doc_id FROM toks, tl
+WHERE doc_id <> 3 AND list_has_any(ts, tl)"""),
+        "parse_query": (
+            f"SELECT doc_id FROM documents WHERE {has('data')}"
+            f" AND ({has('join')} OR {has('batch')})"
+            f" AND NOT {has('window')}"),
+        "range_term": (
+            "SELECT doc_id FROM documents"
+            " WHERE 350 >= n_chars AND 350 < n_chars + 100"),
+        "range_contains": (
+            # [n_chars, n_chars+100) contains [350, 400)
+            "SELECT doc_id FROM documents"
+            " WHERE n_chars <= 350 AND n_chars + 100 >= 400"),
+        "range_intersects": (
+            # [n_chars, n_chars+100) && [400, 420)
+            "SELECT doc_id FROM documents"
+            " WHERE NOT (n_chars + 100 <= 400 OR 420 <= n_chars)"),
+        "range_within": (
+            # [n_chars, n_chars+100) <@ [300, 600)
+            "SELECT doc_id FROM documents"
+            " WHERE n_chars >= 300 AND n_chars + 100 <= 600"),
+        "nested_agg": (
+            "WITH top AS (SELECT lang FROM documents GROUP BY lang"
+            " ORDER BY count(*) DESC, lang ASC LIMIT 3) "
+            "SELECT lang, CAST(floor(n_chars / 300) * 300 AS DOUBLE)"
+            " AS bucket, count(*) AS cnt FROM documents"
+            " WHERE lang IN (SELECT lang FROM top) GROUP BY 1, 2"),
+        "minhash_pairs": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))"
+            " AS s FROM t WHERE len(ts) >= 3), "
+            "e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb, "
+            "count(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "GROUP BY 1,2,3,4) "
+            "SELECT a, b, round(CAST(inter AS DOUBLE)/(na+nb-inter), 4) AS jaccard "
+            "FROM p WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8"),
+        "simhash_pairs": (
+            f"""
+WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents),
+h AS (SELECT doc_id, list_transform(ts, tk ->
+      CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT)) AS hs FROM t),
+s AS (SELECT doc_id, {_simhash60_bits_expr()} AS sh FROM h)
+SELECT a, b, hamming FROM (
+  SELECT la.doc_id AS a, lb.doc_id AS b,
+         CAST(bit_count(xor(la.sh, lb.sh)) AS INT) AS hamming
+  FROM s la JOIN s lb ON la.doc_id < lb.doc_id)
+WHERE hamming <= 8"""),
+        "fingerprint": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
+            "SELECT doc_id, list_min(list_transform("
+            "CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts)-1), "
+            "i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]) "
+            "ELSE [list_aggregate(ts, 'string_agg', chr(31))] END, "
+            "s -> md5(s))) AS fp FROM t"),
     }

@@ -13,18 +13,22 @@ from pyspark.sql import DataFrame, functions as F, Window as W
 
 
 def rrf_fuse(rankings: list, key: str = "doc_id", k: int = 60,
-             weights: list | None = None) -> DataFrame:
+             weights: list | None = None, depth: int = 1000) -> DataFrame:
     """Fuse ranked DataFrames (each with columns (key, score)) by RRF.
 
-    Each input is ranked by its own score descending (ties broken by key
-    for determinism); missing docs simply contribute nothing — standard
-    RRF outer-union semantics.
+    Each input is truncated to its top-``depth`` rows first (standard RRF
+    fuses top-N lists) via TakeOrderedAndProject — fully distributed —
+    so the rank window only ever sees ≤ depth rows instead of pulling the
+    whole match set through one partition.  Each list is ranked by its
+    own score descending (ties broken by key for determinism); missing
+    docs contribute nothing — standard RRF outer-union semantics.
     """
     weights = weights or [1.0] * len(rankings)
     parts = []
     for i, (df, w) in enumerate(zip(rankings, weights)):
+        top = df.orderBy(F.col("score").desc(), F.col(key).asc()).limit(depth)
         win = W.orderBy(F.col("score").desc(), F.col(key).asc())
-        parts.append(df.select(key, F.rank().over(win).alias("r"))
+        parts.append(top.select(key, F.rank().over(win).alias("r"))
                      .select(key, (F.lit(float(w)) / (F.lit(k) + F.col("r")))
                              .alias("rrf")))
     u = parts[0]

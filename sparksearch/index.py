@@ -148,9 +148,8 @@ class SearchIndex:
     def save(self, path: str) -> None:
         nb = adaptive_buckets(next(iter(self.meta.values()))["num_docs"]
                               if self.meta else 0)
-        (self.postings
-         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(nb)))
-         .repartition("field", "tb")
+        p = self.postings.withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(nb)))
+        (bucketed_repartition(p, nb)
          .write.mode("overwrite").partitionBy("field", "tb").parquet(f"{path}/postings"))
         self.corpus_stats.write.mode("overwrite").partitionBy("field") \
             .parquet(f"{path}/corpus_stats")
@@ -368,29 +367,57 @@ def build_index(docs: DataFrame, schema: IndexSchema,
     return SearchIndex(spark, schema, docs, postings, corpus_stats, meta)
 
 
+def bucketed_repartition(p: DataFrame, nb: int,
+                         parallelism: int | None = None) -> DataFrame:
+    """Repartition postings for the bucketed write.  A bare
+    repartition("field", "tb") caps the write stage at nb tasks — fewer
+    than the cores at any real parallelism — so buckets are split across
+    ~2×cores writer tasks with a doc-keyed salt.  Files per bucket dir =
+    salt fan-out (bounded, still big files at scale); readers are
+    unaffected (the ``tb`` dir is the pruning unit, not the file)."""
+    if parallelism is None:
+        parallelism = p.sparkSession.sparkContext.defaultParallelism
+    target = parallelism * 2
+    salt_k = max(1, -(-target // max(nb, 1)))
+    if salt_k > 1:
+        return (p.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_k)))
+                .repartition("field", "tb", "_salt").drop("_salt"))
+    return p.repartition("field", "tb")
+
+
 def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
                    save_docs: bool = False,
                    strategy: str = "local") -> SearchIndex:
-    """Scale path: ONE tokenize pass.  Postings are written straight to the
-    term-bucketed parquet layout; corpus stats and BM25 meta derive from the
-    written postings (cheap columnar re-scan, no re-tokenize)."""
+    """Scale path: ONE tokenize pass, TWO Spark jobs total.
+
+    Job 1 tokenizes and writes the term-bucketed postings; the per-field
+    token totals that BM25 meta needs ride along as an ``observe()``
+    metric on the same pass (no separate stats job, no re-tokenize).
+    Job 2 derives corpus_stats from the written postings (columnar scan
+    of term/tf only).  The upfront ``docs.count()`` is metadata-only on
+    parquet sources (footer row counts) — effectively free."""
+    from pyspark.sql import Observation
     spark = docs.sparkSession
     n_total = docs.count()
     nb = adaptive_buckets(n_total)
-    (postings_df(docs, schema, strategy)
-     .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(nb)))
-     .repartition("field", "tb")   # one writer task per bucket → no tiny files
+    fields = schema.field_names
+    obs = Observation()
+    p = (postings_df(docs, schema, strategy)
+         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(nb)))
+         .observe(obs, *[F.sum(F.when(F.col("field") == f_, F.col("tf")))
+                         .alias(f"t_{i}") for i, f_ in enumerate(fields)]))
+    (bucketed_repartition(p, nb)
      .write.mode("overwrite").partitionBy("field", "tb")
      .parquet(f"{path}/postings"))
+    totals = obs.get
     postings = spark.read.parquet(f"{path}/postings")
     (corpus_stats_df(postings)
      .write.mode("overwrite").partitionBy("field")
      .parquet(f"{path}/corpus_stats"))
     corpus_stats = spark.read.parquet(f"{path}/corpus_stats")
-    rows = corpus_stats.groupBy("field").agg(F.sum("total_tf").alias("t")).collect()
-    meta = {r["field"]: {"num_docs": n_total,
-                         "avg_len": (r["t"] or 0) / max(n_total, 1)}
-            for r in rows}
+    meta = {f_: {"num_docs": n_total,
+                 "avg_len": (totals[f"t_{i}"] or 0) / max(n_total, 1)}
+            for i, f_ in enumerate(fields)}
     if save_docs:
         docs.write.mode("overwrite").parquet(f"{path}/docs")
     with open(f"{path}/meta.json", "w") as fh:

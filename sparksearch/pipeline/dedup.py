@@ -117,10 +117,22 @@ def minhash_near_duplicates(docs: DataFrame, key: str, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text_col) -> Column:
+def simhash64(text_col, base_hash: str = "xxhash64") -> Column:
     """64-bit SimHash over the token stream (tf-weighted sign sum per bit),
-    as one column expression."""
-    hashes = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
+    as one column expression.
+
+    ``base_hash='xxhash64'`` is the fast path; ``'md5_60'`` derives 60
+    bits from md5 (first 15 hex chars) so external systems — and the
+    DuckDB differential oracle — can reproduce the exact hash."""
+    if base_hash == "md5_60":
+        n_bits = 60
+        hashes = F.transform(
+            _tokens(text_col),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+            .cast("long"))
+    else:
+        n_bits = 64
+        hashes = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
     n = F.size(hashes)
 
     def _bit(i: int) -> Column:
@@ -129,23 +141,25 @@ def simhash64(text_col) -> Column:
         return F.when(ones * 2 > n, F.lit(1)).otherwise(F.lit(0))
 
     out = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         out = out.bitwiseOR(F.shiftleft(_bit(i).cast("long"), i))
     return out
 
 
 def simhash_near_duplicates(docs: DataFrame, key: str, text_col: str = "text",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            base_hash: str = "xxhash64") -> DataFrame:
     """Pairs with SimHash hamming distance ≤ max_hamming.
 
-    Blocking: split the 64-bit hash into (max_hamming+1) chunks — by
+    Blocking: split the hash into (max_hamming+1) chunks — by
     pigeonhole, any pair within the distance shares at least one identical
     chunk, so the join on (chunk_idx, chunk_value) finds all such pairs
-    without an all-pairs comparison."""
+    without an all-pairs comparison (complete for ≤ max_hamming by
+    construction)."""
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
+    width = (60 if base_hash == "md5_60" else 64) // n_chunks
     sh = docs.select(F.col(key).alias("id"),
-                     simhash64(F.col(text_col)).alias("sh"))
+                     simhash64(F.col(text_col), base_hash).alias("sh"))
     chunks = F.array(*[
         F.shiftrightunsigned(F.col("sh"), i * width)
         .bitwiseAND(F.lit((1 << width) - 1)) for i in range(n_chunks)])

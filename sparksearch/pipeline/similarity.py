@@ -74,10 +74,10 @@ def cosine_topk(emb: DataFrame, key: str, vec_col: str, query_vec,
 def lsh_cosine_topk(emb: DataFrame, key: str, vec_col: str, query_vec,
                     k: int = 10, n_planes: int = 16, bands: int = 4,
                     seed: int = 29) -> DataFrame:
-    """Approximate cosine top-k: scan only vectors sharing ≥1 signature
-    band with the query (partition-prunable at scale), exact-rank the
-    candidates.  Recall rises with bands/planes; verify against
-    :func:`cosine_topk` on a sample."""
+    """Approximate cosine top-k with signatures computed on the fly —
+    ad-hoc/one-shot path (full scan).  For repeated queries at scale use
+    :class:`AnnIndex`, which persists the banded signatures in a
+    partition-pruned layout."""
     dim = len(query_vec)
     planes = _hyperplanes(n_planes, dim, seed)
     v = F.col(vec_col).cast("array<double>")
@@ -93,3 +93,78 @@ def lsh_cosine_topk(emb: DataFrame, key: str, vec_col: str, query_vec,
             == F.lit(qb))
     cands = emb.filter(band_match)
     return cosine_topk(cands, key, vec_col, query_vec, k)
+
+
+class AnnIndex:
+    """Persisted LSH-ANN layout (reference analog: pgvector IVF — an
+    inverted list per coarse bucket; here random-hyperplane sign-bit
+    bands, which map onto parquet partition pruning).
+
+    Build-time: each vector's n_planes sign bits are split into ``bands``
+    band values; the exploded (band, bv → id) table is written
+    partitioned by (band, bv), the id→vector table alongside.  Query-time:
+    only the ≤ bands partitions matching the query signature are read
+    (partition filters in the plan — no full scan), candidates are
+    exact-ranked after a semi-join back to the vector table.
+    """
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.planes = meta["planes"]
+        self.bands = meta["bands"]
+        self.width = meta["n_planes"] // meta["bands"]
+
+    def topk(self, query_vec, k: int = 10) -> DataFrame:
+        qsig = _sig_py([float(x) for x in query_vec], self.planes)
+        mask = (1 << self.width) - 1
+        buckets = self.spark.read.parquet(f"{self.path}/buckets")
+        cond = F.lit(False)
+        for i in range(self.bands):
+            qb = (qsig >> (i * self.width)) & mask
+            cond = cond | ((F.col("band") == i) & (F.col("bv") == qb))
+        cand_ids = buckets.filter(cond).select("id").distinct()
+        vecs = self.spark.read.parquet(f"{self.path}/vectors")
+        cands = vecs.join(cand_ids, "id", "left_semi")
+        return cosine_topk(cands, "id", "vec", query_vec, k)
+
+
+def build_ann_index(emb: DataFrame, key: str, vec_col: str, path: str,
+                    n_planes: int = 16, bands: int = 4,
+                    seed: int = 29) -> AnnIndex:
+    """One pass over the embeddings: compute signatures, explode into
+    band buckets, write partitioned by (band, bv) so queries prune to
+    their matching buckets."""
+    import json
+    import os
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(n_planes, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    sig = _sig_expr(v, planes)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    chunks = F.array(*[
+        F.shiftrightunsigned(sig, i * width).bitwiseAND(F.lit(mask))
+        for i in range(bands)])
+    base = emb.select(F.col(key).alias("id"), v.alias("vec"),
+                      F.posexplode(chunks).alias("band", "bv"))
+    (base.select("id", "band", "bv")
+     .repartition("band", "bv")
+     .write.mode("overwrite").partitionBy("band", "bv")
+     .parquet(f"{path}/buckets"))
+    (emb.select(F.col(key).alias("id"), v.alias("vec"))
+     .write.mode("overwrite").parquet(f"{path}/vectors"))
+    meta = {"n_planes": n_planes, "bands": bands, "seed": seed,
+            "dim": dim, "planes": planes}
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/ann_meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return AnnIndex(spark, path, meta)
+
+
+def load_ann_index(spark, path: str) -> AnnIndex:
+    import json
+    with open(f"{path}/ann_meta.json") as fh:
+        return AnnIndex(spark, path, json.load(fh))

@@ -80,9 +80,26 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         bpe_ish.cast("long").alias("bpe_ish_tokens"))
 
 
-def fingerprint64(text_col, k_gram: int = 4) -> Column:
-    """64-bit content fingerprint: xxhash64 over the normalized token
-    stream joined with k-gram context markers (rolling-hash-style;
-    whitespace/punct/case-insensitive)."""
+def _kgram_shingles(text_col, k: int) -> Column:
     toks = _tokens(text_col)
-    return F.xxhash64(F.concat_ws("", toks))
+    return F.when(F.size(toks) >= k, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, k)))
+    ).otherwise(F.array(F.concat_ws("\x1f", toks)))
+
+
+def fingerprint64(text_col, k_gram: int = 4) -> Column:
+    """64-bit content fingerprint: xxhash64 over the k-gram rolling-hash
+    sequence of the normalized token stream (whitespace/punct/case-
+    insensitive; the \\x1f separator keeps "ab c" != "a bc")."""
+    grams = F.transform(_kgram_shingles(text_col, k_gram),
+                        lambda s: F.xxhash64(s).cast("string"))
+    return F.xxhash64(F.concat_ws(",", grams))
+
+
+def kgram_min_fingerprint(text_col, k: int = 3) -> Column:
+    """MinHash-1 sketch: lexicographic min of md5 over k-token shingles.
+    Stable under edits away from the minimal shingle; computed with md5
+    so external systems (and the DuckDB oracle) reproduce it exactly."""
+    return F.array_min(F.transform(_kgram_shingles(text_col, k),
+                                   lambda s: F.md5(s)))

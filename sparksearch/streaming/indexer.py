@@ -94,9 +94,11 @@ class StreamingIndexer:
             n_docs = batch_df.count()
             if n_docs == 0:
                 return
-            (postings_df(batch_df, self.schema, self.strategy)
-             .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)))
-             .repartition("field", "tb")
+            from sparksearch.index import bucketed_repartition
+            p = (postings_df(batch_df, self.schema, self.strategy)
+                 .withColumn("tb", F.pmod(F.xxhash64("term"),
+                                          F.lit(self.n_buckets))))
+            (bucketed_repartition(p, self.n_buckets)
              .write.mode("overwrite").partitionBy("field", "tb")
              .parquet(f"{seg}/postings"))
             postings = spark.read.parquet(f"{seg}/postings")
@@ -275,7 +277,8 @@ def _merge_into_segment(spark: SparkSession, index_path: str, segs: list,
     deletes = _deletes_df(spark, index_path) if apply_deletes else None
     if deletes is not None:
         postings = postings.join(deletes, "doc_id", "left_anti")
-    (postings.repartition("field", "tb")
+    from sparksearch.index import bucketed_repartition
+    (bucketed_repartition(postings, 16)
      .write.mode("overwrite").partitionBy("field", "tb")
      .parquet(f"{merged}/postings"))
     seg_buckets = set()

@@ -117,3 +117,58 @@ def test_nested_buckets(mock_index):
 def test_bad_agg_raises(mock_index):
     with pytest.raises(AggError):
         run_aggs(mock_index.docs, {"x": {"nope": {"field": "rating"}}})
+
+
+def test_nested_buckets_deep_and_top_hits(mock_index):
+    """3-level nesting + per-bucket top_hits; values cross-checked against
+    a brute-force pandas twin."""
+    res = run_aggs(mock_index.docs, {
+        "stock": {"terms": {"field": "in_stock"},
+                  "aggs": {"cats": {"terms": {"field": "category", "size": 3}},
+                           "r": {"histogram": {"field": "rating", "interval": 2}},
+                           "best": {"top_hits": {"size": 1, "_source": ["id"],
+                                                 "sort": [{"rating": {"order": "desc"}},
+                                                          {"id": {"order": "asc"}}]}}}}})
+    import pandas as pd
+    from sparksearch.fixtures import mock_items_pdf
+    pdf = mock_items_pdf()
+    for b in res["aggregations"]["stock"]["buckets"]:
+        sub = pdf[pdf.in_stock == b["key"]]
+        assert b["doc_count"] == len(sub)
+        want_cats = sub.groupby("category").size().sort_values(
+            ascending=False).head(50)
+        got = {c["key"]: c["doc_count"] for c in b["cats"]["buckets"]}
+        assert len(got) == 3
+        for k, v in got.items():
+            assert want_cats[k] == v
+        # histogram twin
+        want_h = sub.groupby((sub.rating // 2) * 2).size()
+        got_h = {c["key"]: c["doc_count"] for c in b["r"]["buckets"]}
+        assert got_h == {float(k): int(v) for k, v in want_h.items()}
+        # per-bucket top hit = max rating, min id tiebreak
+        top = sub.sort_values(["rating", "id"], ascending=[False, True]).iloc[0]
+        assert b["best"]["hits"] == [{"id": int(top["id"])}]
+
+
+def test_nested_aggs_job_count(mock_index, spark):
+    """Scale regression: nested aggs must run O(levels) Spark jobs, not
+    O(buckets) (aggs compile to one multi-key groupBy per level)."""
+    tracker = spark.sparkContext.statusTracker()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        # 5 parent buckets × (sub-terms + top_hits): the old per-bucket plan
+        # launched ~2 jobs per parent bucket (~15 total); the level plan is
+        # one job per collect (parents, children, top_hits) + one broadcast
+        run_aggs(mock_index.docs, {
+            "r": {"histogram": {"field": "rating", "interval": 1},
+                  "aggs": {"cats": {"terms": {"field": "category", "size": 2}},
+                           "h": {"top_hits": {"size": 1, "_source": ["id"],
+                                              "sort": [{"id": {"order": "asc"}}]}}}}})
+        import time as _t
+        _t.sleep(0.5)
+        after = len(tracker.getJobIdsForGroup(None) or [])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    n_jobs = after - before
+    assert n_jobs <= 6, f"nested agg launched {n_jobs} jobs (per-bucket re-scan?)"
