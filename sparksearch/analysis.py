@@ -174,6 +174,16 @@ def py_analyze(text: str, cfg) -> list[tuple[str, int]]:
             toks = [(p, _fold(t)) for p, t in toks]
         elif name == "stemmer_light":
             toks = [(p, _light_stem(t)) for p, t in toks]
+        elif name == "stemmer":
+            from sparksearch.stem import STEMMERS, stem as _stem
+            lang = (arg or "english").lower()
+            if lang not in STEMMERS:
+                raise ValueError(f"stemmer language {arg!r} not supported")
+            toks = [(p, _stem(t, lang)) for p, t in toks]
+        elif name == "stopwords_language":
+            from sparksearch.stem import stopwords_for
+            sw = stopwords_for(arg or "english")
+            toks = [(p, t) for p, t in toks if t not in sw]
         else:
             raise ValueError(f"unknown token filter {name!r}")
     return [(t, p) for p, t in toks]
@@ -297,18 +307,40 @@ def _apply_filters(stream: Column, cfg) -> Column:
                 lambda s: F.length(s["t"]) > 0)
         elif name == "alpha_num_only":
             stream = F.filter(stream, lambda s: s["t"].rlike(r"^[\p{L}\p{N}]+$"))
-        elif name in ("ascii_folding", "stemmer_light"):
-            fn = _fold if name == "ascii_folding" else _light_stem
+        elif name == "stopwords_language":
+            from sparksearch.stem import stopwords_for
+            words = sorted(stopwords_for(arg or "english"))
+            stream = F.filter(stream, lambda s: ~s["t"].isin(words))
+        elif name in ("ascii_folding", "stemmer_light", "stemmer"):
+            if name == "ascii_folding":
+                fn = _fold
+            elif name == "stemmer_light":
+                fn = _light_stem
+            else:
+                from sparksearch.stem import STEMMERS
+                lang = (arg or "english").lower()
+                if lang not in STEMMERS:
+                    raise ValueError(
+                        f"stemmer language {arg!r} not supported")
+                fn = STEMMERS[lang]
 
-            @F.pandas_udf(TOKEN_ARRAY_TYPE)
-            def _map(sv: pd.Series) -> pd.Series:
-                return sv.map(lambda arr: [
-                    {"t": fn(e["t"]), "p": e["p"]} for e in (arr or [])])
-
-            stream = _map(stream)
+            stream = _token_map_udf(fn)(stream)
         else:
             raise ValueError(f"unknown token filter {name!r}")
     return stream
+
+
+def _token_map_udf(fn):
+    """Factory (early-binds ``fn`` — a loop-shared closure would late-bind
+    to the last filter in the chain)."""
+
+    @F.pandas_udf(TOKEN_ARRAY_TYPE)
+    def _map(sv: pd.Series) -> pd.Series:
+        return sv.map(lambda arr: [
+            {"t": fn(e["t"]), "p": e["p"]}
+            for e in ([] if arr is None else arr)])
+
+    return _map
 
 
 def tokenizers() -> list[str]:

@@ -650,6 +650,22 @@ def q_range_within(spark, sf_dir):
     return compile_query(idx, ast.RangeWithin("cr", rv)).select("doc_id")
 
 
+def q_tokenized_phrase(spark, sf_dir):
+    """TokenizedPhrase with slop=2 — exercises the Lucene matchLength
+    semantics incl. reordered terms (slop.out golden; pdb_query.rs:258)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.TokenizedPhrase("text", "data join", slop=2)
+    return compile_query(idx, q).select("doc_id")
+
+
+def q_regex_phrase(spark, sf_dir):
+    """RegexPhrase: 'dat.*' immediately followed by 'jo.*'
+    (pdb_query.rs:316)."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.RegexPhrase("text", ["dat.*", "jo.*"], slop=0)
+    return compile_query(idx, q).select("doc_id")
+
+
 def q_nested_agg(spark, sf_dir):
     """Nested bucket aggs (terms → histogram) through the JSON agg DSL
     (aggregatescan/build.rs:185-190), flattened to rows for the oracle."""
@@ -720,6 +736,8 @@ QUERIES = {
     "range_intersects": q_range_intersects,
     "range_within": q_range_within,
     "nested_agg": q_nested_agg,
+    "tokenized_phrase": q_tokenized_phrase,
+    "regex_phrase": q_regex_phrase,
 }
 
 
@@ -761,9 +779,11 @@ def oracle_sql() -> dict:
             "SELECT doc_id FROM t WHERE len(list_filter(ts, "
             "x -> regexp_matches(x, '^(?:jo.*)$'))) > 0"),
         "fuzzy": (
+            # Damerau (transposition cost 1), matching the engine's
+            # transposition_cost_one default; identical to OSA at d=1
             f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
             "SELECT doc_id FROM t WHERE len(list_filter(ts, "
-            "x -> levenshtein(x, 'joinn') <= 1)) > 0"),
+            "x -> damerau_levenshtein(x, 'joinn') <= 1)) > 0"),
         "heap_filter_count": (
             f"SELECT count(*) AS cnt FROM documents WHERE {has('vector')} "
             "AND n_chars > 500"),
@@ -1024,6 +1044,19 @@ SELECT a, b, hamming FROM (
          CAST(bit_count(xor(la.sh, lb.sh)) AS INT) AS hamming
   FROM s la JOIN s lb ON la.doc_id < lb.doc_id)
 WHERE hamming <= 8"""),
+        "tokenized_phrase": (
+            # alignment width = |p_data - (p_join - 1)| <= 2 with distinct
+            # raw positions → p_join - p_data in {-1,1,2,3}
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
+            "SELECT doc_id FROM t WHERE len(list_filter(range(1, len(ts)+1), "
+            "p -> ts[p] = 'data' AND len(list_filter(range(1, len(ts)+1), "
+            "q -> ts[q] = 'join' AND q - p BETWEEN -1 AND 3 AND q <> p)) > 0"
+            ")) > 0"),
+        "regex_phrase": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
+            "SELECT doc_id FROM t WHERE len(list_filter(range(1, len(ts)), "
+            "i -> regexp_matches(ts[i], '^(?:dat.*)$') "
+            "AND regexp_matches(ts[i+1], '^(?:jo.*)$'))) > 0"),
         "fingerprint": (
             f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
             "SELECT doc_id, list_min(list_transform("

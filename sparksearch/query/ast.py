@@ -83,6 +83,26 @@ class Phrase(Query):
 
 
 @dataclass
+class TokenizedPhrase(Query):
+    """Phrase whose needle is tokenized with the field's analyzer at
+    query time (pdb_query.rs:258-261; the ``### 'running shoes'`` and
+    ``::pdb.slop(n)`` surface compiles to this node — slop.out)."""
+    field: str
+    phrase: str
+    slop: int = 0
+
+
+@dataclass
+class RegexPhrase(Query):
+    """Phrase whose slots are regexes, each expanded against the term
+    dictionary (pdb_query.rs:316-320 RegexPhrase)."""
+    field: str
+    regexes: list
+    slop: int = 0
+    max_expansions: int = 50
+
+
+@dataclass
 class PhrasePrefix(Query):
     """Phrase whose last token is a prefix (pdb_query.rs:249-252)."""
     field: str
@@ -97,8 +117,10 @@ class Fuzzy(Query):
     value: str
     distance: int = 2
     prefix: bool = False
-    transposition_cost_one: bool = True  # divergence: engine uses classic
-    # Levenshtein (Spark built-in); Damerau transpositions count as 2.
+    # Damerau/OSA semantics (adjacent transposition costs 1), matching
+    # the reference default (pdb_query.rs:208-213 transposition_cost_one);
+    # False = classic Levenshtein.
+    transposition_cost_one: bool = True
 
 
 @dataclass

@@ -33,6 +33,57 @@ from sparksearch.analysis import py_tokenize
 MAX_EXPANSIONS = 50
 
 
+def _osa_distance(a: str, b: str, cap: int) -> int:
+    """Optimal-string-alignment distance (Damerau with adjacent
+    transposition cost 1, no substring re-edit) — the semantics of
+    Tantivy's transposition_cost_one fuzzy automaton
+    (pdb_query.rs:208-213).  Returns cap+1 early when the distance
+    certainly exceeds ``cap``."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev2: list | None = None
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        if min(cur) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[len(b)]
+
+
+def _sloppy_count(arrs, slop: int) -> int:
+    """Count sloppy-phrase matches in one document.
+
+    ``arrs[i]`` = sorted raw token positions of phrase slot i.  Using the
+    offset-adjusted positions pp = p - i, an alignment matches when
+    max(pp) - min(pp) <= slop with distinct raw positions (Lucene
+    SloppyPhraseMatcher matchLength).  The scan advances the minimum
+    slot's pointer each step and counts every window that matches —
+    deterministic and O(total positions)."""
+    tp = [[p - i for p in arr] for i, arr in enumerate(arrs)]
+    n = len(tp)
+    idx = [0] * n
+    count = 0
+    while True:
+        vals = [tp[i][idx[i]] for i in range(n)]
+        mn = min(vals)
+        mx = max(vals)
+        if mx - mn <= slop:
+            raw = {tp[i][idx[i]] + i for i in range(n)}
+            if len(raw) == n:
+                count += 1
+        mn_slot = vals.index(mn)
+        idx[mn_slot] += 1
+        if idx[mn_slot] >= len(tp[mn_slot]):
+            return count
+
+
 def compile_query(index, node: ast.Query) -> DataFrame:
     """Compile to DataFrame(doc_id, score). ``index`` is a SearchIndex."""
     return _Compiler(index).compile(node)
@@ -215,16 +266,28 @@ class _Compiler:
 
     def _c_fuzzy(self, node: ast.Fuzzy) -> DataFrame:
         v = self._norm(node.field, node.value)
+        d = node.distance
         # length prefilter keeps the dictionary scan cheap before the
-        # quadratic levenshtein kicks in
-        pred = (F.abs(F.length("term") - len(v)) <= node.distance)
+        # quadratic edit distance kicks in
+        pred = (F.abs(F.length("term") - len(v)) <= d)
+        # JVM prefilter uses Spark's built-in classic Levenshtein; with
+        # transposition_cost_one an OSA match can cost up to 2·d under
+        # classic Levenshtein, so prefilter at 2·d and exact-check with
+        # python OSA on the (capped) candidate list.
+        jvm_d = 2 * d if node.transposition_cost_one else d
         if node.prefix:
-            pred = pred | F.col("term").startswith(v[: max(1, len(v) - node.distance)])
+            pred = pred | F.col("term").startswith(v[: max(1, len(v) - d)])
             pred = pred & (F.levenshtein(F.substring("term", 1, len(v)), F.lit(v))
-                           <= node.distance)
+                           <= jvm_d)
         else:
-            pred = pred & (F.levenshtein(F.col("term"), F.lit(v)) <= node.distance)
-        matched = self.index.expand_terms(self._real_field(node.field), pred, MAX_EXPANSIONS)
+            pred = pred & (F.levenshtein(F.col("term"), F.lit(v)) <= jvm_d)
+        cap = MAX_EXPANSIONS * (4 if node.transposition_cost_one else 1)
+        matched = self.index.expand_terms(self._real_field(node.field), pred, cap)
+        if node.transposition_cost_one:
+            def ok(t: str) -> bool:
+                s = t[: len(v)] if node.prefix else t
+                return _osa_distance(s, v, d) <= d
+            matched = [(t, df_) for t, df_ in matched if ok(t)][:MAX_EXPANSIONS]
         if not matched:
             return self._empty()
         # union-of-term-queries semantics: doc score = Σ matched-term BM25
@@ -272,35 +335,19 @@ class _Compiler:
                 chain = F.array_intersect(chain, _shifted(f"_pos_{j}", j))
             return g.withColumn("ptf", F.size(chain)).filter(F.col("ptf") > 0)
 
-        # sloppy: ordered match with total gap ≤ slop, greedy non-overlap
-        # count. (Divergence note: Lucene's slop counts "moves" and allows
-        # reorder at slop ≥ 2; we require order — documented simplification.)
+        # sloppy: Lucene/Tantivy matchLength semantics — an alignment
+        # (one position per slot, distinct raw positions) matches when
+        # max(p_i - i) - min(p_i - i) <= slop.  Reordered terms therefore
+        # match at slop >= 2 (adjacent swap costs 2 moves), verified
+        # against the reference slop regress golden
+        # (tests/pg_regress/expected/slop.out: ARRAY['shoes','running']
+        # matches "running shoes" at slop 2, not at 0/1).
+        # Count = deterministic min-advance scan (see _sloppy_count).
         pos_arrays = F.array(*[F.col(f"_pos_{j}") for j in range(n_slots)])
 
         @F.pandas_udf("int")
         def _sloppy(col: pd.Series) -> pd.Series:
-            def count(arrs):
-                arrs = [list(a) for a in arrs]
-                n = len(arrs)
-                matches, min_start = 0, -1
-                import bisect
-                for p0 in arrs[0]:
-                    if p0 <= min_start:
-                        continue
-                    prev, total_gap, ok = p0, 0, True
-                    for j in range(1, n):
-                        i = bisect.bisect_right(arrs[j], prev)
-                        if i >= len(arrs[j]):
-                            ok = False
-                            break
-                        pj = arrs[j][i]
-                        total_gap += pj - prev - 1
-                        prev = pj
-                    if ok and total_gap <= slop:
-                        matches += 1
-                        min_start = prev
-                return matches
-            return col.map(count)
+            return col.map(lambda arrs: _sloppy_count(arrs, slop))
 
         return g.withColumn("ptf", _sloppy(pos_arrays)).filter(F.col("ptf") > 0)
 
@@ -323,6 +370,36 @@ class _Compiler:
         score = bm25_expr(F.col("ptf"), F.col("len_q"), idf_sum,
                           self.index.avg_len(field), k1=cfg.k1, b=cfg.b)
         return g.select("doc_id", score.alias("score"))
+
+    def _c_tokenizedphrase(self, node: ast.TokenizedPhrase) -> DataFrame:
+        """Tokenize the needle with the field's analyzer (incl. filter
+        chain), then run it as a Phrase (pdb_query.rs:258-261)."""
+        from sparksearch.analysis import py_analyze
+        cfg = self.index.schema.value_analyzer(node.field)
+        terms = [t for t, _ in py_analyze(node.phrase, cfg)]
+        if not terms:
+            return self._empty()
+        return self._c_phrase(ast.Phrase(node.field, terms, slop=node.slop))
+
+    def _c_regexphrase(self, node: ast.RegexPhrase) -> DataFrame:
+        """Each regex slot expands against the term dictionary (whole-term
+        anchored, like Regex); expanded terms become the slot's accepted
+        alternatives in the positional phrase scan.  Constant score 1.0
+        (the reference routes this through Tantivy's RegexPhraseQuery,
+        pdb_query.rs:316; like Regex we treat dictionary-expanding terms
+        as constant-scoring)."""
+        field = self._position_field(node.field, "regex-phrase")
+        slot_terms = []
+        for pat in node.regexes:
+            matched = self.index.expand_terms(
+                field, F.col("term").rlike(f"^(?:{pat})$"),
+                node.max_expansions, order="term")
+            if not matched:
+                return self._empty()
+            slot_terms.append([t for t, _ in matched])
+        g = self._phrase_scan(field, slot_terms)
+        g = self._phrase_tf(g, len(slot_terms), node.slop)
+        return g.select("doc_id", F.lit(1.0).alias("score"))
 
     def _c_phraseprefix(self, node: ast.PhrasePrefix) -> DataFrame:
         field = self._real_field(node.field)

@@ -230,42 +230,47 @@ def evaluate(pidx: PyIndex, node) -> dict:
 def _lev_ok(t, v, d, prefix):
     if prefix:
         t = t[: len(v)]
-    return _lev(t, v) <= d
+    return _osa(t, v) <= d
 
 
-def _lev(a, b):
+def _osa(a, b):
+    """Optimal-string-alignment distance (transposition cost 1) — full
+    matrix, independent of the engine's banded implementation."""
     m, n = len(a), len(b)
-    dp = list(range(n + 1))
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        dp[i][0] = i
+    for j in range(n + 1):
+        dp[0][j] = j
     for i in range(1, m + 1):
-        prev, dp[0] = dp[0], i
         for j in range(1, n + 1):
-            cur = dp[j]
-            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
-            prev = cur
-    return dp[n]
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            dp[i][j] = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                           dp[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                dp[i][j] = min(dp[i][j], dp[i - 2][j - 2] + 1)
+    return dp[m][n]
 
 
 def _phrase_count(tokens, terms, slop):
-    import bisect
+    """Independent twin of the engine's sloppy count: offset-adjusted
+    window width <= slop, distinct raw positions, min-advance scan."""
     pos = {t: [i for i, x in enumerate(tokens) if x == t] for t in set(terms)}
     if any(not pos[t] for t in terms):
         return 0
     if slop == 0:
         sets = [set(p - j for p in pos[t]) for j, t in enumerate(terms)]
         return len(set.intersection(*sets))
-    matches, min_start = 0, -1
-    for p0 in pos[terms[0]]:
-        if p0 <= min_start:
-            continue
-        prev, gap, ok = p0, 0, True
-        for t in terms[1:]:
-            i = bisect.bisect_right(pos[t], prev)
-            if i >= len(pos[t]):
-                ok = False
-                break
-            gap += pos[t][i] - prev - 1
-            prev = pos[t][i]
-        if ok and gap <= slop:
-            matches += 1
-            min_start = prev
-    return matches
+    adj = [[p - j for p in pos[t]] for j, t in enumerate(terms)]
+    ptr = [0] * len(adj)
+    matches = 0
+    while True:
+        cur = [adj[i][ptr[i]] for i in range(len(adj))]
+        if max(cur) - min(cur) <= slop:
+            if len({c + i for i, c in enumerate(cur)}) == len(cur):
+                matches += 1
+        i_min = cur.index(min(cur))
+        ptr[i_min] += 1
+        if ptr[i_min] >= len(adj[i_min]):
+            return matches

@@ -87,3 +87,73 @@ def test_stopwords_positions_golden():
                       filters=[("stopwords", {"stopword"})])
     assert py_analyze("something, stopword, else", cfg) == \
         [("something", 0), ("else", 2)]
+
+
+def test_porter2_stemmer_goldens():
+    """Reference golden (tokenizer-typmod.out): 'Running Shoes.  olé' with
+    lowercase=false + stemmer=english + ascii_folding=true → {Run,Shoe,ole};
+    with the default chain (lowercase first) → {run,shoe,ole}."""
+    cfg = FieldConfig(name="t", tokenizer="simple", lowercase=False,
+                      filters=[("stemmer", "english"),
+                               ("ascii_folding", None)])
+    assert [t for t, _ in py_analyze("Running Shoes.  olé", cfg)] == \
+        ["Run", "Shoe", "ole"]
+    cfg2 = FieldConfig(name="t", tokenizer="simple",
+                       filters=[("stemmer", "english"),
+                                ("ascii_folding", None)])
+    assert [t for t, _ in py_analyze("Running Shoes.  olé", cfg2)] == \
+        ["run", "shoe", "ole"]
+
+
+def test_stopwords_language_goldens():
+    """Reference golden (multi_language_stopwords.out): English and
+    English+French built-in stopword lists."""
+    cfg = FieldConfig(name="t", tokenizer="simple",
+                      filters=[("stopwords_language", "English")])
+    assert [t for t, _ in py_analyze("the quick fox and", cfg)] == \
+        ["quick", "fox"]
+    cfg2 = FieldConfig(name="t", tokenizer="simple",
+                       filters=[("stopwords_language", "English,French")])
+    assert [t for t, _ in py_analyze("the quick fox and le renard et", cfg2)] \
+        == ["quick", "fox", "renard"]
+    cfg3 = FieldConfig(name="t", tokenizer="simple",
+                       filters=[("stopwords_language", "French,English")])
+    assert [t for t, _ in py_analyze("The cat in the hat le renard et", cfg3)] \
+        == ["cat", "hat", "renard"]
+
+
+def test_stemmer_stopwords_spark_parity(spark):
+    cfg = FieldConfig(name="t", tokenizer="default",
+                      filters=[("stemmer", "english"),
+                               ("stopwords_language", "english")])
+    texts = ["the running dogs were consistently conspiring",
+             "Generalizations about ponies and knives", None, ""]
+    got = _spark_tokens(spark, cfg, texts)
+    for text, g in zip(texts, got):
+        assert g == py_analyze(text, cfg), text
+
+
+def test_stemmed_field_search_end_to_end(spark):
+    """An index declaring stemmer(English) matches morphological variants
+    (the most common non-default tokenizer config)."""
+    from sparksearch.index import build_index
+    from sparksearch.query.compiler import compile_query
+    from sparksearch.query import ast
+    from sparksearch.schema import IndexSchema
+    rows = [(1, "the dogs were running fast"),
+            (2, "a dog runs"), (3, "cats sleep")]
+    docs = spark.createDataFrame(rows, "id int, body string")
+    schema = IndexSchema(key_field="id", text_fields=[
+        FieldConfig(name="body", tokenizer="default",
+                    filters=[("stemmer", "english"),
+                             ("stopwords_language", "english")])])
+    idx = build_index(docs, schema)
+    # query values are analyzed with the same chain: "running" → "run"
+    from sparksearch.analysis import py_analyze as _pa
+    q_term = _pa("running", schema.field("body"))[0][0]
+    got = {r["doc_id"] for r in
+           compile_query(idx, ast.Term("body", q_term)).collect()}
+    assert got == {1, 2}  # "running" and "runs" both stem to "run"
+    dog = {r["doc_id"] for r in
+           compile_query(idx, ast.Term("body", _pa("dogs", schema.field("body"))[0][0])).collect()}
+    assert dog == {1, 2}

@@ -127,3 +127,51 @@ def test_bm25_k1_zero_golden(bm25_params_docs):
     # TEST 2: k1=0 → pure IDF, all matches tie
     assert _scores(bm25_params_docs, 0.0, 0.75) == \
         {1: 0.3567, 2: 0.3567, 4: 0.3567}
+
+
+def test_slop_reorder_golden(mock_index):
+    """Reference slop.out: on mock_items, phrase ARRAY['shoes','running']
+    matches 'Sleek running shoes' (id 3) at slop=2 but not at slop 0/1;
+    'running shoes'::pdb.slop(2) (TokenizedPhrase) matches id 3."""
+    for slop, want in ((2, {3}), (1, set()), (0, set())):
+        got = {r["doc_id"] for r in compile_query(
+            mock_index, ast.Phrase("description", ["shoes", "running"],
+                                   slop=slop)).collect()}
+        assert got == want, f"slop={slop}"
+    tp = {r["doc_id"] for r in compile_query(
+        mock_index, ast.TokenizedPhrase("description", "running shoes",
+                                        slop=2)).collect()}
+    assert tp == {3}
+    # ordered phrase still matches at every slop
+    assert {r["doc_id"] for r in compile_query(
+        mock_index, ast.Phrase("description", ["running", "shoes"],
+                               slop=0)).collect()} == {3}
+
+
+def test_regex_phrase(mock_index):
+    """RegexPhrase: 'runn.*' followed by 'sho.*' → id 3 only."""
+    got = {r["doc_id"] for r in compile_query(
+        mock_index, ast.RegexPhrase("description", ["runn.*", "sho.*"]))
+        .collect()}
+    assert got == {3}
+    # slot with no dictionary match → empty
+    assert compile_query(
+        mock_index, ast.RegexPhrase("description", ["zzz.*", "sho.*"])
+    ).count() == 0
+
+
+def test_fuzzy_damerau_transposition(spark):
+    """Reference transposition_cost_one (pdb_query.rs:208-213):
+    'teh'~1 matches 'the'; with classic Levenshtein it doesn't."""
+    from sparksearch.index import build_index
+    docs = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "a ten step plan")], "id int, body string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="body")]))
+    damerau = {r["doc_id"] for r in compile_query(
+        idx, ast.Fuzzy("body", "teh", distance=1)).collect()}
+    assert damerau == {1, 2}  # the (transposition), ten (substitution)
+    classic = {r["doc_id"] for r in compile_query(
+        idx, ast.Fuzzy("body", "teh", distance=1,
+                       transposition_cost_one=False)).collect()}
+    assert classic == {2}  # 'the' costs 2 under classic Levenshtein
