@@ -57,6 +57,8 @@ def index_segments(index_path: str) -> list:
     out = []
     if not os.path.isdir(base):
         return out
+    from sparksearch.streaming.indexer import _committed_segments
+    live = set(_committed_segments(index_path))
     for d in sorted(os.listdir(base)):
         p = os.path.join(base, d)
         stats = os.path.join(p, "stats.json")
@@ -65,6 +67,7 @@ def index_segments(index_path: str) -> list:
                 st = json.load(fh)
             st["committed"] = os.path.exists(
                 os.path.join(p, "_SEGMENT_COMMITTED"))
+            st["live"] = p in live
             st["path"] = p
             out.append(st)
     return out
@@ -78,4 +81,98 @@ def storage_info(index_path: str) -> dict:
         for root, _, files in os.walk(seg["path"]):
             total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         out[seg["path"]] = total
+    return out
+
+
+def verify_index(index) -> dict:
+    """Index-integrity checks (paradedb.verify_index analog,
+    api/admin.rs): postings ↔ corpus_stats ↔ meta consistency, all as
+    distributed aggregations.  Returns {check: {"ok": bool, ...}}."""
+    from pyspark.sql import functions as F
+    out = {}
+    p, cs = index.postings, index.corpus_stats
+    # 1. df(term) in corpus_stats == distinct docs in postings
+    pdf = (p.groupBy("field", "term")
+           .agg(F.countDistinct("doc_id").alias("df_p"),
+                F.sum("tf").alias("tf_p")))
+    joined = pdf.join(cs, ["field", "term"], "full")
+    bad = joined.filter(
+        F.col("df_p").isNull() | F.col("df").isNull()
+        | (F.col("df_p") != F.col("df"))
+        | (F.col("tf_p") != F.col("total_tf"))).count()
+    out["corpus_stats_consistent"] = {"ok": bad == 0, "bad_terms": bad}
+    # 2. meta totals match postings
+    totals = {r["field"]: r["t"] for r in
+              p.groupBy("field").agg(F.sum("tf").alias("t")).collect()}
+    meta_ok = all(
+        abs(m["avg_len"] * m["num_docs"] - (totals.get(f, 0) or 0))
+        <= max(1e-6, 1e-9 * (totals.get(f, 0) or 0))
+        for f, m in index.meta.items())
+    # (legitimately not-ok between a logical delete and its vacuum:
+    # per-segment stats stay approximate until compaction, by design)
+    out["meta_consistent"] = {"ok": meta_ok}
+    # 3. structural invariants: no null/empty terms, tf >= 1, positions
+    #    (when present) sorted with length == tf
+    pos_ok = F.col("positions").isNull() | (
+        (F.size("positions") == F.col("tf"))
+        & (F.col("positions") == F.array_sort("positions")))
+    bad_rows = p.filter(
+        F.col("term").isNull() | (F.length("term") == 0)
+        | (F.col("tf") < 1) | ~pos_ok).count()
+    out["postings_wellformed"] = {"ok": bad_rows == 0, "bad_rows": bad_rows}
+    # 4. bucket layout: tb == hash(term) % n_buckets for every row
+    if index.bucketed:
+        mis = p.filter(
+            F.col("tb") != F.pmod(F.xxhash64("term"),
+                                  F.lit(index.n_buckets))).count()
+        out["bucket_layout"] = {"ok": mis == 0, "misplaced": mis}
+    out["ok"] = all(v["ok"] for v in out.values() if isinstance(v, dict))
+    return out
+
+
+def validate_checksum(spark: SparkSession, index_path: str) -> dict:
+    """Recompute each committed segment's content hash and compare with
+    the one stored at write time (paradedb.validate_checksum analog)."""
+    from sparksearch.streaming.indexer import (_committed_segments,
+                                               segment_content_hash)
+    out = {}
+    for seg in _committed_segments(index_path):
+        with open(f"{seg}/stats.json") as fh:
+            st = json.load(fh)
+        stored = st.get("content_hash")
+        actual = segment_content_hash(spark.read.parquet(f"{seg}/postings"))
+        out[seg] = {"ok": stored is None or stored == actual,
+                    "stored": stored, "actual": actual}
+    out["ok"] = all(v["ok"] for v in out.values() if isinstance(v, dict))
+    return out
+
+
+def merge_info(index_path: str, layer_sizes: list | None = None) -> dict:
+    """Live/retired segment sets + what the layered policy would merge
+    next (paradedb.merge_info analog)."""
+    from sparksearch.streaming.indexer import (_committed_segments,
+                                               _read_manifest,
+                                               merge_candidates)
+    man = _read_manifest(index_path) or {}
+    return {
+        "live": [os.path.basename(s) for s in _committed_segments(index_path)],
+        "retired": man.get("retired", []),
+        "generation": man.get("gen", 0),
+        "candidates": merge_candidates(index_path, layer_sizes),
+    }
+
+
+def layer_sizes(index_path: str, sizes: list | None = None) -> list:
+    """Per-layer segment assignment (paradedb.layer_sizes analog): which
+    layer each live segment currently belongs to by byte size."""
+    from sparksearch.streaming.indexer import (_committed_segments,
+                                               _segment_bytes,
+                                               DEFAULT_LAYER_SIZES)
+    sizes = sorted(sizes or DEFAULT_LAYER_SIZES)
+    out = []
+    for s in _committed_segments(index_path):
+        b = _segment_bytes(s)
+        layer = next((ls for ls in sizes if b <= ls), None)
+        out.append({"segment": os.path.basename(s), "bytes": b,
+                    "layer": layer})
     return out

@@ -47,23 +47,7 @@ def _token_spans(text: str, tokenizer: str, opts: dict, lowercase: bool):
     return spans
 
 
-def _best_fragment(text, spans, terms, start_tag, end_tag, max_chars):
-    hits = [s for s in spans if s[2] in terms]
-    if not hits:
-        return None
-    # choose the window with the most hits (greedy, reference picks the
-    # highest-scored fragment)
-    best, best_n = hits[0], 0
-    for h in hits:
-        n = sum(1 for x in hits if h[0] <= x[0] < h[0] + max_chars)
-        if n > best_n:
-            best, best_n = h, n
-    w0 = best[0]
-    # extend left to a whitespace boundary
-    left = max(0, w0 - 20)
-    while left > 0 and not text[left - 1].isspace():
-        left -= 1
-    right = min(len(text), left + max_chars)
+def _render_fragment(text, spans, terms, start_tag, end_tag, left, right):
     frag_hits = [(s, e) for s, e, t in spans
                  if t in terms and s >= left and e <= right]
     out, cur = [], left
@@ -73,6 +57,45 @@ def _best_fragment(text, spans, terms, start_tag, end_tag, max_chars):
         cur = e
     out.append(text[cur:right])
     return "".join(out)
+
+
+def _fragment_windows(text, hits, max_chars):
+    """Greedy non-overlapping hit windows: each fragment starts at the
+    first uncovered hit (extended left to a whitespace boundary) and spans
+    max_chars. Returns [(n_hits, start, left, right)]."""
+    wins = []
+    i = 0
+    while i < len(hits):
+        w0 = hits[i][0]
+        left = max(0, w0 - 20)
+        while left > 0 and not text[left - 1].isspace():
+            left -= 1
+        right = min(len(text), left + max_chars)
+        n = sum(1 for h in hits if left <= h[0] and h[1] <= right)
+        wins.append((n, w0, left, right))
+        while i < len(hits) and hits[i][1] <= right:
+            i += 1
+    return wins
+
+
+def _all_fragments(text, spans, terms, start_tag, end_tag, max_chars):
+    """[(score, position, fragment)] for every hit window.  Fragment score
+    = number of matched term occurrences (the reference scores fragments
+    by summed term scores via Tantivy's SnippetGenerator,
+    projections/snippet.rs:358; hit count is the analog over one field)."""
+    hits = [s for s in spans if s[2] in terms]
+    if not hits:
+        return []
+    return [(n, left, _render_fragment(text, spans, terms, start_tag,
+                                       end_tag, left, right))
+            for n, _w0, left, right in _fragment_windows(text, hits, max_chars)]
+
+
+def _best_fragment(text, spans, terms, start_tag, end_tag, max_chars):
+    frags = _all_fragments(text, spans, terms, start_tag, end_tag, max_chars)
+    if not frags:
+        return None
+    return max(frags, key=lambda f: (f[0], -f[1]))[2]
 
 
 def snippet_udf(terms: list, tokenizer: str = "default", opts: dict | None = None,
@@ -95,6 +118,41 @@ def snippet_udf(terms: list, tokenizer: str = "default", opts: dict | None = Non
         return s.map(one)
 
     return _snip
+
+
+def snippets_udf(terms: list, tokenizer: str = "default",
+                 opts: dict | None = None, lowercase: bool = True,
+                 start_tag: str = DEFAULT_START, end_tag: str = DEFAULT_END,
+                 max_chars: int = DEFAULT_MAX_CHARS,
+                 limit: int | None = None, offset: int = 0,
+                 sort_by: str = "score"):
+    """pandas UDF: text → array<string> of highlighted fragments
+    (``pdb.snippets``, projections/snippet.rs:358): every hit window,
+    sorted by fragment score desc (``sort_by='score'``) or document
+    position (``sort_by='position'``), with limit/offset applied."""
+    tset = set(terms)
+    o = dict(opts or {})
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _snips(s: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                return None
+            spans = _token_spans(text, tokenizer, o, lowercase)
+            frags = _all_fragments(text, spans, tset, start_tag, end_tag,
+                                   max_chars)
+            if not frags:
+                return None
+            if sort_by == "position":
+                frags.sort(key=lambda f: f[1])
+            else:
+                frags.sort(key=lambda f: (-f[0], f[1]))
+            out = [f[2] for f in frags]
+            end = offset + limit if limit is not None else None
+            return out[offset:end] or None
+        return s.map(one)
+
+    return _snips
 
 
 def snippet_positions_udf(terms: list, tokenizer: str = "default",
@@ -158,4 +216,20 @@ def with_snippet(index, hits_df, query, field: str,
     terms = _query_terms(index, _as_query(index, query), field)
     udf = snippet_udf(terms, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase,
                       start_tag, end_tag, max_chars)
+    return hits_df.withColumn(out_col, udf(F.col(field)))
+
+
+def with_snippets(index, hits_df, query, field: str,
+                  start_tag: str = DEFAULT_START, end_tag: str = DEFAULT_END,
+                  max_chars: int = DEFAULT_MAX_CHARS,
+                  limit: int | None = None, offset: int = 0,
+                  sort_by: str = "score", out_col: str = "snippets"):
+    """Add a multi-fragment snippets column (``pdb.snippets``) to a top-k
+    result — post-limit projection, like the single-fragment variant."""
+    cfg = index.schema.field(field)
+    from sparksearch.query.search import _as_query
+    terms = _query_terms(index, _as_query(index, query), field)
+    udf = snippets_udf(terms, cfg.tokenizer, cfg.tokenizer_opts,
+                       cfg.lowercase, start_tag, end_tag, max_chars,
+                       limit, offset, sort_by)
     return hits_df.withColumn(out_col, udf(F.col(field)))

@@ -42,6 +42,17 @@ def _atomic_success(path: str) -> None:
         fh.write(str(time.time()))
 
 
+def segment_content_hash(postings: DataFrame) -> int:
+    """Order-independent 64-bit content hash of a postings set (XOR of
+    per-row hashes — rows are unique per (field, term, doc_id), so XOR
+    is collision-safe against reordering and duplication).  Stored in
+    stats.json; ``validate_checksum`` recomputes and compares (the
+    reference's paradedb.validate_checksum analog over block CRCs)."""
+    row = (postings.agg(F.bit_xor(
+        F.xxhash64("field", "term", "doc_id", "tf")).alias("h")).collect())
+    return int(row[0]["h"] or 0)
+
+
 class StreamingIndexer:
     """Continuous BM25 indexer over a transcript stream.
 
@@ -107,6 +118,7 @@ class StreamingIndexer:
             with open(f"{seg}/stats.json", "w") as fh:
                 json.dump({"n_docs": n_docs, "epoch": epoch_id,
                            "n_buckets": self.n_buckets,
+                           "content_hash": segment_content_hash(postings),
                            "fields": {r["field"]: {"total_len": r["total_len"]}
                                       for r in stats}}, fh)
             _atomic_success(seg)
@@ -302,6 +314,8 @@ def _merge_into_segment(spark: SparkSession, index_path: str, segs: list,
                 totals[f_] = totals.get(f_, 0) + v["total_len"]
     with open(f"{merged}/stats.json", "w") as fh:
         json.dump({"n_docs": n_docs, "epoch": out_name, "n_buckets": nb,
+                   "content_hash": segment_content_hash(
+                       spark.read.parquet(f"{merged}/postings")),
                    "fields": {f_: {"total_len": t} for f_, t in totals.items()}},
                   fh)
     os.rename(merged, final)
@@ -367,13 +381,31 @@ def compact_layered(spark: SparkSession, index_path: str, schema: IndexSchema,
 
     Returns the list of newly written segment paths.
     """
+    candidates = merge_candidates(index_path, layer_sizes, min_merge_count)
+    out = []
+    gen = _next_gen(index_path)
+    for i, cand in enumerate(candidates):
+        out.append(_merge_into_segment(
+            spark, index_path, cand["segments"], f"epoch=c{gen}_{i}",
+            apply_deletes=False))
+    return out
+
+
+DEFAULT_LAYER_SIZES = [100 * 1024, 1024 * 1024, 10 * 1024 * 1024]
+
+
+def merge_candidates(index_path: str, layer_sizes: list | None = None,
+                     min_merge_count: int = 2) -> list:
+    """Simulate the layered policy without merging (the reference's
+    LayeredMergePolicy::simulate / paradedb.merge_info analog).  Returns
+    [{"layer": bytes, "segments": [...], "bytes": total}]."""
     if layer_sizes is None:
-        layer_sizes = [100 * 1024, 1024 * 1024, 10 * 1024 * 1024]
+        layer_sizes = DEFAULT_LAYER_SIZES
     segs = _committed_segments(index_path)
     if len(segs) < min_merge_count:
         return []
     sizes = {s: _segment_bytes(s) for s in segs}
-    candidates: list[list] = []
+    candidates: list = []
     used: set = set()
     for layer in sorted(layer_sizes, reverse=True):
         extended = layer + layer // 3
@@ -387,15 +419,9 @@ def compact_layered(spark: SparkSession, index_path: str, schema: IndexSchema,
             group.append(s)
             group_bytes += sizes[s]
             if group_bytes >= extended:
-                candidates.append(group)
+                candidates.append({"layer": layer, "segments": group,
+                                   "bytes": group_bytes})
                 used.update(group)
                 group, group_bytes = [], 0
         # partial group: not enough bytes to graduate this layer — skip
-    out = []
-    gen = _next_gen(index_path)
-    for i, group in enumerate(c for c in candidates
-                              if len(c) >= min_merge_count):
-        out.append(_merge_into_segment(
-            spark, index_path, group, f"epoch=c{gen}_{i}",
-            apply_deletes=False))
-    return out
+    return [c for c in candidates if len(c["segments"]) >= min_merge_count]

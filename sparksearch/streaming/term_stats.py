@@ -31,32 +31,78 @@ OUTPUT_SCHEMA = StructType([
 STATE_SCHEMA = StructType([
     StructField("df", LongType()),
     StructField("tf", LongType()),
+    StructField("bloom", StringType()),  # hex bloom of seen doc_ids (opt.)
 ])
 
+# bloom sizing: with doc-salted keys each bucket sees df/n_salt docs;
+# 8192 bits / 3 hashes keeps FP < 1% up to ~800 docs per bucket — beyond
+# that df gradually UNDER-counts (never over), the safe direction for idf
+_BLOOM_BITS = 8192
+_BLOOM_K = 3
 
-def _update(key, pdfs, state):
-    df0, tf0 = state.get if state.exists else (0, 0)
-    seen = set()
-    tf = 0
-    for pdf in pdfs:
-        seen.update(pdf["doc_id"].values)
-        tf += int(pdf["tf"].sum())
-    df0, tf0 = df0 + len(seen), tf0 + tf
-    state.update((df0, tf0))
-    salted = key[0]
-    term, _, salt = salted.rpartition("#")
-    yield pd.DataFrame([{"salted": salted, "term": term, "salt": int(salt),
-                         "df": df0, "tf": tf0}])
+
+def _bloom_positions(doc_id: str):
+    import hashlib
+    h = hashlib.blake2b(str(doc_id).encode(), digest_size=16).digest()
+    v = int.from_bytes(h, "big")
+    for i in range(_BLOOM_K):
+        yield (v >> (i * 20)) % _BLOOM_BITS
+
+
+def _make_update(dedup_docs: str):
+    def _update(key, pdfs, state):
+        df0, tf0, bloom_hex = state.get if state.exists else (0, 0, "")
+        tf = 0
+        if dedup_docs == "bloom":
+            # cross-batch doc dedup: a doc whose tokens span micro-batches
+            # (replays, re-chunked upstreams) is counted once
+            bloom = int(bloom_hex or "0", 16)
+            new = 0
+            for pdf in pdfs:
+                tf += int(pdf["tf"].sum())
+                for d in set(pdf["doc_id"].values):
+                    pos = list(_bloom_positions(d))
+                    if not all((bloom >> p) & 1 for p in pos):
+                        new += 1
+                        for p in pos:
+                            bloom |= 1 << p
+            df0, tf0 = df0 + new, tf0 + tf
+            state.update((df0, tf0, f"{bloom:x}"))
+        else:
+            # "batch" mode PRECONDITION: every document's tokens arrive
+            # within one micro-batch (true for the engine's own pipeline,
+            # which dedups turns within the watermark before exploding) —
+            # per-batch distinct doc counts are then exact
+            seen = set()
+            for pdf in pdfs:
+                seen.update(pdf["doc_id"].values)
+                tf += int(pdf["tf"].sum())
+            df0, tf0 = df0 + len(seen), tf0 + tf
+            state.update((df0, tf0, ""))
+        salted = key[0]
+        term, _, salt = salted.rpartition("#")
+        yield pd.DataFrame([{"salted": salted, "term": term,
+                             "salt": int(salt), "df": df0, "tf": tf0}])
+    return _update
 
 
 def salted_term_stats(turns_with_watermark: DataFrame, field_cfg,
-                      n_salt: int = 8) -> DataFrame:
+                      n_salt: int = 8,
+                      dedup_docs: str = "batch") -> DataFrame:
     """turns stream → per-(term, salt) running (df, tf), updated per trigger.
 
     Input must carry ``conv_id``, ``turn_idx`` and the text column named by
     ``field_cfg.name``.  Output rows are per salted key; merge salt buckets
     with ``groupBy(term).sum(df, tf)`` downstream (see
     :func:`merge_salted_stats`).
+
+    ``dedup_docs``: ``"batch"`` (default) counts per-batch distinct docs —
+    exact under the PRECONDITION that each doc's tokens arrive in one
+    micro-batch (the engine's own pipeline guarantees it via
+    dropDuplicatesWithinWatermark before exploding); ``"bloom"`` keeps a
+    per-key bloom of seen doc_ids in state, so docs spanning micro-batches
+    are never double-counted (slight UNDER-count possible at extreme
+    per-bucket cardinality — the safe direction for idf).
     """
     from sparksearch.analysis import flat_token_array_expr, analyzer_expr
     name = field_cfg.name
@@ -73,8 +119,9 @@ def salted_term_stats(turns_with_watermark: DataFrame, field_cfg,
                                               F.col("salt").cast("string")))
             .withColumn("tf", F.lit(1).cast("long")))
     return (toks.groupBy("salted")
-            .applyInPandasWithState(_update, OUTPUT_SCHEMA, STATE_SCHEMA,
-                                    "update", GroupStateTimeout.NoTimeout))
+            .applyInPandasWithState(_make_update(dedup_docs), OUTPUT_SCHEMA,
+                                    STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))
 
 
 def merge_salted_stats(stats: DataFrame) -> DataFrame:

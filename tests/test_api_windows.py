@@ -107,3 +107,53 @@ def test_streaming_tf_windows(spark, tmp_path):
                 spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA),
                 FieldConfig(name="text"), window="10 minutes").collect()}
     assert got == want
+
+
+def test_admin_verification_family(spark, tmp_path, mock_index):
+    """verify_index / validate_checksum / merge_info / layer_sizes
+    (reference api/admin.rs family)."""
+    from sparksearch.api import (verify_index, validate_checksum,
+                                 merge_info, layer_sizes)
+    from sparksearch.streaming import StreamingIndexer
+    from sparksearch.streaming.indexer import compact_segments
+    from sparksearch.schema import IndexSchema
+
+    # verify_index over a healthy batch index
+    rep = verify_index(mock_index)
+    assert rep["ok"], rep
+
+    # streamed segments → checksum + merge info
+    pdf = transcripts_pdf(6, seed=11)
+    docs = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA).withColumn(
+        "doc_id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
+    schema = IndexSchema(key_field="doc_id", text_fields=[FieldConfig(name="text")])
+    idx_path = str(tmp_path / "idx")
+    ix = StreamingIndexer(schema, idx_path, str(tmp_path / "ck"))
+    ix.sink_batch(docs, 0)
+    ix.sink_batch(docs.limit(20), 1)
+    cs = validate_checksum(spark, idx_path)
+    assert cs["ok"], cs
+
+    mi = merge_info(idx_path, layer_sizes=[64 * 1024 * 1024])
+    assert set(mi) == {"live", "retired", "generation", "candidates"}
+    assert len(mi["live"]) == 2
+    ls = layer_sizes(idx_path)
+    assert len(ls) == 2 and all(x["bytes"] > 0 for x in ls)
+
+    # corrupt a segment's stored hash → checksum must fail
+    import json as _json
+    seg0 = f"{idx_path}/segments/epoch=0"
+    with open(f"{seg0}/stats.json") as fh:
+        st = _json.load(fh)
+    st["content_hash"] = st["content_hash"] ^ 1
+    with open(f"{seg0}/stats.json", "w") as fh:
+        _json.dump(st, fh)
+    assert not validate_checksum(spark, idx_path)["ok"]
+    # restore and compact → retired set appears in merge_info
+    st["content_hash"] = st["content_hash"] ^ 1
+    with open(f"{seg0}/stats.json", "w") as fh:
+        _json.dump(st, fh)
+    compact_segments(spark, idx_path, schema)
+    mi2 = merge_info(idx_path)
+    assert len(mi2["live"]) == 1 and len(mi2["retired"]) == 2
+    assert validate_checksum(spark, idx_path)["ok"]

@@ -51,3 +51,41 @@ def test_rrf_fuse(spark):
     vals = dict(got)
     assert vals[3] == pytest.approx(round(1 / 63 + 1 / 61, 6))
     assert vals[2] == pytest.approx(round(2 / 62, 6))
+
+
+def test_multi_fragment_snippets(mock_index, spark):
+    """pdb.snippets: several fragments, score order vs position order,
+    limit/offset (reference projections/snippet.rs:358)."""
+    from sparksearch.highlight import with_snippets
+    from sparksearch.index import build_index
+    from sparksearch.schema import IndexSchema, FieldConfig
+    long_text = ("alpha keyboard one two three four five six seven eight "
+                 "nine ten eleven twelve thirteen fourteen fifteen sixteen "
+                 "seventeen eighteen nineteen twenty keyboard keyboard "
+                 "twenty-one twenty-two twenty-three twenty-four twenty-five "
+                 "twenty-six twenty-seven twenty-eight twenty-nine thirty "
+                 "thirty-one thirty-two thirty-three keyboard end")
+    docs = spark.createDataFrame([(1, long_text), (2, "no match here")],
+                                 "id int, body string")
+    idx = build_index(docs, IndexSchema(key_field="id", text_fields=[
+        FieldConfig(name="body")]))
+    hits = docs
+    q = ast.Term("body", "keyboard")
+    out = {r["id"]: r["snippets"] for r in
+           with_snippets(idx, hits, q, "body", max_chars=60).collect()}
+    assert out[2] is None
+    frags = out[1]
+    assert len(frags) >= 2
+    assert all("<b>keyboard</b>" in f for f in frags)
+    # score order: the double-keyboard fragment first
+    assert frags[0].count("<b>keyboard</b>") >= 2
+    # position order returns the document-leading fragment first
+    pos = {r["id"]: r["snippets"] for r in
+           with_snippets(idx, hits, q, "body", max_chars=60,
+                         sort_by="position").collect()}
+    assert pos[1][0].startswith("alpha")
+    # limit/offset
+    lim = {r["id"]: r["snippets"] for r in
+           with_snippets(idx, hits, q, "body", max_chars=60,
+                         limit=1).collect()}
+    assert len(lim[1]) == 1 and lim[1][0] == frags[0]

@@ -410,3 +410,45 @@ def test_manifest_hides_retired_segments(spark, tdir):
     # readers still see exactly the compacted data
     assert _postings_set(open_segmented_index(
         spark, idx_path, _turn_schema()).postings) == before
+
+
+def test_salted_term_stats_bloom_dedup(spark, tdir):
+    """A doc whose tokens span micro-batches must not double-count df in
+    bloom mode (batch mode documents this as a precondition instead)."""
+    import datetime as _dt
+    src = f"{tdir}/bloom_src"
+    os.makedirs(src, exist_ok=True)
+    # same (conv_id, turn_idx) doc contributes 'alpha' in two batch files
+    rows = [("c1", 0, "user", "alpha beta", None,
+             _dt.datetime(2026, 1, 1, 0, 0, 0)),
+            ("c1", 0, "user", "alpha gamma", None,
+             _dt.datetime(2026, 1, 1, 0, 0, 30))]
+    for i, row in enumerate(rows):
+        spark.createDataFrame([row], schema=TRANSCRIPTS_SCHEMA) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    n = 0
+    for p in sorted(glob.glob(f"{src}/f*/*.parquet")):
+        dst = f"{src}/part{n:03d}.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (1_700_000_000 + n, 1_700_000_000 + n))
+        shutil.rmtree(os.path.dirname(p))
+        n += 1
+    stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "10 minutes"))
+    out = (salted_term_stats(stream, FieldConfig(name="text"), n_salt=2,
+                             dedup_docs="bloom")
+           .writeStream.outputMode("update").format("memory")
+           .queryName("bloomstats")
+           .option("checkpointLocation", f"{tdir}/bloom_ckpt").start())
+    out.processAllAvailable()
+    out.stop()
+    latest = spark.sql("""
+        SELECT term, sum(df) AS df, sum(tf) AS tf FROM (
+          SELECT salted, term, df, tf,
+                 row_number() OVER (PARTITION BY salted ORDER BY tf DESC) rn
+          FROM bloomstats) WHERE rn = 1 GROUP BY term""")
+    got = {r["term"]: (r["df"], r["tf"]) for r in latest.collect()}
+    # df('alpha') == 1 (same doc seen twice across batches); tf == 2
+    assert got["alpha"] == (1, 2), got
+    assert got["beta"] == (1, 1) and got["gamma"] == (1, 1)
