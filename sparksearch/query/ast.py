@@ -240,13 +240,28 @@ class MoreLikeThis(Query):
 
 
 @dataclass
+class ProxRegex:
+    """Regex proximity operand, expanded against the term dictionary
+    (query/proximity/mod.rs ProximityClause::Regex)."""
+    pattern: str
+    max_expansions: int = 50
+
+
+@dataclass
 class Proximity(Query):
     """left within N tokens of right (pdb_query.rs:253-257,
-    query/proximity/mod.rs). ``ordered``: left must precede right."""
+    query/proximity/mod.rs). ``ordered``: left must precede right.
+
+    Operands are proximity CLAUSES (ProximityClause in the reference):
+    a term string, a :class:`ProxRegex`, a list of alternatives
+    (ProximityClause::Clauses — any member matches), or a nested
+    :class:`Proximity` (its matched-pair positions on the side facing
+    the outer operand participate in the outer distance check,
+    weight.rs:120-140)."""
     field: str
-    left: str
+    left: object
     distance: int
-    right: str
+    right: object
     ordered: bool = False
 
 

@@ -428,22 +428,86 @@ class _Compiler:
                           self.index.avg_len(field), k1=cfg.k1, b=cfg.b)
         return g.select("doc_id", score.alias("score"))
 
+    # -- proximity clause trees (query/proximity/mod.rs) -----------------
+    @staticmethod
+    def _prox_cond(d: int, ordered: bool):
+        """Reference match rule (scorer.rs:126-127): diff <= distance + 1,
+        diff = r - l in order (negative → no match) or |r - l| any order."""
+        lim = d + 1
+        if ordered:
+            return lambda x, y: (y - x >= 0) & (y - x <= lim)
+        return lambda x, y: F.abs(y - x) <= lim
+
+    def _prox_terms(self, fieldref: str, field: str, clause) -> list:
+        """Flatten a non-nested proximity clause to its dictionary terms."""
+        if isinstance(clause, str):
+            return [self._norm(fieldref, clause)]
+        if isinstance(clause, ast.ProxRegex):
+            return [t for t, _ in self.index.expand_terms(
+                field, F.col("term").rlike(f"^(?:{clause.pattern})$"),
+                clause.max_expansions, order="term")]
+        if isinstance(clause, (list, tuple)):
+            out = []
+            for c in clause:
+                if isinstance(c, ast.Proximity):
+                    raise NotImplementedError(
+                        "nested Proximity inside a Clauses list")
+                out += self._prox_terms(fieldref, field, c)
+            return sorted(set(out))
+        raise TypeError(f"bad proximity clause {clause!r}")
+
+    def _prox_pos(self, fieldref: str, field: str, clause,
+                  which: str, nested: bool) -> DataFrame:
+        """DataFrame (doc_id, pos array<int>) of the positions this clause
+        contributes.  A nested Proximity operand contributes only
+        positions participating in a nested match: BOTH pair sides when it
+        is a direct operand of the top query, and — purposely reversed,
+        weight.rs:124-140 — the right-side positions for the left subtree
+        (``which='left'``) / left-side for the right subtree at deeper
+        nesting."""
+        if isinstance(clause, ast.Proximity):
+            pl = self._prox_pos(fieldref, field, clause.left, which, True)
+            pr = self._prox_pos(fieldref, field, clause.right, which, True)
+            cond = self._prox_cond(clause.distance, clause.ordered)
+            j = (pl.select("doc_id", F.col("pos").alias("_lp"))
+                 .join(pr.select(F.col("doc_id").alias("_d2"),
+                                 F.col("pos").alias("_rp")),
+                       F.col("doc_id") == F.col("_d2"), "inner"))
+            lk = F.filter("_lp", lambda lp: F.exists(
+                "_rp", lambda r: cond(lp, r)))
+            rk = F.filter("_rp", lambda r: F.exists(
+                "_lp", lambda lp: cond(lp, r)))
+            if not nested:
+                pos = F.array_sort(F.array_union(lk, rk))
+            elif which == "left":
+                pos = rk
+            else:
+                pos = lk
+            return (j.select("doc_id", pos.alias("pos"))
+                    .filter(F.size("pos") > 0))
+        terms = self._prox_terms(fieldref, field, clause)
+        if not terms:
+            return (self._empty()
+                    .withColumn("pos", F.array().cast("array<int>"))
+                    .select("doc_id", "pos"))
+        scan = self.index.postings_for_terms(field, terms)
+        return (scan.groupBy("doc_id")
+                .agg(F.array_sort(F.flatten(
+                    F.collect_list("positions"))).alias("pos"))
+                .filter(F.size("pos") > 0))
+
     def _c_proximity(self, node: ast.Proximity) -> DataFrame:
         field = self._position_field(node.field, "proximity")
-        lt, rt = self._norm(node.field, node.left), self._norm(node.field, node.right)
-        dfs = self.index.term_dfs(field, [lt, rt])
-        if lt not in dfs or rt not in dfs:
-            return self._empty()
-        g = self._phrase_scan(field, [[lt], [rt]])
-        d = node.distance + 1
-        if node.ordered:
-            cond = lambda x, y: (y - x >= 1) & (y - x <= d)  # noqa: E731
-        else:
-            cond = lambda x, y: (F.abs(y - x) >= 1) & (F.abs(y - x) <= d)  # noqa: E731
-        hit = F.exists(F.col("_pos_0"),
-                       lambda x: F.exists(F.col("_pos_1"), lambda y: cond(x, y)))
-        return (g.filter(hit)
-                .select("doc_id", F.lit(1.0).alias("score")))
+        pl = self._prox_pos(node.field, field, node.left, "left", False)
+        pr = self._prox_pos(node.field, field, node.right, "right", False)
+        cond = self._prox_cond(node.distance, node.ordered)
+        j = (pl.select("doc_id", F.col("pos").alias("_lp"))
+             .join(pr.select(F.col("doc_id").alias("_d2"),
+                             F.col("pos").alias("_rp")),
+                   F.col("doc_id") == F.col("_d2"), "inner"))
+        hit = F.exists("_lp", lambda lp: F.exists("_rp",
+                                                  lambda r: cond(lp, r)))
+        return j.filter(hit).select("doc_id", F.lit(1.0).alias("score"))
 
     def _c_morelikethis(self, node: ast.MoreLikeThis) -> DataFrame:
         field = node.field

@@ -170,6 +170,8 @@ def evaluate(pidx: PyIndex, node) -> dict:
                                / (tf + 1.2 * (0.25 + 0.75 * lq / pidx.avg[node.field])))
         return out
     if isinstance(node, ast.Proximity):
+        # reference match rule (proximity/scorer.rs:126-127):
+        # diff <= distance + 1; in order → r - l must be non-negative
         lt, rt = pidx.norm(node.field, node.left), pidx.norm(node.field, node.right)
         out = {}
         for r in rows:
@@ -177,8 +179,8 @@ def evaluate(pidx: PyIndex, node) -> dict:
             lp = [i for i, x in enumerate(ts) if x == lt]
             rp = [i for i, x in enumerate(ts) if x == rt]
             hit = any(
-                (0 < q - p <= node.distance + 1) if node.ordered
-                else (0 < abs(q - p) <= node.distance + 1)
+                (0 <= q - p <= node.distance + 1) if node.ordered
+                else (abs(q - p) <= node.distance + 1)
                 for p in lp for q in rp)
             if hit:
                 out[r[key]] = 1.0

@@ -175,3 +175,58 @@ def test_fuzzy_damerau_transposition(spark):
         idx, ast.Fuzzy("body", "teh", distance=1,
                        transposition_cost_one=False)).collect()}
     assert classic == {2}  # 'the' costs 2 under classic Levenshtein
+
+
+@pytest.fixture(scope="module")
+def prox_index(spark):
+    """The reference proximity regress corpus
+    (tests/pg_regress/sql/proximity.sql)."""
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (2, "bbq chicken is delicious"),
+        (3, "bbq ribs are delicious"),
+        (4, "chicken will be served at the bbq party"),
+        (5, "ribs will be served at the party bbq"),
+    ]
+    docs = spark.createDataFrame(rows, "id int, text string")
+    return build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="text")]))
+
+
+def _prox_ids(idx, q):
+    return {r["doc_id"] for r in compile_query(idx, q).collect()}
+
+
+def test_proximity_regress_goldens(prox_index):
+    """Every row set from expected/proximity.out."""
+    P, R = ast.Proximity, ast.ProxRegex
+    assert _prox_ids(prox_index, P("text", "a", 23, "z")) == set()
+    assert _prox_ids(prox_index, P("text", "a", 24, "z")) == {1}
+    # in-order: 'delicious' must precede bbq/chicken → no match
+    assert _prox_ids(prox_index, P("text", "delicious", 2,
+                                   ["bbq", "chicken"], ordered=True)) == set()
+    assert _prox_ids(prox_index, P("text", "delicious", 2,
+                                   ["bbq", "chicken"])) == {2, 3}
+    assert _prox_ids(prox_index, P("text", ["bbq", "chicken"], 2,
+                                   "delicious", ordered=True)) == {2, 3}
+    # nested clause trees (prox_clause)
+    nested_l = P("text", ["chicken", "ribs"], 0, "will")
+    nested_r = P("text", "bbq", 0, "party")
+    assert _prox_ids(prox_index, P("text", nested_l, 4, nested_r)) == {4, 5}
+    assert _prox_ids(prox_index, P("text", nested_l, 4, nested_r,
+                                   ordered=True)) == {4, 5}
+    # regex operands
+    assert _prox_ids(prox_index, P("text", R("del...ous"), 1,
+                                   ["chicken", R("r..s")])) == {2, 3}
+    assert _prox_ids(prox_index, P("text", R("del...ous"), 1,
+                                   ["chicken", R("r..s")],
+                                   ordered=True)) == set()
+    # ## operator chains from the .sql file: a ##3 c ##2 g / a ##3 c ##3 g
+    chain_no = P("text", P("text", "a", 3, "c"), 2, "g")
+    chain_yes = P("text", P("text", "a", 3, "c"), 3, "g")
+    assert _prox_ids(prox_index, chain_no) == set()
+    assert _prox_ids(prox_index, chain_yes) == {1}
+    # ##> in-order vs ## any-order with reversed terms
+    assert _prox_ids(prox_index, P("text", "z", 24, "a")) == {1}
+    assert _prox_ids(prox_index, P("text", "z", 24, "a",
+                                   ordered=True)) == set()
