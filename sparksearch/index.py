@@ -43,6 +43,20 @@ N_TERM_BUCKETS = 64          # cap; see adaptive_buckets()
 DOCS_PER_BUCKET = 100_000    # target volume per bucket partition
 
 
+MAX_LENGTH_BUCKET = 20
+
+
+def _length_bucket_py(n: int) -> int:
+    return min(int(n), MAX_LENGTH_BUCKET)
+
+
+def length_bucket_expr(term_col) -> "F.Column":
+    """Term-length partition key for the persisted dictionary: one bucket
+    per length up to 20 (a billion-term dictionary splits into ~20
+    partitions; a fuzzy query at distance d prunes to 2d+1 of them)."""
+    return F.least(F.length(term_col), F.lit(MAX_LENGTH_BUCKET))
+
+
 def adaptive_buckets(n_docs: int) -> int:
     """Bucket count sized to data volume: enough buckets for pruning,
     few enough that per-bucket files stay big (the dynamic-partition
@@ -81,7 +95,11 @@ class SearchIndex:
         the postings scan to matching ``tb`` partitions."""
         if not terms:
             return {}
-        rows = (self.corpus_stats
+        scan = self.corpus_stats
+        if "tl" in scan.columns:
+            scan = scan.filter(F.col("tl").isin(
+                sorted({_length_bucket_py(len(t)) for t in terms})))
+        rows = (scan
                 .filter((F.col("field") == field)
                         & F.col("term").isin(list(set(terms))))
                 .select("term", "df",
@@ -113,16 +131,19 @@ class SearchIndex:
         return scan
 
     def expand_terms(self, field: str, predicate, limit: int = 50,
-                     order: str = "df", prefix: str | None = None) -> list:
+                     order: str = "df", prefix: str | None = None,
+                     length_range: tuple | None = None) -> list:
         """Term-dictionary expansion for fuzzy/regex/prefix queries.
 
         ``predicate`` is a Column over ``term``; returns [(term, df)].
         ``order='df'`` keeps the highest-df terms under the cap (fuzzy);
         ``order='term'`` truncates in term-dictionary order, matching
         Lucene/Tantivy enumeration for prefix expansion.  ``prefix``
-        prunes the dictionary scan to the term's hash bucket range via a
-        term range predicate (sortable dictionary order) before the full
-        predicate applies.  A truncated expansion is recorded on
+        prunes the dictionary scan to the term's dictionary-order range;
+        ``length_range=(lo, hi)`` prunes to the matching term-length
+        partitions (``tl`` column, persisted layout) — the automaton-like
+        pruning for fuzzy, where only lengths within ±distance can match.
+        A truncated expansion is recorded on
         ``self.last_expansion_truncated`` instead of failing silently.
         Reference analog: Tantivy automaton walks over the term dict
         (pg_search/src/query/pdb_query.rs fuzzy/regex nodes).
@@ -132,6 +153,14 @@ class SearchIndex:
             # dictionary-order range prune: prefix <= term < prefix+￿
             scan = scan.filter((F.col("term") >= prefix)
                                & (F.col("term") < prefix + "￿"))
+            if length_range is None:
+                length_range = (len(prefix), None)
+        if length_range is not None and "tl" in scan.columns:
+            lo, hi = length_range
+            if lo is not None:
+                scan = scan.filter(F.col("tl") >= _length_bucket_py(lo))
+            if hi is not None:
+                scan = scan.filter(F.col("tl") <= _length_bucket_py(hi))
         key = (F.col("term").asc() if order == "term"
                else F.col("df").desc())
         rows = (scan.filter(predicate)
@@ -151,8 +180,11 @@ class SearchIndex:
         p = self.postings.withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(nb)))
         (bucketed_repartition(p, nb)
          .write.mode("overwrite").partitionBy("field", "tb").parquet(f"{path}/postings"))
-        self.corpus_stats.write.mode("overwrite").partitionBy("field") \
-            .parquet(f"{path}/corpus_stats")
+        (self.corpus_stats
+         .withColumn("tl", length_bucket_expr(F.col("term")))
+         .repartition("field", "tl").sortWithinPartitions("term")
+         .write.mode("overwrite").partitionBy("field", "tl")
+         .parquet(f"{path}/corpus_stats"))
         self.docs.write.mode("overwrite").parquet(f"{path}/docs")
         with open(f"{path}/meta.json", "w") as fh:
             json.dump({"meta": self.meta, "key_field": self.schema.key_field,
@@ -411,8 +443,14 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
      .parquet(f"{path}/postings"))
     totals = obs.get
     postings = spark.read.parquet(f"{path}/postings")
+    # dictionary layout: partitioned by (field, term-length bucket) and
+    # term-sorted within partitions — fuzzy prunes to ±distance length
+    # partitions, prefix/regex-with-literal-head prune via row-group
+    # min/max stats on the sorted term column
     (corpus_stats_df(postings)
-     .write.mode("overwrite").partitionBy("field")
+     .withColumn("tl", length_bucket_expr(F.col("term")))
+     .repartition("field", "tl").sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("field", "tl")
      .parquet(f"{path}/corpus_stats"))
     corpus_stats = spark.read.parquet(f"{path}/corpus_stats")
     meta = {f_: {"num_docs": n_total,

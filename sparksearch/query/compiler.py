@@ -282,7 +282,10 @@ class _Compiler:
         else:
             pred = pred & (F.levenshtein(F.col("term"), F.lit(v)) <= jvm_d)
         cap = MAX_EXPANSIONS * (4 if node.transposition_cost_one else 1)
-        matched = self.index.expand_terms(self._real_field(node.field), pred, cap)
+        lr = ((len(v) - d, None) if node.prefix
+              else (len(v) - d, len(v) + d))
+        matched = self.index.expand_terms(self._real_field(node.field), pred,
+                                          cap, length_range=lr)
         if node.transposition_cost_one:
             def ok(t: str) -> bool:
                 s = t[: len(v)] if node.prefix else t
