@@ -167,6 +167,12 @@ class SearchIndex:
                 .orderBy(key, F.col("term"))
                 .limit(limit + 1).collect())
         self.last_expansion_truncated = len(rows) > limit
+        if self.last_expansion_truncated:
+            import warnings
+            warnings.warn(
+                f"term expansion on field {field!r} hit the {limit}-term "
+                "cap; results are computed over the kept expansions "
+                f"(order={order!r})", stacklevel=2)
         rows = rows[:limit]
         return [(r["term"], r["df"]) for r in rows]
 
