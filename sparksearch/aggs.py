@@ -260,7 +260,8 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
         oc = (F.col("doc_count") if ofield == "_count"
               else F.col(kd) if ofield == "_key" else F.col(ofield))
         oc = oc.desc() if odir == "desc" else oc.asc()
-        size = int(opts.get("size", 10))
+        from sparksearch.config import CONFIG
+        size = int(opts.get("size", CONFIG.terms_agg_default_size))
         if pcols:
             # per-parent top-size buckets in one ranking window
             w = W.partitionBy(*pcols).orderBy(oc, F.col(kd).asc())

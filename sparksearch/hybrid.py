@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, functions as F, Window as W
 
 
 def rrf_fuse(rankings: list, key: str = "doc_id", k: int = 60,
-             weights: list | None = None, depth: int = 1000) -> DataFrame:
+             weights: list | None = None, depth: int | None = None) -> DataFrame:
     """Fuse ranked DataFrames (each with columns (key, score)) by RRF.
 
     Each input is truncated to its top-``depth`` rows first (standard RRF
@@ -23,6 +23,9 @@ def rrf_fuse(rankings: list, key: str = "doc_id", k: int = 60,
     own score descending (ties broken by key for determinism); missing
     docs contribute nothing — standard RRF outer-union semantics.
     """
+    if depth is None:
+        from sparksearch.config import CONFIG
+        depth = CONFIG.rrf_depth
     weights = weights or [1.0] * len(rankings)
     parts = []
     for i, (df, w) in enumerate(zip(rankings, weights)):

@@ -62,7 +62,8 @@ def adaptive_buckets(n_docs: int) -> int:
     few enough that per-bucket files stay big (the dynamic-partition
     commit cost is O(tasks × buckets) and dominates small builds; at
     100 TB the cap applies and files are GB-sized)."""
-    return int(min(N_TERM_BUCKETS, max(8, n_docs // DOCS_PER_BUCKET)))
+    from sparksearch.config import CONFIG
+    return int(min(CONFIG.n_term_buckets, max(8, n_docs // CONFIG.docs_per_bucket)))
 
 
 class SearchIndex:

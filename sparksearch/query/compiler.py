@@ -30,7 +30,12 @@ from sparksearch.query import ast
 from sparksearch.scoring import bm25_expr
 from sparksearch.analysis import py_tokenize
 
-MAX_EXPANSIONS = 50
+MAX_EXPANSIONS = 50  # overridable via sparksearch.config
+
+
+def _max_expansions() -> int:
+    from sparksearch.config import CONFIG
+    return CONFIG.max_expansions
 
 
 def _osa_distance(a: str, b: str, cap: int) -> int:
@@ -281,7 +286,7 @@ class _Compiler:
                            <= jvm_d)
         else:
             pred = pred & (F.levenshtein(F.col("term"), F.lit(v)) <= jvm_d)
-        cap = MAX_EXPANSIONS * (4 if node.transposition_cost_one else 1)
+        cap = _max_expansions() * (4 if node.transposition_cost_one else 1)
         lr = ((len(v) - d, None) if node.prefix
               else (len(v) - d, len(v) + d))
         matched = self.index.expand_terms(self._real_field(node.field), pred,
@@ -290,7 +295,7 @@ class _Compiler:
             def ok(t: str) -> bool:
                 s = t[: len(v)] if node.prefix else t
                 return _osa_distance(s, v, d) <= d
-            matched = [(t, df_) for t, df_ in matched if ok(t)][:MAX_EXPANSIONS]
+            matched = [(t, df_) for t, df_ in matched if ok(t)][:_max_expansions()]
         if not matched:
             return self._empty()
         # union-of-term-queries semantics: doc score = Σ matched-term BM25
@@ -300,7 +305,7 @@ class _Compiler:
     def _c_regex(self, node: ast.Regex) -> DataFrame:
         # Tantivy regex must match the whole term; constant score 1.0
         pred = F.col("term").rlike(f"^(?:{node.pattern})$")
-        matched = self.index.expand_terms(self._real_field(node.field), pred, MAX_EXPANSIONS * 20)
+        matched = self.index.expand_terms(self._real_field(node.field), pred, _max_expansions() * 20)
         if not matched:
             return self._empty()
         return (self.index.postings_for_terms(self._real_field(node.field),

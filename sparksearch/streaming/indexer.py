@@ -400,7 +400,8 @@ def merge_candidates(index_path: str, layer_sizes: list | None = None,
     LayeredMergePolicy::simulate / paradedb.merge_info analog).  Returns
     [{"layer": bytes, "segments": [...], "bytes": total}]."""
     if layer_sizes is None:
-        layer_sizes = DEFAULT_LAYER_SIZES
+        from sparksearch.config import CONFIG
+        layer_sizes = CONFIG.layer_sizes
     segs = _committed_segments(index_path)
     if len(segs) < min_merge_count:
         return []

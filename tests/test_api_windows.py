@@ -157,3 +157,21 @@ def test_admin_verification_family(spark, tmp_path, mock_index):
     mi2 = merge_info(idx_path)
     assert len(mi2["live"]) == 1 and len(mi2["retired"]) == 2
     assert validate_checksum(spark, idx_path)["ok"]
+
+
+def test_engine_config_gucs(mock_index):
+    """GUC-analog config surface (reference gucs.rs): knobs are read at
+    call time and unknown keys are rejected."""
+    import sparksearch.config as cfg
+    import pytest as _pytest
+    from sparksearch.query.compiler import _max_expansions
+    from sparksearch.index import adaptive_buckets
+    assert _max_expansions() == 50
+    cfg.set(max_expansions=7, n_term_buckets=16)
+    try:
+        assert _max_expansions() == 7
+        assert adaptive_buckets(10**9) == 16
+    finally:
+        cfg.set(max_expansions=50, n_term_buckets=64)
+    with _pytest.raises(KeyError):
+        cfg.set(nonexistent_knob=1)
