@@ -169,6 +169,13 @@ def evaluate(pidx: PyIndex, node) -> dict:
                 out[r[key]] = (idf_sum * 2.2 * tf
                                / (tf + 1.2 * (0.25 + 0.75 * lq / pidx.avg[node.field])))
         return out
+    if isinstance(node, ast.TokenizedPhrase):
+        cfg = pidx.schema.value_analyzer(node.field)
+        toks = py_tokenize(node.phrase, cfg.tokenizer, cfg.tokenizer_opts,
+                           cfg.lowercase)
+        if not toks:
+            return {}
+        return evaluate(pidx, ast.Phrase(node.field, toks, slop=node.slop))
     if isinstance(node, ast.Proximity):
         # reference match rule (proximity/scorer.rs:126-127):
         # diff <= distance + 1; in order → r - l must be non-negative

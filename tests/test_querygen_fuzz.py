@@ -24,7 +24,7 @@ CATS = ["Electronics", "Footwear", "Books", "Toys", "Apparel"]
 
 def gen_query(rng: random.Random, depth: int = 0) -> ast.Query:
     leaf_kinds = ["term", "termset", "match", "phrase", "range", "fuzzy",
-                  "regex", "exists"]
+                  "regex", "exists", "tokphrase", "proximity"]
     node_kinds = ["bool", "boost", "const", "dismax"] if depth < 3 else []
     kind = rng.choice(leaf_kinds * 2 + node_kinds * 3)
     if kind == "term":
@@ -69,6 +69,15 @@ def gen_query(rng: random.Random, depth: int = 0) -> ast.Query:
                          rng.choice(["key.*", "sho.*", ".*ing", "w.*l"]))
     if kind == "exists":
         return ast.Exists("description")
+    if kind == "tokphrase":
+        pool = ["running shoes", "metal keyboard", "keyboard shoes",
+                "shoes running"]
+        return ast.TokenizedPhrase("description", rng.choice(pool),
+                                   slop=rng.choice([0, 1, 2]))
+    if kind == "proximity":
+        return ast.Proximity("description", rng.choice(VOCAB),
+                             rng.randint(0, 4), rng.choice(VOCAB),
+                             ordered=rng.random() < 0.5)
     if kind == "boost":
         return ast.Boost(gen_query(rng, depth + 1), rng.choice([0.5, 2.0, 3.0]))
     if kind == "const":
@@ -109,3 +118,53 @@ def test_random_query_differential(mock_index, pidx, seed):
     assert set(got) == set(want), f"seed {seed}: doc sets differ for {q}"
     for d, s in want.items():
         assert got[d] == pytest.approx(s, rel=1e-6), (seed, q, d)
+
+
+# -- hypothesis property tests (reference proptest analog) -------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcde", max_size=8),
+       st.text(alphabet="abcde", max_size=8))
+def test_osa_distance_matches_bruteforce(a, b):
+    """Engine's banded OSA (compiler._osa_distance) vs the oracle's full
+    matrix — two independent implementations."""
+    from sparksearch.query.compiler import _osa_distance
+    from tests.oracle import _osa
+    want = _osa(a, b)
+    for cap in (0, 1, 2, 3):
+        got = _osa_distance(a, b, cap)
+        if want <= cap:
+            assert got == want, (a, b, cap)
+        else:
+            assert got > cap, (a, b, cap)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from("abc"), min_size=2, max_size=14),
+       st.integers(0, 3))
+def test_sloppy_count_matches_oracle(tokens, slop):
+    """Engine's _sloppy_count vs the oracle's _phrase_count on random
+    token streams, for 2-term phrases over the same alphabet."""
+    from sparksearch.query.compiler import _sloppy_count
+    from tests.oracle import _phrase_count
+    terms = ["a", "b"]
+    pos = [[i for i, t in enumerate(tokens) if t == term] for term in terms]
+    if not all(pos):
+        return
+    got = _sloppy_count(pos, slop)
+    want = _phrase_count(tokens, terms, slop)
+    assert got == want, (tokens, slop)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcdefg XYZ'", max_size=30))
+def test_porter2_total_and_stable(s):
+    """porter2 never raises and output stems to itself or another valid
+    stem under repeated application without raising."""
+    from sparksearch.stem import porter2
+    out = porter2(s)
+    assert isinstance(out, str)
+    porter2(out)  # must not raise
