@@ -35,7 +35,7 @@ N_RUNS = int(os.environ.get("SPARKSEARCH_BENCH_RUNS", "2"))
 # levels back-to-back so host interference (this sandbox has bursty noisy
 # neighbors) hits both; min-per-level across rounds approximates the
 # quiet-machine number for each.
-N_ROUNDS = int(os.environ.get("SPARKSEARCH_BENCH_ROUNDS", "3"))
+N_ROUNDS = int(os.environ.get("SPARKSEARCH_BENCH_ROUNDS", "4"))
 # N vs 4N cores for the scaling-efficiency gate. Default 2 vs 8: the
 # engine's scaling must be measured below the point where ONE box's DRAM
 # bandwidth saturates (the build is a string-churn workload; this

@@ -174,12 +174,53 @@ def test_multimodal_plumbing(spark):
     media = synth_media(spark, n=24).cache()
     img = decode_images(media).collect()
     assert len(img) == 8
-    assert all(len(r["embedding"]) == 16 and r["channels"] == 3 for r in img)
+    # synth images are REAL PNGs → the pure-python codec decodes them
+    assert all(r["decoded"] for r in img)
+    assert all(len(r["embedding"]) == 16 and r["channels"] in (1, 3, 4)
+               for r in img)
     # determinism: same bytes → same features
     img2 = decode_images(media).collect()
     assert {r["media_id"]: r["embedding"] for r in img} == \
            {r["media_id"]: r["embedding"] for r in img2}
     aud = extract_audio_features(media).collect()
     assert len(aud) == 8 and all(len(r["mfcc"]) == 13 for r in aud)
+    assert all(r["decoded"] and r["sample_rate"] == 16000 for r in aud)
     frames = sample_video_frames(media).collect()
     assert frames and all(r["frame_bytes"] for r in frames)
+
+
+def test_multimodal_real_decode_ground_truth(spark):
+    """Decoded dimensions/features match the encoder inputs exactly; a
+    non-decodable blob routes through the labeled fallback."""
+    import numpy as np
+    import pandas as pd
+    from sparksearch.pipeline import codecs
+    from sparksearch.pipeline.multimodal import (
+        MEDIA_SCHEMA, decode_images, extract_audio_features)
+    dark = np.zeros((10, 20, 3), dtype=np.uint8)
+    light = np.full((6, 4, 1), 255, dtype=np.uint8)
+    sr = 16000
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / sr)
+    rows = [
+        {"media_id": "dark", "kind": "image", "mime": "image/png",
+         "bytes": codecs.encode_png(dark), "meta": {}},
+        {"media_id": "light", "kind": "image", "mime": "image/png",
+         "bytes": codecs.encode_png(light), "meta": {}},
+        {"media_id": "junk", "kind": "image", "mime": "image/jpeg",
+         "bytes": b"\xff\xd8 not really a jpeg", "meta": {}},
+        {"media_id": "tone", "kind": "audio", "mime": "audio/wav",
+         "bytes": codecs.encode_wav(tone, sr), "meta": {}},
+    ]
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    img = {r["media_id"]: r for r in decode_images(media).collect()}
+    assert (img["dark"]["width"], img["dark"]["height"],
+            img["dark"]["channels"]) == (20, 10, 3)
+    assert img["dark"]["decoded"] and img["light"]["decoded"]
+    assert not img["junk"]["decoded"]
+    assert all(e == pytest.approx(-0.5) for e in img["dark"]["embedding"])
+    assert all(e == pytest.approx(0.5) for e in img["light"]["embedding"])
+    aud = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert aud["tone"]["decoded"] and aud["tone"]["n_samples"] == 8000
+    # compare against the MFCC of the decoded (16-bit-quantized) samples
+    want = codecs.mfcc(codecs.decode_wav(codecs.encode_wav(tone, sr))[1], sr)
+    assert aud["tone"]["mfcc"] == pytest.approx(want, rel=1e-5)
