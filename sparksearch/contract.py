@@ -681,6 +681,49 @@ def q_nested_agg(spark, sf_dir):
     return spark.createDataFrame(rows, "lang string, bucket double, cnt long")
 
 
+def get_ltree_docs_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """documents + a derived ltree-style dotted path column
+    ``path = source.lang.d<doc_id%10>`` for the hierarchy-op entries
+    (customscan/pushdown.rs:36-122)."""
+    key = (id(spark), sf_dir, "ltree")
+    if key not in _INDEX_CACHE:
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "path", F.concat_ws(
+                ".", F.col("source"), F.col("lang"),
+                F.concat(F.lit("d"), (F.col("doc_id") % 10).cast("string"))))
+        schema = IndexSchema(key_field="doc_id",
+                             text_fields=[FieldConfig(name="text")])
+        _INDEX_CACHE[key] = build_index(docs, schema)
+    return _INDEX_CACHE[key]
+
+
+def q_ltree_descendants(spark, sf_dir):
+    """ltree ``path <@ 'src7.en'`` descendant-or-self pushdown — the one
+    ltree operator the reference accelerates
+    (customscan/pushdown.rs:36-49)."""
+    idx = get_ltree_docs_index(spark, sf_dir)
+    return compile_query(idx, ast.LtreeDescendant("path", "src7.en")).select("doc_id")
+
+
+def q_grouping_sets_agg(spark, sf_dir):
+    """GROUP BY GROUPING SETS (reference falls back to vanilla PG;
+    Spark/DuckDB both native — SURVEY §2.7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+        "round(sum(l_extendedprice), 4) AS revenue FROM gs_lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())")
+
+
+def q_cube_agg(spark, sf_dir):
+    """GROUP BY CUBE over two keys (SURVEY §2.7 grouping-sets family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("l_discount"), 4).alias("disc")))
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "term_count": q_term_count,
@@ -737,6 +780,9 @@ QUERIES = {
     "nested_agg": q_nested_agg,
     "tokenized_phrase": q_tokenized_phrase,
     "regex_phrase": q_regex_phrase,
+    "ltree_descendants": q_ltree_descendants,
+    "grouping_sets_agg": q_grouping_sets_agg,
+    "cube_agg": q_cube_agg,
 }
 
 
@@ -1025,6 +1071,19 @@ WHERE doc_id <> 3 AND list_has_any(ts, tl)"""),
             "SELECT lang, CAST(floor(n_chars / 300) * 300 AS DOUBLE)"
             " AS bucket, count(*) AS cnt FROM documents"
             " WHERE lang IN (SELECT lang FROM top) GROUP BY 1, 2"),
+        "ltree_descendants": (
+            "WITH p AS (SELECT doc_id, source || '.' || lang || '.d' ||"
+            " CAST(doc_id % 10 AS VARCHAR) AS path FROM documents) "
+            "SELECT doc_id FROM p"
+            " WHERE path = 'src7.en' OR path LIKE 'src7.en.%'"),
+        "grouping_sets_agg": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+            "round(sum(l_extendedprice), 4) AS revenue FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
+        "cube_agg": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+            "round(sum(l_discount), 4) AS disc FROM lineitem "
+            "GROUP BY CUBE (l_returnflag, l_linestatus)"),
         "minhash_pairs": (
             f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents), "
             "sh AS (SELECT doc_id, list_distinct(list_transform("

@@ -187,6 +187,26 @@ class RangeWithin(Query):
 
 
 @dataclass
+class LtreeDescendant(Query):
+    """ltree descendant-or-self: ``path <@ 'Top.Science'`` — the one ltree
+    operator the reference pushes into the index
+    (customscan/pushdown.rs:36-49 is_ltree_descendant_operator).
+    Matches paths equal to ``ancestor`` or starting with ``ancestor || '.'``."""
+    field: str
+    ancestor: str
+
+
+@dataclass
+class LtreeAncestor(Query):
+    """ltree ancestor-or-self: ``path @> 'Top.Science.Astronomy'`` (PG ltree
+    ``@>``; the reference evaluates it via heap fallback — we support it
+    index-side for symmetry). Matches paths that are a dotted prefix of
+    ``descendant``."""
+    field: str
+    descendant: str
+
+
+@dataclass
 class Boolean(Query):
     """Lucene boolean (query/mod.rs:69-86): score = Σ matching clause
     scores; must_not excludes; minimum_should_match filters on the number

@@ -202,6 +202,22 @@ class _Compiler:
     def _c_exists(self, node: ast.Exists) -> DataFrame:
         return self._attr_filter(F.col(node.field).isNotNull())
 
+    # -- ltree hierarchy ops (customscan/pushdown.rs:36-122) --------------
+    def _c_ltreedescendant(self, node: ast.LtreeDescendant) -> DataFrame:
+        """``path <@ ancestor``: equality or dotted-prefix match — compiles
+        to a sargable startswith the parquet scan can push down."""
+        c = F.col(node.field)
+        return self._attr_filter(
+            (c == F.lit(node.ancestor)) | c.startswith(node.ancestor + "."))
+
+    def _c_ltreeancestor(self, node: ast.LtreeAncestor) -> DataFrame:
+        """``path @> descendant``: the column value is a dotted prefix of
+        the constant — constant-side startswith over (path || '.')."""
+        c = F.col(node.field)
+        return self._attr_filter(
+            (c == F.lit(node.descendant))
+            | F.lit(node.descendant + ".").startswith(F.concat(c, F.lit("."))))
+
     # -- PG range-type columns (struct<lower, upper, lower_inclusive,
     # upper_inclusive>, nulls = unbounded) — pdb_query.rs:274-312 ---------
     @staticmethod

@@ -80,3 +80,41 @@ def test_range_combined_with_search(deliveries):
     q = ast.Boolean(must=[ast.Term("description", "parcel"),
                           ast.RangeTerm("weight_range", 5)])
     assert _ids(deliveries, q) == [1]
+
+
+# -- ltree hierarchy ops (customscan/pushdown.rs:36-122) -------------------
+
+@pytest.fixture(scope="module")
+def ltree_docs(spark):
+    rows = [
+        (1, "root science", "Top.Science"),
+        (2, "astro", "Top.Science.Astronomy"),
+        (3, "astrophysics", "Top.Science.Astronomy.Astrophysics"),
+        (4, "cosmology", "Top.Science.Astronomy.Cosmology"),
+        (5, "hobbies", "Top.Hobbies"),
+        (6, "prefix trap", "Top.ScienceFiction"),  # NOT under Top.Science
+        (7, "top itself", "Top"),
+    ]
+    docs = spark.createDataFrame(rows, "id int, description string, path string")
+    idx_schema = IndexSchema(key_field="id",
+                             text_fields=[FieldConfig(name="description")])
+    return build_index(docs, idx_schema)
+
+
+def test_ltree_descendant(ltree_docs):
+    """path <@ 'Top.Science' — descendant-or-self; the dotted-boundary
+    check must exclude 'Top.ScienceFiction' (pushdown.rs:36-49)."""
+    q = ast.LtreeDescendant("path", "Top.Science")
+    assert _ids(ltree_docs, q) == [1, 2, 3, 4]
+
+
+def test_ltree_ancestor(ltree_docs):
+    """path @> 'Top.Science.Astronomy' — ancestor-or-self."""
+    q = ast.LtreeAncestor("path", "Top.Science.Astronomy")
+    assert _ids(ltree_docs, q) == [1, 2, 7]
+
+
+def test_ltree_combined_with_search(ltree_docs):
+    q = ast.Boolean(must=[ast.Term("description", "astro"),
+                          ast.LtreeDescendant("path", "Top.Science")])
+    assert _ids(ltree_docs, q) == [2]
