@@ -51,11 +51,9 @@ def _score4(df: DataFrame) -> DataFrame:
     return df.withColumn("score", F.round(F.col("score"), 4))
 
 
-def _bm25_oracle_sql(term: str, extra_where: str = "", topk: int | None = None,
-                     count_only: bool = False) -> str:
-    """Full BM25 (Tantivy/Lucene formula incl. fieldnorm quantization) as
-    DuckDB SQL over the documents view — the independent score oracle."""
-    base = f"""
+def _bm25_base_cte(term: str) -> str:
+    """The WITH block (toks/lens/stats/scored) of the BM25 SQL twin."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, n_chars, {_DD_TOKS} AS ts FROM documents
 ), lens AS (
@@ -74,12 +72,72 @@ WITH toks AS (
                / (tf + 1.2 * (0.25 + 0.75 * ({_DD_QUANT}) / avgdl)) AS exact_score
   FROM lens, stats WHERE tf > 0
 )"""
+
+
+def _bm25_oracle_sql(term: str, extra_where: str = "", topk: int | None = None,
+                     count_only: bool = False) -> str:
+    """Full BM25 (Tantivy/Lucene formula incl. fieldnorm quantization) as
+    DuckDB SQL over the documents view — the independent score oracle."""
+    base = _bm25_base_cte(term)
     if count_only:
         return base + f" SELECT count(*) AS cnt FROM scored WHERE true {extra_where}"
     q = base + f" SELECT doc_id, score FROM scored WHERE true {extra_where}"
     if topk:
         q += f" ORDER BY exact_score DESC, doc_id ASC LIMIT {topk}"
     return q
+
+
+def _snippet_positions_oracle_sql(term: str = "vector", topk: int = 5) -> str:
+    """Char-offset spans of ``term`` occurrences in the BM25 top-k docs:
+    an occurrence is a maximal [a-z0-9] run equal to the term (the default
+    analyzer's token), located by a boundary-checked substring scan."""
+    n = len(term)
+    base = _bm25_base_cte(term)
+    return base + f""", top5 AS (
+  SELECT doc_id FROM scored ORDER BY exact_score DESC, doc_id ASC LIMIT {topk}
+), h AS (
+  SELECT d.doc_id, lower(d.text) AS t FROM documents d JOIN top5 USING (doc_id)
+)
+SELECT doc_id, i - 1 AS start, i + {n - 1} AS "end"
+FROM h, unnest(list_filter(range(1, greatest(len(t) - {n - 2}, 1)), i ->
+  substr(t, i, {n}) = '{term}'
+  AND (i = 1 OR NOT regexp_matches(substr(t, i - 1, 1), '[a-z0-9]'))
+  AND (i + {n} > len(t)
+       OR NOT regexp_matches(substr(t, i + {n}, 1), '[a-z0-9]')))) AS u(i)"""
+
+
+def _lsh_ann_oracle_sql(n_planes: int = 16, bands: int = 4, seed: int = 29,
+                        dim: int = 64, k: int = 10) -> str:
+    """SQL twin of the persisted LSH-ANN probe: the seeded hyperplanes are
+    inlined as literal arrays, per-vector and query band values recomputed
+    in SQL, candidates = vectors sharing ≥1 band with the query, exact
+    cosine rank on the candidates (AnnIndex.topk semantics)."""
+    from sparksearch.pipeline.similarity import _hyperplanes
+    planes = _hyperplanes(n_planes, dim, seed)
+    width = n_planes // bands
+
+    def arr(p):
+        return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+    def band_expr(col, b):
+        return "(" + " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {arr(planes[b * width + j])})"
+            f" >= 0 THEN {1 << j} ELSE 0 END)" for j in range(width)) + ")"
+
+    vb = ", ".join(f"{band_expr('e', b)} AS b{b}" for b in range(bands))
+    qb = ", ".join(f"{band_expr('qe', b)} AS qb{b}" for b in range(bands))
+    match = " OR ".join(f"b{b} = qb{b}" for b in range(bands))
+    return f"""WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+), qs AS (SELECT qe, {qb} FROM q),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id <> 0
+), s AS (SELECT vec_id, e, {vb} FROM v)
+SELECT vec_id AS id,
+       round(CAST(list_cosine_similarity(e, qe) AS DOUBLE), 4) AS cos
+FROM s, qs WHERE {match}
+ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT {k}"""
 
 
 def _bm25_multi_cte(terms: list) -> str:
@@ -497,6 +555,22 @@ def q_snippet_topk(spark, sf_dir):
             .select("doc_id", "snippet"))
 
 
+def q_snippet_positions(spark, sf_dir):
+    """pdb.snippet_positions over the BM25 top-5 (char-offset spans of
+    matched terms, projections/snippet.rs:466): exploded to one row per
+    span so the DuckDB oracle can recompute offsets with a boundary-aware
+    substring scan."""
+    from sparksearch.highlight import snippet_positions_udf
+    from sparksearch.query.search import search
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.Term("text", "vector")
+    hits = search(idx, q, limit=5, columns=["doc_id", "text"])
+    pos = snippet_positions_udf(["vector"])
+    return (hits.withColumn("p", F.explode(pos(F.col("text"))))
+            .select("doc_id", F.col("p.start").alias("start"),
+                    F.col("p.end").alias("end")))
+
+
 def q_fingerprint(spark, sf_dir):
     """Document fingerprints: MinHash-1 sketch (min md5 over 3-token
     shingles) — md5-based so the DuckDB oracle reproduces it exactly;
@@ -724,6 +798,54 @@ def q_cube_agg(spark, sf_dir):
                  F.round(F.sum("l_discount"), 4).alias("disc")))
 
 
+def q_percentiles_agg(spark, sf_dir):
+    """Exact interpolated percentiles per group (ES percentiles metric agg,
+    docs/documentation/aggregates/metrics/percentiles.mdx; exact variant
+    for the oracle — the DSL's percentile_approx is the scale path)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+                 F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90")))
+
+
+def q_top_hits_agg(spark, sf_dir):
+    """terms bucket + per-bucket top_hits through the ES-JSON agg DSL
+    (docs/documentation/aggregates/metrics/top-hits.mdx): one ranking
+    window for ALL buckets, flattened to rows for the oracle."""
+    from sparksearch.aggs import run_aggs
+    docs = _t(spark, sf_dir, "documents")
+    res = run_aggs(docs, {
+        "srcs": {"terms": {"field": "source", "size": 3},
+                 "aggs": {"top": {"top_hits": {
+                     "size": 2,
+                     "sort": [{"n_chars": "desc"}, {"doc_id": "asc"}],
+                     "_source": ["doc_id", "n_chars"]}}}}})
+    rows = []
+    for b in res["aggregations"]["srcs"]["buckets"]:
+        for h in b["top"]["hits"]:
+            rows.append((b["key"], h["doc_id"], h["n_chars"]))
+    return spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs (hyperplane-LSH candidates, exact
+    cosine verification — pipeline/dedup.py scale path); oracle is the
+    exact all-pairs SQL twin.
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ≈ 0.51), so the gate runs at threshold 0.45 — the similarity level
+    the data actually has — with 1-bit bands (24 bands → per-pair miss
+    probability (θ/π)^24 ≈ 1e-11 at cosine 0.45), so LSH recall is
+    effectively exact and the oracle can be the exact join.  Production
+    near-dup thresholds (≥0.9) use the wider default bands, where recall
+    is equally high with far fewer candidates."""
+    from sparksearch.pipeline.dedup import embedding_near_duplicates
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, "vec_id", "embedding",
+                                      threshold=0.45, n_planes=24, bands=24)
+    return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "term_count": q_term_count,
@@ -783,6 +905,10 @@ QUERIES = {
     "ltree_descendants": q_ltree_descendants,
     "grouping_sets_agg": q_grouping_sets_agg,
     "cube_agg": q_cube_agg,
+    "percentiles_agg": q_percentiles_agg,
+    "top_hits_agg": q_top_hits_agg,
+    "embedding_near_dup": q_embedding_near_dup,
+    "snippet_positions": q_snippet_positions,
 }
 
 
@@ -806,6 +932,8 @@ def oracle_sql() -> dict:
 
     return {
         "bm25_topk": _bm25_oracle_sql("vector", topk=10),
+        "snippet_positions": _snippet_positions_oracle_sql("vector", topk=5),
+        "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "term_count": f"SELECT count(*) AS cnt FROM documents WHERE {has('data')}",
         "conjunction": ("SELECT doc_id FROM documents WHERE "
                         + " AND ".join(has(t) for t in ["data", "join", "batch"])),
@@ -1084,6 +1212,25 @@ WHERE doc_id <> 3 AND list_has_any(ts, tl)"""),
             "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
             "round(sum(l_discount), 4) AS disc FROM lineitem "
             "GROUP BY CUBE (l_returnflag, l_linestatus)"),
+        "percentiles_agg": (
+            "SELECT o_orderstatus, "
+            "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+            "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 "
+            "FROM orders GROUP BY o_orderstatus"),
+        "top_hits_agg": (
+            "WITH top AS (SELECT source FROM documents GROUP BY source"
+            " ORDER BY count(*) DESC, source ASC LIMIT 3), "
+            "r AS (SELECT source, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn"
+            " FROM documents WHERE source IN (SELECT source FROM top)) "
+            "SELECT source, doc_id, n_chars FROM r WHERE rn <= 2"),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+            " CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+            " CAST(b.embedding AS DOUBLE[])) >= 0.45"),
         "minhash_pairs": (
             f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents), "
             "sh AS (SELECT doc_id, list_distinct(list_transform("

@@ -416,17 +416,24 @@ def bucketed_repartition(p: DataFrame, nb: int,
     unaffected (the ``tb`` dir is the pruning unit, not the file)."""
     if parallelism is None:
         parallelism = p.sparkSession.sparkContext.defaultParallelism
-    target = parallelism * 2
+    # 4× cores: several task waves in the write stage, so one straggling
+    # task (GC pause, noisy neighbor) costs a fraction of a wave, not a
+    # whole stage — single-wave fat tasks are the scaling tail.  Explicit
+    # numPartitions (not spark.sql.shuffle.partitions) so the write grain
+    # is independent of the query-side shuffle setting.
+    target = parallelism * 4
     salt_k = max(1, -(-target // max(nb, 1)))
     if salt_k > 1:
         return (p.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_k)))
-                .repartition("field", "tb", "_salt").drop("_salt"))
-    return p.repartition("field", "tb")
+                .repartition(target, F.col("field"), F.col("tb"), F.col("_salt"))
+                .drop("_salt"))
+    return p.repartition(target, F.col("field"), F.col("tb"))
 
 
 def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
                    save_docs: bool = False,
-                   strategy: str = "local") -> SearchIndex:
+                   strategy: str = "local",
+                   layout: str = "direct") -> SearchIndex:
     """Scale path: ONE tokenize pass, TWO Spark jobs total.
 
     Job 1 tokenizes and writes the term-bucketed postings; the per-field
@@ -434,7 +441,21 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
     metric on the same pass (no separate stats job, no re-tokenize).
     Job 2 derives corpus_stats from the written postings (columnar scan
     of term/tf only).  The upfront ``docs.count()`` is metadata-only on
-    parquet sources (footer row counts) — effectively free."""
+    parquet sources (footer row counts) — effectively free.
+
+    ``layout="direct"`` (default) writes the bucketed dirs straight from
+    the tokenize stage — zero shuffle, the Lucene/Tantivy writer model
+    (each writer flushes its own segment; index/writer/index.rs:347-399).
+    The postings shuffle was the build's scaling killer: it pushes the
+    full postings volume (positions arrays included) through shuffle
+    write+fetch, doubling memory-bandwidth demand — the resource that
+    saturates first as cores grow.  Cost: files per bucket dir = number
+    of writer tasks that saw that bucket (bounded by ``coalesce(4×
+    cores)``); at cluster scale the layered compactor
+    (streaming/indexer.py) is the file-hygiene mechanism, exactly like
+    Lucene merge policies.  ``layout="salted"`` keeps the shuffled
+    doc-salted writer (fewest, largest files per bucket) for one-shot
+    bulk loads where no compactor will ever run."""
     from pyspark.sql import Observation
     spark = docs.sparkSession
     n_total = docs.count()
@@ -445,8 +466,11 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
          .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(nb)))
          .observe(obs, *[F.sum(F.when(F.col("field") == f_, F.col("tf")))
                          .alias(f"t_{i}") for i, f_ in enumerate(fields)]))
-    (bucketed_repartition(p, nb)
-     .write.mode("overwrite").partitionBy("field", "tb")
+    if layout == "salted":
+        w = bucketed_repartition(p, nb)
+    else:
+        w = p.coalesce(spark.sparkContext.defaultParallelism * 4)
+    (w.write.mode("overwrite").partitionBy("field", "tb")
      .parquet(f"{path}/postings"))
     totals = obs.get
     postings = spark.read.parquet(f"{path}/postings")

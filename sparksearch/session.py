@@ -49,6 +49,11 @@ def get_spark(
                 os.environ.get("SPARKSEARCH_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"))
         .config("spark.local.dir", os.environ.get("SPARKSEARCH_LOCAL_DIR", "/dev/shm/sparksearch-local"))
         .config("spark.sql.shuffle.spill.compress", "true")
+        # v2 commit: task-side file moves at task completion (parallel)
+        # instead of the driver serially renaming every output file at job
+        # end — the v1 commit is a per-job fixed cost that grows with file
+        # count and does not scale with executors
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
