@@ -48,26 +48,33 @@ N_SMALL = int(os.environ.get("SPARKSEARCH_BENCH_N_SMALL", "2"))
 
 
 BENCH_MODE = os.environ.get("SPARKSEARCH_BENCH_MODE", "local")
+# scaling-gate sessions: "local-cluster" (default) = real separate
+# executor JVMs of FIXED size (2 cores, 4g, own 2-thread GC) with only
+# the executor COUNT varying — the literal "N executors vs 4N
+# executors" form of the north rule; "local" = in-process thread pools.
+SCALING_MODE = os.environ.get("SPARKSEARCH_SCALING_MODE", "local-cluster")
 
 
-def _new_spark(cores: int):
+def _new_spark(cores: int, lc: bool = False):
     from sparksearch.session import get_spark
-    if BENCH_MODE == "local-cluster":
-        # real separate executor JVMs: N executors × 8 cores — the literal
-        # "N vs 4N executors" form of the scaling rule
+    if lc or BENCH_MODE == "local-cluster":
         from pyspark.sql import SparkSession
-        n_exec = max(cores // 8, 1)
+        n_exec = max(cores // 2, 1)
         s = (SparkSession.builder
-             .master(f"local-cluster[{n_exec},8,6144]")
+             .master(f"local-cluster[{n_exec},2,4096]")
              .appName(f"bench-lc-{n_exec}")
-             .config("spark.executor.memory", "6g")
-             .config("spark.sql.shuffle.partitions", str(n_exec * 8))
+             .config("spark.executor.memory", "4g")
+             .config("spark.driver.memory", "6g")
+             .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+             .config("spark.sql.shuffle.partitions", str(n_exec * 2))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false")
              .config("spark.local.dir", "/dev/shm/sparksearch-local")
+             .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                     ".algorithm.version", "2")
              .config("spark.executor.extraJavaOptions",
-                     "-XX:+UseParallelGC")
+                     "-XX:+UseParallelGC -XX:ParallelGCThreads=2 -Xmn2g")
              .getOrCreate())
     else:
         s = get_spark(app_name=f"bench-{cores}", cores=cores,
@@ -158,7 +165,7 @@ def _worker_loop(cores: int, src: str) -> None:
     prints one JSON line per measurement; exits on "exit\\n"/EOF.
     """
     first = True
-    spark = _new_spark(cores)
+    spark = _new_spark(cores, lc=(SCALING_MODE == "local-cluster"))
     try:
         for line in sys.stdin:
             if line.strip() != "run":

@@ -47,11 +47,9 @@ def _token_spans(text: str, tokenizer: str, opts: dict, lowercase: bool):
     return spans
 
 
-def _render_fragment(text, spans, terms, start_tag, end_tag, left, right):
-    frag_hits = [(s, e) for s, e, t in spans
-                 if t in terms and s >= left and e <= right]
+def _render_fragment(text, hits, start_tag, end_tag, left, right):
     out, cur = [], left
-    for s, e in frag_hits:
+    for s, e in hits:
         out.append(text[cur:s])
         out.append(start_tag + text[s:e] + end_tag)
         cur = e
@@ -59,36 +57,42 @@ def _render_fragment(text, spans, terms, start_tag, end_tag, left, right):
     return "".join(out)
 
 
-def _fragment_windows(text, hits, max_chars):
-    """Greedy non-overlapping hit windows: each fragment starts at the
-    first uncovered hit (extended left to a whitespace boundary) and spans
-    max_chars. Returns [(n_hits, start, left, right)]."""
-    wins = []
-    i = 0
-    while i < len(hits):
-        w0 = hits[i][0]
-        left = max(0, w0 - 20)
-        while left > 0 and not text[left - 1].isspace():
-            left -= 1
-        right = min(len(text), left + max_chars)
-        n = sum(1 for h in hits if left <= h[0] and h[1] <= right)
-        wins.append((n, w0, left, right))
-        while i < len(hits) and hits[i][1] <= right:
-            i += 1
-    return wins
-
-
 def _all_fragments(text, spans, terms, start_tag, end_tag, max_chars):
-    """[(score, position, fragment)] for every hit window.  Fragment score
-    = number of matched term occurrences (the reference scores fragments
-    by summed term scores via Tantivy's SnippetGenerator,
-    projections/snippet.rs:358; hit count is the analog over one field)."""
-    hits = [s for s in spans if s[2] in terms]
-    if not hits:
+    """[(score, position, fragment)] — Tantivy SnippetGenerator
+    fragmentation, verified against the reference's pg_regress
+    ``snippets.out`` golden: fragments are cut SEQUENTIALLY at token
+    boundaries from the document start (a fragment accumulates tokens
+    while last_token.end − fragment_start ≤ max_chars; the token that
+    would overflow starts the next fragment), the rendered text spans
+    [first_token_start, last_token_end] (leading/trailing non-token
+    chars dropped), fragments with zero matched terms are discarded, and
+    fragment score = matched-occurrence count
+    (projections/snippet.rs:358)."""
+    if not spans:
         return []
-    return [(n, left, _render_fragment(text, spans, terms, start_tag,
-                                       end_tag, left, right))
-            for n, _w0, left, right in _fragment_windows(text, hits, max_chars)]
+    frags = []
+    i, n = 0, len(spans)
+    while i < n:
+        start = spans[i][0]
+        last_end = spans[i][1]
+        hits = []
+        j = i
+        while j < n and spans[j][1] - start <= max_chars:
+            if spans[j][2] in terms:
+                hits.append((spans[j][0], spans[j][1]))
+            last_end = spans[j][1]
+            j += 1
+        if j == i:  # single token wider than the budget: emit it alone
+            if spans[i][2] in terms:
+                hits.append((spans[i][0], spans[i][1]))
+            last_end = spans[i][1]
+            j = i + 1
+        if hits:
+            frags.append((len(hits), start,
+                          _render_fragment(text, hits, start_tag, end_tag,
+                                           start, last_end)))
+        i = j
+    return frags
 
 
 def _best_fragment(text, spans, terms, start_tag, end_tag, max_chars):
@@ -149,7 +153,10 @@ def snippets_udf(terms: list, tokenizer: str = "default",
                 frags.sort(key=lambda f: (-f[0], f[1]))
             out = [f[2] for f in frags]
             end = offset + limit if limit is not None else None
-            return out[offset:end] or None
+            # offset past the last fragment → empty ARRAY (reference
+            # pg_regress snippets.out prints `{}`, not NULL); only a
+            # document with no matched term at all yields NULL
+            return out[offset:end]
         return s.map(one)
 
     return _snips

@@ -1,0 +1,48 @@
+"""Direct (zero-shuffle) vs salted (shuffled) index layouts build the
+same logical index: identical search results, corpus stats, and meta."""
+
+from pyspark.sql import functions as F
+
+from sparksearch.index import build_and_save
+from sparksearch.query import ast, search
+from sparksearch.schema import IndexSchema, FieldConfig
+
+
+def _rows(idx, q):
+    return [(r["id"], round(r["score"], 4))
+            for r in search(idx, q, limit=20, columns=["id"]).collect()]
+
+
+def test_direct_and_salted_layouts_agree(spark, tmp_path):
+    from sparksearch.fixtures import mock_items
+    docs = mock_items(spark)
+    schema = IndexSchema(key_field="id",
+                         text_fields=[FieldConfig(name="description")])
+    direct = build_and_save(docs, schema, str(tmp_path / "direct"))
+    salted = build_and_save(docs, schema, str(tmp_path / "salted"),
+                            layout="salted")
+    for q in (ast.Term("description", "keyboard"),
+              ast.Parse("running shoes", field="description")):
+        assert _rows(direct, q) == _rows(salted, q)
+    d_stats = sorted(direct.corpus_stats.select("field", "term", "df")
+                     .collect())
+    s_stats = sorted(salted.corpus_stats.select("field", "term", "df")
+                     .collect())
+    assert d_stats == s_stats
+    assert direct.meta == salted.meta
+
+
+def test_direct_layout_plan_has_no_exchange(spark, tmp_path):
+    """The default write plan must not shuffle: postings go straight from
+    the tokenize stage to the bucketed files."""
+    from sparksearch.fixtures import mock_items
+    from sparksearch.index import postings_df, adaptive_buckets
+    docs = mock_items(spark)
+    schema = IndexSchema(key_field="id",
+                         text_fields=[FieldConfig(name="description")])
+    nb = adaptive_buckets(docs.count())
+    p = (postings_df(docs, schema, "local")
+         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(nb)))
+         .coalesce(4))
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

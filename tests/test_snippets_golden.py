@@ -1,0 +1,128 @@
+"""pdb.snippets golden parity.
+
+Expected strings ported from the reference's pg_regress expected output
+(tests/pg_regress/expected/snippets.out): Tantivy SnippetGenerator
+fragmentation — sequential token-boundary fragments, trailing non-token
+chars trimmed, score = matched-occurrence count, sort (score desc,
+position asc), limit/offset, offset-past-end → empty array.
+"""
+
+import pytest
+
+from sparksearch.highlight import _all_fragments, _token_spans
+
+DOCS = {
+    1: 'The quick brown fox jumps over the lazy dog. The dog is very '
+       'lazy. The fox is quick.',
+    2: 'A lazy dog is a happy dog. Dogs are the best, especially a lazy '
+       'one.',
+    3: 'Foxes and dogs are not friends. A quick fox is a clever fox.',
+    4: 'This text does not contain the search words.',
+    5: 'The lazy brown dog, and the quick red fox. The dog and fox are '
+       'here.',
+    6: 'A sentence with no matching words.',
+    7: 'A test sentence for testing. Another test sentence.',
+}
+
+
+def snips(doc_id, terms, max_chars=150, limit=None, offset=0,
+          tags=('<b>', '</b>')):
+    text = DOCS[doc_id]
+    spans = _token_spans(text, 'default', {}, True)
+    frags = _all_fragments(text, spans, set(terms), tags[0], tags[1],
+                           max_chars)
+    frags.sort(key=lambda f: (-f[0], f[1]))
+    out = [f[2] for f in frags]
+    end = offset + limit if limit is not None else None
+    return out[offset:end]
+
+
+GOLDEN = [
+    # snippets.out "Basic usage with a single keyword"
+    (1, ['lazy'], 150, None, 0,
+     ['The quick brown fox jumps over the <b>lazy</b> dog. The dog is '
+      'very <b>lazy</b>. The fox is quick']),
+    (2, ['lazy'], 150, None, 0,
+     ['A <b>lazy</b> dog is a happy dog. Dogs are the best, especially '
+      'a <b>lazy</b> one']),
+    (5, ['lazy'], 150, None, 0,
+     ['The <b>lazy</b> brown dog, and the quick red fox. The dog and '
+      'fox are here']),
+    # "Multiple keywords (OR)"
+    (1, ['fox', 'dog'], 150, None, 0,
+     ['The quick brown <b>fox</b> jumps over the lazy <b>dog</b>. The '
+      '<b>dog</b> is very lazy. The <b>fox</b> is quick']),
+    (3, ['fox', 'dog'], 150, None, 0,
+     ['Foxes and dogs are not friends. A quick <b>fox</b> is a clever '
+      '<b>fox</b>']),
+    # "Phrase search" — phrase terms highlighted individually
+    (1, ['lazy', 'dog'], 150, None, 0,
+     ['The quick brown fox jumps over the <b>lazy</b> <b>dog</b>. The '
+      '<b>dog</b> is very <b>lazy</b>. The fox is quick']),
+    # "small max_num_chars → multiple snippets per document"
+    (1, ['fox'], 25, None, 0,
+     ['The quick brown <b>fox</b> jumps', 'dog is very lazy. The <b>fox</b>']),
+    (3, ['fox'], 25, None, 0,
+     ['friends. A quick <b>fox</b> is a', 'clever <b>fox</b>']),
+    (5, ['fox'], 25, None, 0,
+     ['the quick red <b>fox</b>. The', 'dog and <b>fox</b> are here']),
+    # limit / offset / offset-past-end
+    (1, ['fox'], 25, 1, 0, ['The quick brown <b>fox</b> jumps']),
+    (1, ['fox'], 25, 1, 1, ['dog is very lazy. The <b>fox</b>']),
+    (1, ['fox'], 25, None, 2, []),
+    # max_num_chars=40 'dog' — leading zero-hit fragment discarded
+    (1, ['dog'], 40, None, 0,
+     ['<b>dog</b>. The <b>dog</b> is very lazy. The fox is']),
+    (2, ['dog'], 40, None, 0,
+     ['A lazy <b>dog</b> is a happy <b>dog</b>. Dogs are the']),
+    (5, ['dog'], 40, None, 0,
+     ['The lazy brown <b>dog</b>, and the quick red',
+      'fox. The <b>dog</b> and fox are here']),
+    (5, ['dog'], 40, 1, 1, ['fox. The <b>dog</b> and fox are here']),
+    (7, ['test'], 150, 1, 0,
+     ['A <b>test</b> sentence for testing. Another <b>test</b> sentence']),
+    (7, ['test'], 150, 1, 1, []),
+    # multi-term, max 20: score desc then position asc
+    (1, ['fox', 'dog', 'lazy', 'quick'], 20, None, 0,
+     ['The <b>quick</b> brown <b>fox</b>', '<b>dog</b>. The <b>dog</b> is very',
+      '<b>lazy</b>. The <b>fox</b> is', 'jumps over the <b>lazy</b>',
+      '<b>quick</b>']),
+    (5, ['fox', 'dog', 'lazy', 'quick'], 20, 2, 0,
+     ['<b>fox</b>. The <b>dog</b> and <b>fox</b>',
+      'The <b>lazy</b> brown <b>dog</b>']),
+    (2, ['fox', 'dog', 'lazy', 'quick'], 20, 2, 1,
+     ['happy <b>dog</b>. Dogs are', 'a <b>lazy</b> one']),
+]
+
+
+@pytest.mark.parametrize("doc_id,terms,mc,lim,off,expected", GOLDEN)
+def test_snippets_golden(doc_id, terms, mc, lim, off, expected):
+    assert snips(doc_id, terms, mc, lim, off) == expected
+
+
+def test_custom_tags_golden():
+    # snippets.out "Custom tags" (quick, <em>)
+    assert snips(1, ['quick'], tags=('<em>', '</em>')) == [
+        'The <em>quick</em> brown fox jumps over the lazy dog. The dog '
+        'is very lazy. The fox is <em>quick</em>']
+    assert snips(4, ['quick']) == []
+
+
+def test_spark_path_matches_golden(spark):
+    """End-to-end through with_snippets (parse query → term extraction →
+    pandas UDF) on the golden table."""
+    from pyspark.sql import functions as F
+    from sparksearch.highlight import with_snippets
+    from sparksearch.index import build_index
+    from sparksearch.query import ast
+    from sparksearch.schema import IndexSchema, FieldConfig
+    docs = spark.createDataFrame(sorted(DOCS.items()), "id int, content string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="content")]))
+    q = ast.Parse("fox OR dog", field="content")
+    out = {r["id"]: r["snippets"] for r in
+           with_snippets(idx, docs, q, "content", max_chars=150).collect()}
+    assert out[1] == ['The quick brown <b>fox</b> jumps over the lazy '
+                      '<b>dog</b>. The <b>dog</b> is very lazy. The '
+                      '<b>fox</b> is quick']
+    assert out[4] is None
