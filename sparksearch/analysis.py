@@ -62,7 +62,12 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
     opts = opts or {}
     if tokenizer == "json":
         # JSON field (reference json_fields, schema/mod.rs:321-323):
-        # terms are "<path>:<value-token>"; per-path position sequences.
+        # terms are "<path>:<value-token>" with DOTTED NESTED PATHS
+        # (pg_regress snippet_json_* / json goldens:
+        # metadata_jsonb.details.author.description:test); arrays expand
+        # their elements at the same path; recursion is depth-bounded
+        # (opts max_depth, default 4) with deeper objects kept as compact
+        # serialized scalars — bit-matching the JVM expression twin.
         import json as _json
         try:
             obj = _json.loads(text)
@@ -70,13 +75,33 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
             return []
         if not isinstance(obj, dict):
             return []
-        vt = opts.get("value_tokenizer", "raw")
+        vt = opts.get("value_tokenizer", "default")
+        max_depth = int(opts.get("max_depth", 4))
         out = []
-        for k, v in obj.items():
-            if not isinstance(v, str):
-                v = _json.dumps(v)
+
+        def scalar(prefix, v):
+            if v is None:
+                return
+            if isinstance(v, bool):
+                v = "true" if v else "false"
+            elif not isinstance(v, str):
+                v = _json.dumps(v, separators=(",", ":"))
             for t in py_tokenize(v, vt, None, lowercase):
-                out.append(f"{k}:{t}")
+                out.append(f"{prefix}:{t}")
+
+        def walk(prefix, v, depth):
+            if isinstance(v, dict) and depth > 0:
+                for k, vv in v.items():
+                    walk(f"{prefix}.{k}" if prefix else k, vv, depth - 1)
+            elif isinstance(v, (list, tuple)) and depth > 0:
+                for el in v:
+                    walk(prefix, el, depth - 1)
+            elif isinstance(v, (dict, list, tuple)):
+                scalar(prefix, _json.dumps(v, separators=(",", ":")))
+            else:
+                scalar(prefix, v)
+
+        walk("", obj, max_depth)
         return out
     if lowercase and tokenizer not in ("keyword", "literal", "source_code"):
         # source_code must see the original case (camelCase boundaries);
@@ -255,21 +280,49 @@ def _jvm_token_array(col: Column, cfg) -> Column:
         arr = F.when(col.isNull() | (F.length(col) == 0), F.array().cast("array<string>")) \
                .otherwise(F.array(base))
     elif tok == "json":
-        vt = opts.get("value_tokenizer", "raw")
+        # Nested-path expansion, all in codegen'd column expressions:
+        # from_json(map<string,string>) re-serializes nested objects /
+        # arrays as compact JSON strings, so recursion is a bounded
+        # expression tree (opts max_depth, default 4) — no Python on the
+        # tokenize path.  Mirrors py_tokenize's json branch bit-for-bit
+        # (arrays expand elements at the same path; beyond-depth objects
+        # become compact serialized scalars).
+        vt = opts.get("value_tokenizer", "default")
+        max_depth = int(opts.get("max_depth", 4))
+        empty = F.array().cast("array<string>")
 
         def _value_tokens(v):
             s = F.lower(v) if cfg.lowercase else v
             if vt in ("default", "simple"):
-                return F.regexp_extract_all(s, F.lit(_JAVA_WORD), 0)
-            if vt == "whitespace":
-                return F.filter(F.split(s, r"\s+"), lambda x: x != "")
-            return F.array(s)  # raw
+                toks = F.regexp_extract_all(s, F.lit(_JAVA_WORD), 0)
+            elif vt == "whitespace":
+                toks = F.filter(F.split(s, r"\s+"), lambda x: x != "")
+            else:  # raw
+                toks = F.when(v.isNull(), empty).otherwise(F.array(s))
+            return F.coalesce(toks, empty)
+
+        def _expand(vcol, path_col, depth):
+            scalar = F.transform(_value_tokens(vcol),
+                                 lambda x: F.concat(path_col, F.lit(":"), x))
+            if depth <= 0:
+                return F.coalesce(scalar, empty)
+            m_ = F.from_json(vcol, "map<string,string>")
+            a_ = F.from_json(vcol, "array<string>")
+            obj = F.flatten(F.transform(
+                F.map_entries(m_),
+                lambda e: _expand(e["value"],
+                                  F.concat(path_col, F.lit("."), e["key"]),
+                                  depth - 1)))
+            arr_ = F.flatten(F.transform(
+                a_, lambda el: _expand(el, path_col, depth - 1)))
+            return F.coalesce(
+                F.when(m_.isNotNull(), obj).when(a_.isNotNull(), arr_)
+                .otherwise(scalar), empty)
 
         m = F.from_json(col, "map<string,string>")
         arr = F.flatten(F.transform(
             F.map_entries(m),
-            lambda e: F.transform(_value_tokens(e["value"]),
-                                  lambda x: F.concat(e["key"], F.lit(":"), x))))
+            lambda e: _expand(e["value"], e["key"], max_depth - 1)))
     else:  # pragma: no cover
         raise ValueError(tok)
     return F.coalesce(arr, F.array().cast("array<string>"))

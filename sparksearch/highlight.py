@@ -213,17 +213,44 @@ def _query_terms(index, query, field: str) -> list:
     return sorted(set(out))
 
 
+def _snippet_source(index, field: str):
+    """(text Column, analyzer FieldConfig) for a snippet target — plain
+    text fields use the field column + its analyzer; JSON path refs like
+    ``metadata.details.author.description`` extract the value with
+    ``get_json_object`` and highlight with the json field's VALUE
+    tokenizer (reference pg_regress snippet_json_01_basic.out:
+    ``pdb.snippet(metadata_jsonb->'details'->'author'->>'description')``)."""
+    cfg, prefix = index.schema.resolve(field)
+    if prefix:
+        path = prefix[:-1]
+        return (F.get_json_object(F.col(cfg.name), "$." + path),
+                index.schema.value_analyzer(field))
+    return F.col(field), cfg
+
+
 def with_snippet(index, hits_df, query, field: str,
                  start_tag: str = DEFAULT_START, end_tag: str = DEFAULT_END,
                  max_chars: int = DEFAULT_MAX_CHARS,
                  out_col: str = "snippet"):
     """Add a snippet column to a top-k result (post-limit projection)."""
-    cfg = index.schema.field(field)
+    col, cfg = _snippet_source(index, field)
     from sparksearch.query.search import _as_query
     terms = _query_terms(index, _as_query(index, query), field)
     udf = snippet_udf(terms, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase,
                       start_tag, end_tag, max_chars)
-    return hits_df.withColumn(out_col, udf(F.col(field)))
+    return hits_df.withColumn(out_col, udf(col))
+
+
+def with_snippet_positions(index, hits_df, query, field: str,
+                           out_col: str = "snippet_positions"):
+    """Add a char-offset span column (``pdb.snippet_positions``) to a
+    top-k result; supports JSON path refs like the other projections."""
+    col, cfg = _snippet_source(index, field)
+    from sparksearch.query.search import _as_query
+    terms = _query_terms(index, _as_query(index, query), field)
+    udf = snippet_positions_udf(terms, cfg.tokenizer, cfg.tokenizer_opts,
+                                cfg.lowercase)
+    return hits_df.withColumn(out_col, udf(col))
 
 
 def with_snippets(index, hits_df, query, field: str,
@@ -233,10 +260,10 @@ def with_snippets(index, hits_df, query, field: str,
                   sort_by: str = "score", out_col: str = "snippets"):
     """Add a multi-fragment snippets column (``pdb.snippets``) to a top-k
     result — post-limit projection, like the single-fragment variant."""
-    cfg = index.schema.field(field)
+    col, cfg = _snippet_source(index, field)
     from sparksearch.query.search import _as_query
     terms = _query_terms(index, _as_query(index, query), field)
     udf = snippets_udf(terms, cfg.tokenizer, cfg.tokenizer_opts,
                        cfg.lowercase, start_tag, end_tag, max_chars,
                        limit, offset, sort_by)
-    return hits_df.withColumn(out_col, udf(F.col(field)))
+    return hits_df.withColumn(out_col, udf(col))

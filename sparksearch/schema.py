@@ -85,7 +85,7 @@ class IndexSchema:
         if prefix:
             return FieldConfig(name=fieldref,
                                tokenizer=cfg.tokenizer_opts.get(
-                                   "value_tokenizer", "raw"),
+                                   "value_tokenizer", "default"),
                                lowercase=cfg.lowercase)
         return cfg
 
