@@ -555,6 +555,70 @@ def q_snippet_topk(spark, sf_dir):
             .select("doc_id", "snippet"))
 
 
+def q_permissioned_topk(spark, sf_dir):
+    """Permissioned search (benchmarks/queries/join_permissioned_search.sql):
+    BM25 drives the ranking, validity of each row is restricted by a
+    semi-join against another table — scored docs ⋈ broadcast id-set
+    BEFORE the top-k cut."""
+    idx = get_documents_index(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    allowed = (e.filter(F.col("event_type") == "purchase")
+               .select(F.col("user_id").alias("doc_id")).distinct())
+    d = compile_query(idx, ast.Term("text", "data"))
+    return _score4(
+        d.join(F.broadcast(allowed), "doc_id", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+        .select("doc_id", "score"))
+
+
+def q_join_window_facet(spark, sf_dir):
+    """Multi-facet window aggregates on a join
+    (benchmarks/queries/join_aggregate_window_facet.sql): top-k join rows
+    alongside per-dimension facet counts via COUNT(*) OVER (PARTITION BY
+    dim) — keyed windows, no single-partition exchange."""
+    from pyspark.sql import Window as W
+    idx = get_documents_index(spark, sf_dir)
+    e = _t(spark, sf_dir, "events")
+    matched = compile_query(idx, ast.Term("text", "data")).select("doc_id")
+    j = e.join(F.broadcast(matched), e.user_id == matched.doc_id, "inner")
+    j = j.withColumn("type_facet",
+                     F.count("*").over(W.partitionBy("event_type")))
+    return (j.orderBy(F.col("value").desc(), F.col("event_id").asc())
+            .limit(10)
+            .select("event_id", "event_type", "type_facet",
+                    F.round("value", 4).alias("value")))
+
+
+def q_multi_index_scored_join(spark, sf_dir):
+    """Hierarchical scored join (benchmarks/queries/
+    join_hierarchical_content-scores-*.sql): BM25 scores from TWO
+    independent indexes summed across a join — pdb.score(documents) +
+    pdb.score(events) ORDER BY combined DESC."""
+    idx = get_documents_index(spark, sf_dir)
+    key = ("events", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        from sparksearch.index import build_index
+        _INDEX_CACHE[key] = build_index(
+            _t(spark, sf_dir, "events"),
+            IndexSchema(key_field="event_id",
+                        text_fields=[FieldConfig(name="props",
+                                                 tokenizer="json")]))
+    eidx = _INDEX_CACHE[key]
+    d = (compile_query(idx, ast.Term("text", "data"))
+         .select("doc_id", F.col("score").alias("dscore")))
+    es = (compile_query(eidx, ast.Term("props.k", "69"))
+          .select(F.col("doc_id").alias("event_id"),
+                  F.col("score").alias("escore")))
+    e = es.join(_t(spark, sf_dir, "events").select("event_id", "user_id"),
+                "event_id")
+    j = e.join(F.broadcast(d), e.user_id == d.doc_id, "inner")
+    return (j.withColumn("pdb_score",
+                         F.round(F.col("dscore") + F.col("escore"), 4))
+            .orderBy((F.col("dscore") + F.col("escore")).desc(),
+                     F.col("event_id").asc())
+            .limit(10).select("event_id", "doc_id", "pdb_score"))
+
+
 def q_snippet_positions(spark, sf_dir):
     """pdb.snippet_positions over the BM25 top-5 (char-offset spans of
     matched terms, projections/snippet.rs:466): exploded to one row per
@@ -909,6 +973,9 @@ QUERIES = {
     "top_hits_agg": q_top_hits_agg,
     "embedding_near_dup": q_embedding_near_dup,
     "snippet_positions": q_snippet_positions,
+    "permissioned_topk": q_permissioned_topk,
+    "join_window_facet": q_join_window_facet,
+    "multi_index_scored_join": q_multi_index_scored_join,
 }
 
 
@@ -933,6 +1000,41 @@ def oracle_sql() -> dict:
     return {
         "bm25_topk": _bm25_oracle_sql("vector", topk=10),
         "snippet_positions": _snippet_positions_oracle_sql("vector", topk=5),
+        "permissioned_topk": (
+            _bm25_base_cte("data") +
+            " SELECT doc_id, score FROM scored WHERE doc_id IN ("
+            "SELECT user_id FROM events WHERE event_type = 'purchase') "
+            "ORDER BY exact_score DESC, doc_id ASC LIMIT 10"),
+        "multi_index_scored_join": (
+            _bm25_base_cte("data") +
+            """, ev AS (
+  SELECT event_id, user_id,
+         CASE WHEN json_extract_string(props, '$.k') = '69' THEN 1 ELSE 0
+         END AS tf
+  FROM events
+), est AS (
+  SELECT count(*) AS n, sum(tf) AS df FROM ev
+), escored AS (
+  SELECT event_id, user_id,
+         ln(1 + (n - df + 0.5) / (df + 0.5)) * 2.2 * tf
+         / (tf + 1.2 * (0.25 + 0.75 * 1.0 / 1.0)) AS escore
+  FROM ev, est WHERE tf > 0
+)
+SELECT e.event_id, s.doc_id,
+       round(s.exact_score + e.escore, 4) AS pdb_score
+FROM escored e JOIN scored s ON e.user_id = s.doc_id
+ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
+        "join_window_facet": (
+            _bm25_base_cte("data") +
+            ", m AS (SELECT doc_id FROM scored), "
+            "j AS (SELECT e.event_id, e.event_type, e.value FROM events e "
+            "JOIN m ON e.user_id = m.doc_id), "
+            "w AS (SELECT event_id, event_type, "
+            "count(*) OVER (PARTITION BY event_type) AS type_facet, value "
+            "FROM j) "
+            "SELECT event_id, event_type, type_facet, "
+            "round(value, 4) AS value FROM w "
+            "ORDER BY w.value DESC, event_id ASC LIMIT 10"),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "term_count": f"SELECT count(*) AS cnt FROM documents WHERE {has('data')}",
         "conjunction": ("SELECT doc_id FROM documents WHERE "
