@@ -288,6 +288,16 @@ def q_topk_order(spark, sf_dir):
                     F.round("o_totalprice", 4).alias("price")))
 
 
+def q_paging_keyset(spark, sf_dir):
+    """Keyset paging (benchmarks/queries/paging-string-*.sql): match-all
+    + string paging token ≥ cursor, ORDER BY the token, LIMIT page —
+    the scale-safe paging pattern (no OFFSET scan)."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.filter(F.col("c_name") >= "Customer#000000700")
+            .orderBy(F.col("c_name").asc(), F.col("c_custkey").asc())
+            .limit(20).select("c_custkey", "c_name"))
+
+
 def q_join_topk(spark, sf_dir):
     """search-accelerated join + top-k analog (JoinScan, joinscan/mod.rs):
     filtered fact ⋈ broadcast dim, ORDER BY + LIMIT."""
@@ -976,6 +986,7 @@ QUERIES = {
     "permissioned_topk": q_permissioned_topk,
     "join_window_facet": q_join_window_facet,
     "multi_index_scored_join": q_multi_index_scored_join,
+    "paging_keyset": q_paging_keyset,
 }
 
 
@@ -1000,6 +1011,10 @@ def oracle_sql() -> dict:
     return {
         "bm25_topk": _bm25_oracle_sql("vector", topk=10),
         "snippet_positions": _snippet_positions_oracle_sql("vector", topk=5),
+        "paging_keyset": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_name >= 'Customer#000000700' "
+            "ORDER BY c_name ASC, c_custkey ASC LIMIT 20"),
         "permissioned_topk": (
             _bm25_base_cte("data") +
             " SELECT doc_id, score FROM scored WHERE doc_id IN ("
