@@ -225,6 +225,15 @@ def _snippet_source(index, field: str):
         path = prefix[:-1]
         return (F.get_json_object(F.col(cfg.name), "$." + path),
                 index.schema.value_analyzer(field))
+    # TEXT[] fields render space-joined, same as they index
+    # (pg_regress snippet_position_01_basic: pdb.snippet(titles))
+    from pyspark.sql.types import ArrayType
+    src = cfg.source or cfg.name
+    try:
+        if isinstance(index.docs.schema[src].dataType, ArrayType):
+            return F.concat_ws(" ", F.col(src)), cfg
+    except KeyError:
+        pass
     return F.col(field), cfg
 
 

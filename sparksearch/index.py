@@ -33,7 +33,8 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType
 
 from sparksearch.analysis import analyzer_expr, flat_token_array_expr
 from sparksearch.schema import IndexSchema, RECORD_POSITION
@@ -211,6 +212,20 @@ class SearchIndex:
             n_buckets=blob.get("n_buckets", N_TERM_BUCKETS))
 
 
+def field_text_col(docs: DataFrame, cfg) -> Column:
+    """The analyzable text column for a field.  Plain string columns pass
+    through; ``array<string>`` columns (reference TEXT[] fields, e.g.
+    pg_regress snippet_position_01_basic's ``titles TEXT[]``) are
+    space-joined so elements tokenize in document order with contiguous
+    positions, and snippet char offsets index into the joined string —
+    matching the reference's rendered form (``{{0,4},{5,12}}`` over
+    ``'test snippet function'``)."""
+    src = cfg.source or cfg.name
+    if isinstance(docs.schema[src].dataType, ArrayType):
+        return F.concat_ws(" ", F.col(src))
+    return F.col(src)
+
+
 def _exploded_tokens(docs: DataFrame, schema: IndexSchema) -> DataFrame:
     """docs → (doc_id, field, len_q, t, p), one row per token occurrence.
 
@@ -218,7 +233,7 @@ def _exploded_tokens(docs: DataFrame, schema: IndexSchema) -> DataFrame:
     when the field's analyzer preserves ordinal positions."""
     parts = []
     for cfg in schema.text_fields:
-        flat = flat_token_array_expr(F.col(cfg.source or cfg.name), cfg)
+        flat = flat_token_array_expr(field_text_col(docs, cfg), cfg)
         if flat is not None:
             base = docs.select(
                 F.col(schema.key_field).alias("doc_id"),
@@ -232,7 +247,7 @@ def _exploded_tokens(docs: DataFrame, schema: IndexSchema) -> DataFrame:
             base = docs.select(
                 F.col(schema.key_field).alias("doc_id"),
                 F.lit(cfg.name).alias("field"),
-                analyzer_expr(F.col(cfg.source or cfg.name), cfg).alias("toks"))
+                analyzer_expr(field_text_col(docs, cfg), cfg).alias("toks"))
             base = base.withColumn("len_q", quantize_len_expr(F.size("toks")))
             part = base.select(
                 "doc_id", "field", "len_q",
@@ -281,7 +296,7 @@ def postings_df(docs: DataFrame, schema: IndexSchema,
     else:
         parts = []
         for cfg in schema.text_fields:
-            flat = flat_token_array_expr(F.col(cfg.source or cfg.name), cfg)
+            flat = flat_token_array_expr(field_text_col(docs, cfg), cfg)
             if flat is not None:
                 base = docs.select(F.col(schema.key_field).alias("doc_id"),
                                    F.lit(cfg.name).alias("field"),
@@ -293,7 +308,7 @@ def postings_df(docs: DataFrame, schema: IndexSchema,
             else:
                 base = docs.select(F.col(schema.key_field).alias("doc_id"),
                                    F.lit(cfg.name).alias("field"),
-                                   analyzer_expr(F.col(cfg.source or cfg.name), cfg).alias("zipped"))
+                                   analyzer_expr(field_text_col(docs, cfg), cfg).alias("zipped"))
                 base = base.withColumn(
                     "arr", F.transform(F.col("zipped"), lambda s: s["t"]))
             base = base.withColumn("len_q", quantize_len_expr(F.size("zipped")))
@@ -366,8 +381,13 @@ def _postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
                         cols["len_q"].append(lq)
             yield pd.DataFrame(cols)
 
-    needed = [key] + sorted({c.source or c.name for c in schema.text_fields})
-    return (docs.select(*needed)
+    srcs = sorted({c.source or c.name for c in schema.text_fields})
+    # array<string> fields are space-joined before crossing into the
+    # python workers (same form the JVM analyzers see)
+    sel = [F.col(key)] + [
+        next(field_text_col(docs, c) for c in schema.text_fields
+             if (c.source or c.name) == s_).alias(s_) for s_ in srcs]
+    return (docs.select(*sel)
             .mapInPandas(gen, schema=_postings_schema_str(docs, key)))
 
 
