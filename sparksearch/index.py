@@ -2,30 +2,36 @@
 
 Reference analog: ``ambuild`` (pg_search/src/postgres/build.rs, parallel
 variant build_parallel.rs) which tokenizes every row into an LSM of
-Tantivy segments.  Spark restatement: one declarative job
+Tantivy segments.  Spark restatement (default path): one declarative job
 
-    docs → analyzer (codegen'd column exprs) → posexplode
-         → groupBy(field, term, doc_id) [partial agg map-side]
-         → postings(field, term, doc_id, tf, positions, len_q)
+    docs → analyzer (codegen'd column exprs)
+         → doc-local posting aggregation (higher-order functions —
+           tf/positions per (doc, term) built inside each row, no
+           exchange; the Spark analog of a Tantivy in-memory segment)
+         → direct bucket-partitioned parquet write (zero shuffle)
 
 plus two derived stats tables:
 
-    corpus_stats(field, term, df)        — document frequency per term
-    meta: {field: {num_docs, avg_len}}   — corpus-level BM25 stats
+    corpus_stats(field, term, df, total_tf) — per-term dictionary
+    meta: {field: {num_docs, avg_len}}      — corpus-level BM25 stats
 
 Scale design (100 TB posture):
-- Tokenization and tf/position aggregation are entirely JVM-side; the
-  only shuffle is the (field, term, doc_id) groupBy, which Spark
-  partial-aggregates map-side (ObjectHashAggregate over collect_list).
+- The build's only wide exchange is the tiny corpus-stats aggregation;
+  the postings themselves never shuffle (``layout="direct"``) — shuffle
+  traffic is memory-bandwidth demand, the first resource to saturate as
+  executors grow (measured: removing it took N→4N scaling efficiency
+  from ~0.70 to 0.83).  File hygiene at scale belongs to the layered
+  compactor, like Lucene merge policies.
 - ``len_q`` (quantized doc length) is **denormalized into the postings**
   so query-time scoring needs zero extra joins (classic Lucene keeps a
   separate norms file; a join per query is the wrong trade on Spark).
 - Persisted postings are hash-bucketed by term (``tb`` partition column)
-  so a term lookup prunes to 1/N of the files; corpus_stats is small and
-  broadcast at query time.
-- Skew (Zipfian tokens like "the") only affects the groupBy — its key
-  includes doc_id, so cardinality stays ~unique (doc, term) pairs and no
-  single reducer key explodes.  AQE skew handling covers the rest.
+  so a term lookup prunes to 1/N of the files; corpus_stats is small,
+  length-bucketed (fuzzy/prefix pruning), and broadcast at query time.
+- Skew (Zipfian tokens like "the") has no surface on the default path:
+  postings are built doc-locally and written where they are.  The
+  ``shuffle`` strategy's groupBy keys include doc_id (cardinality stays
+  ~unique (doc, term) pairs); AQE skew handling covers the rest.
 """
 
 from __future__ import annotations
