@@ -180,7 +180,7 @@ def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list) -> dict:
         hits_by_key = _top_hits_level(df, spec, [])
         return {"hits": hits_by_key.get((), [])}
     by_parent = _bucket_level(df, spec, [])
-    return {"buckets": by_parent.get((), [])}
+    return by_parent.get((), _empty_envelope(spec))
 
 
 def _top_hits_sort_cols(spec: dict) -> list:
@@ -221,6 +221,13 @@ def _top_hits_level(df: DataFrame, spec: dict, pcols: list) -> dict:
     return out
 
 
+def _empty_envelope(spec: dict) -> dict:
+    if "terms" in spec:
+        return {"buckets": [], "sum_other_doc_count": 0,
+                "doc_count_error_upper_bound": 0}
+    return {"buckets": []}
+
+
 def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
     """Compile one bucket level for ALL parent buckets at once.
 
@@ -229,7 +236,14 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
     (parents..., this key) in ONE multi-key groupBy — a single Exchange
     per nesting level regardless of bucket counts (reference:
     aggregatescan/build.rs:185-190 nested aggs).  Returns
-    {parent_key_tuple: [bucket dict, ...]}.
+    {parent_key_tuple: envelope dict} where the envelope is
+    ``{"buckets": [...]}`` plus, for terms, the ES accounting fields
+    ``sum_other_doc_count`` (docs in buckets beyond the size cap —
+    computed from a window sum over the GROUPED frame, whose cardinality
+    is the distinct-key count, not the doc count) and
+    ``doc_count_error_upper_bound`` (always 0 — the groupBy is exact,
+    unlike ES's sharded approximation; matches the reference's
+    agg-bool-terms.out which also reports 0).
     """
     kind, key_col, opts = _bucket_expr(spec)
     kd = f"__k{len(pcols)}"
@@ -262,6 +276,10 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
         oc = oc.desc() if odir == "desc" else oc.asc()
         from sparksearch.config import CONFIG
         size = int(opts.get("size", CONFIG.terms_agg_default_size))
+        # per-parent doc total over the grouped frame (cardinality =
+        # distinct keys) — feeds sum_other_doc_count
+        g = g.withColumn("__lvl_total",
+                         F.sum("doc_count").over(W.partitionBy(*pcols)))
         if pcols:
             # per-parent top-size buckets in one ranking window
             w = W.partitionBy(*pcols).orderBy(oc, F.col(kd).asc())
@@ -291,12 +309,23 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
         for sname, sspec in top_hits.items():
             th_by_parent[sname] = _top_hits_level(child, sspec, pcols + [kd])
 
+    from pyspark.sql.types import BooleanType
+    key_is_bool = isinstance(keyed.schema[kd].dataType, BooleanType)
     out: dict = {}
+    totals: dict = {}
     for r in rows:
         ptuple = tuple(r[p] for p in pcols)
         full = ptuple + (r[kd],)
-        b = {"key": _jval(r[kd]), "doc_count": r["doc_count"]}
+        if key_is_bool and r[kd] is not None:
+            # reference agg-bool-terms.out: boolean keys render 0/1 with
+            # key_as_string "false"/"true"
+            b = {"key": int(r[kd]), "doc_count": r["doc_count"],
+                 "key_as_string": "true" if r[kd] else "false"}
+        else:
+            b = {"key": _jval(r[kd]), "doc_count": r["doc_count"]}
         d = r.asDict()
+        if kind == "terms":
+            totals[ptuple] = d["__lvl_total"]
         for alias, _ in metric_exprs:
             if "." in alias:
                 top, leaf = alias.split(".", 1)
@@ -304,11 +333,19 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
             else:
                 b[alias] = {"value": _jval(d[alias])}
         for sname, by_p in child_by_parent.items():
-            b[sname] = {"buckets": by_p.get(full, [])}
+            b[sname] = by_p.get(full, _empty_envelope(sub_buckets[sname]))
         for sname, by_p in th_by_parent.items():
             b[sname] = {"hits": by_p.get(full, [])}
         out.setdefault(ptuple, []).append(b)
-    return out
+    env: dict = {}
+    for ptuple, bl in out.items():
+        e = {"buckets": bl}
+        if kind == "terms":
+            e["sum_other_doc_count"] = int(
+                totals[ptuple] - sum(x["doc_count"] for x in bl))
+            e["doc_count_error_upper_bound"] = 0
+        env[ptuple] = e
+    return env
 
 
 def _jval(v):

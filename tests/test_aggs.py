@@ -110,7 +110,9 @@ def test_nested_buckets(mock_index):
         "stock": {"terms": {"field": "in_stock"},
                   "aggs": {"cats": {"terms": {"field": "category", "size": 2}}}}})
     b = res["aggregations"]["stock"]["buckets"]
-    assert b[0]["key"] is True and b[0]["doc_count"] == 28
+    # boolean keys render 0/1 + key_as_string (agg-bool-terms.out)
+    assert b[0]["key"] == 1 and b[0]["key_as_string"] == "true"
+    assert b[0]["doc_count"] == 28
     assert len(b[0]["cats"]["buckets"]) == 2
 
 
@@ -172,3 +174,31 @@ def test_nested_aggs_job_count(mock_index, spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     n_jobs = after - before
     assert n_jobs <= 6, f"nested agg launched {n_jobs} jobs (per-bucket re-scan?)"
+
+
+def test_terms_envelope_and_boolean_keys(spark):
+    """reference agg-bool-terms.out: boolean terms buckets render key 0/1
+    + key_as_string, exact accounting fields present."""
+    from sparksearch.aggs import run_aggs
+    rows = [("quarterly report draft", "finance", True),
+            ("annual budget summary", "finance", False),
+            ("project kickoff notes", "engineering", True),
+            ("sprint retrospective", "engineering", True),
+            ("company policy update", "hr", False),
+            ("onboarding checklist", "hr", False),
+            ("architecture design doc", "engineering", False)]
+    df = spark.createDataFrame(
+        rows, "body string, category string, has_attachment boolean")
+    res = run_aggs(df, {"a": {"terms": {"field": "has_attachment",
+                                        "size": 10}}})
+    env = res["aggregations"]["a"]
+    assert env["buckets"] == [
+        {"key": 0, "doc_count": 4, "key_as_string": "false"},
+        {"key": 1, "doc_count": 3, "key_as_string": "true"}]
+    assert env["sum_other_doc_count"] == 0
+    assert env["doc_count_error_upper_bound"] == 0
+    # size cap: docs beyond the returned buckets land in sum_other
+    res2 = run_aggs(df, {"a": {"terms": {"field": "category", "size": 1}}})
+    env2 = res2["aggregations"]["a"]
+    assert env2["buckets"] == [{"key": "engineering", "doc_count": 3}]
+    assert env2["sum_other_doc_count"] == 4
