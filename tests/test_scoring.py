@@ -44,3 +44,31 @@ def test_golden_bm25_values():
 
 def test_idf_formula():
     assert idf(41, 3) == pytest.approx(math.log(12.0))
+
+
+def test_score_aggregation_golden(spark):
+    """min/max/avg over pdb.score (pg_regress agg-score.out: 8 identical
+    'keyboard' docs -> every score = ln(1 + 0.5/8.5) = 0.057158466)."""
+    from pyspark.sql import functions as F
+    from sparksearch.index import build_index
+    from sparksearch.query import ast
+    from sparksearch.query.compiler import compile_query
+    from sparksearch.schema import IndexSchema, FieldConfig
+    docs = spark.createDataFrame([(i, "keyboard") for i in range(1, 9)],
+                                 "id int, description string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="description")]))
+    d = compile_query(idx, ast.Parse("keyboard", field="description"))
+    row = d.agg(F.min("score").alias("mn"), F.max("score").alias("mx"),
+                F.avg("score").alias("av"), F.count("*").alias("n")).collect()[0]
+    assert row["n"] == 8
+    # the reference reports Tantivy's scores computed IN f32 arithmetic
+    # (intermediates rounded at every step); ours are f64 end-to-end —
+    # values agree to f32 machine epsilon (~1e-7 relative), which is the
+    # honest comparison bound
+    assert row["mn"] == pytest.approx(0.057158466, rel=2e-6)
+    assert row["mx"] == pytest.approx(0.057158466, rel=2e-6)
+    assert row["av"] == pytest.approx(0.057158466428518295, rel=2e-6)
+    assert row["mn"] == row["mx"]
+    # count with a score condition (ScoreFilter in WHERE)
+    assert d.filter(F.col("score") > 0).count() == 8
