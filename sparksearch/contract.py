@@ -288,6 +288,23 @@ def q_topk_order(spark, sf_dir):
                     F.round("o_totalprice", 4).alias("price")))
 
 
+def q_filters_agg(spark, sf_dir):
+    """ES `filters` named-bucket aggregation (reference
+    docs/documentation/aggregates/buckets — named sub-filters) through
+    the JSON agg DSL, flattened for the oracle.  First-match-wins bucket
+    assignment (short before long)."""
+    from sparksearch.aggs import run_aggs
+    docs = _t(spark, sf_dir, "documents")
+    res = run_aggs(docs, {"f": {"filters": {"filters": {
+        "short": {"range": {"n_chars": {"lt": 200}}},
+        "en": {"term": {"lang": "en"}},
+    }}, "aggs": {"chars": {"avg": {"field": "n_chars"}}}}})
+    rows = [(b["key"], b["doc_count"], round(b["chars"]["value"], 4))
+            for b in res["aggregations"]["f"]["buckets"]]
+    return spark.createDataFrame(
+        rows, "bucket string, cnt long, avg_chars double")
+
+
 def q_paging_keyset(spark, sf_dir):
     """Keyset paging (benchmarks/queries/paging-string-*.sql): match-all
     + string paging token ≥ cursor, ORDER BY the token, LIMIT page —
@@ -987,6 +1004,7 @@ QUERIES = {
     "join_window_facet": q_join_window_facet,
     "multi_index_scored_join": q_multi_index_scored_join,
     "paging_keyset": q_paging_keyset,
+    "filters_agg": q_filters_agg,
 }
 
 
@@ -1011,6 +1029,13 @@ def oracle_sql() -> dict:
     return {
         "bm25_topk": _bm25_oracle_sql("vector", topk=10),
         "snippet_positions": _snippet_positions_oracle_sql("vector", topk=5),
+        "filters_agg": (
+            "WITH k AS (SELECT CASE WHEN n_chars < 200 THEN 'short' "
+            "WHEN lang = 'en' THEN 'en' END AS bucket, n_chars "
+            "FROM documents) "
+            "SELECT bucket, count(*) AS cnt, "
+            "round(avg(n_chars), 4) AS avg_chars FROM k "
+            "WHERE bucket IS NOT NULL GROUP BY bucket"),
         "paging_keyset": (
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_name >= 'Customer#000000700' "
