@@ -106,6 +106,51 @@ FROM h, unnest(list_filter(range(1, greatest(len(t) - {n - 2}, 1)), i ->
        OR NOT regexp_matches(substr(t, i + {n}, 1), '[a-z0-9]')))) AS u(i)"""
 
 
+def _snippet_oracle_sql(term: str = "vector", topk: int = 5) -> str:
+    """Single-fragment snippet string twin: fragment spans first to last
+    token; each boundary-checked ``term`` occurrence wrapped in <b></b>;
+    pieces assembled with a lag window + ordered string_agg."""
+    n = len(term)
+    base = _bm25_base_cte(term)
+    return base + f""", top5 AS (
+  SELECT doc_id FROM scored ORDER BY exact_score DESC, doc_id ASC LIMIT {topk}
+), h AS (
+  SELECT d.doc_id, d.text, lower(d.text) AS t
+  FROM documents d JOIN top5 USING (doc_id)
+), b AS (
+  SELECT doc_id,
+    list_min(list_filter(range(1, len(t) + 1),
+      i -> regexp_matches(substr(t, i, 1), '[a-z0-9]'))) - 1 AS fs,
+    list_max(list_filter(range(1, len(t) + 1),
+      i -> regexp_matches(substr(t, i, 1), '[a-z0-9]'))) AS fe
+  FROM h
+), occ AS (
+  SELECT doc_id, i - 1 AS s, i + {n - 1} AS e
+  FROM h, unnest(list_filter(range(1, greatest(len(t) - {n - 2}, 1)), i ->
+    substr(t, i, {n}) = '{term}'
+    AND (i = 1 OR NOT regexp_matches(substr(t, i - 1, 1), '[a-z0-9]'))
+    AND (i + {n} > len(t)
+         OR NOT regexp_matches(substr(t, i + {n}, 1), '[a-z0-9]')))) AS u(i)
+), w AS (
+  SELECT doc_id, s, e,
+         lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+  FROM occ
+), agg AS (
+  SELECT w.doc_id,
+    string_agg(
+      substr(h.text, coalesce(w.pe, b.fs) + 1, w.s - coalesce(w.pe, b.fs))
+      || '<b>' || substr(h.text, w.s + 1, w.e - w.s) || '</b>',
+      '' ORDER BY w.s) AS body,
+    max(w.e) AS last_e
+  FROM w JOIN h USING (doc_id) JOIN b USING (doc_id)
+  GROUP BY w.doc_id
+)
+SELECT agg.doc_id,
+       agg.body || substr(h.text, agg.last_e + 1, b.fe - agg.last_e)
+         AS snippet
+FROM agg JOIN h USING (doc_id) JOIN b USING (doc_id)"""
+
+
 def _lsh_ann_oracle_sql(n_planes: int = 16, bands: int = 4, seed: int = 29,
                         dim: int = 64, k: int = 10) -> str:
     """SQL twin of the persisted LSH-ANN probe: the seeded hyperplanes are
@@ -571,14 +616,18 @@ def q_lsh_ann_topk(spark, sf_dir):
 
 
 def q_snippet_topk(spark, sf_dir):
-    """pdb.snippet over the BM25 top-k (rows-only; golden-tested in
-    tests/test_highlight_hybrid.py)."""
+    """pdb.snippet over the BM25 top-5 with max_num_chars=1000 — every
+    top doc fits in ONE fragment, so the DuckDB oracle can rebuild the
+    highlighted string exactly (fragment = [first_token_start,
+    last_token_end], each occurrence wrapped).  Multi-fragment selection
+    is golden-tested against pg_regress snippets.out in
+    tests/test_snippets_golden.py."""
     from sparksearch.highlight import with_snippet
     from sparksearch.query.search import search
     idx = get_documents_index(spark, sf_dir)
     q = ast.Term("text", "vector")
     hits = search(idx, q, limit=5, columns=["doc_id", "text"])
-    return (with_snippet(idx, hits, q, "text")
+    return (with_snippet(idx, hits, q, "text", max_chars=1000)
             .select("doc_id", "snippet"))
 
 
@@ -1029,6 +1078,7 @@ def oracle_sql() -> dict:
     return {
         "bm25_topk": _bm25_oracle_sql("vector", topk=10),
         "snippet_positions": _snippet_positions_oracle_sql("vector", topk=5),
+        "snippet_topk": _snippet_oracle_sql("vector", topk=5),
         "filters_agg": (
             "WITH k AS (SELECT CASE WHEN n_chars < 200 THEN 'short' "
             "WHEN lang = 'en' THEN 'en' END AS bucket, n_chars "
