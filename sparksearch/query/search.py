@@ -24,6 +24,17 @@ def _as_query(index, query):
     return query
 
 
+def _dir(col, direction: str):
+    """Sort expression with the REFERENCE's (Postgres) null placement
+    defaults — ASC → NULLS LAST, DESC → NULLS FIRST (pg_regress
+    nulls_ordering.out) — which are the OPPOSITE of Spark's ASC default.
+    Explicit ``"asc nulls first"`` / ``"desc nulls last"`` override."""
+    d = direction.lower().replace("_", " ")
+    if d.startswith("desc"):
+        return col.desc_nulls_last() if "last" in d else col.desc_nulls_first()
+    return col.asc_nulls_first() if "first" in d else col.asc_nulls_last()
+
+
 def search(index, query, limit: int | None = None, offset: int = 0,
            order_by=None, columns=None, with_score: bool = True,
            score_alias: str = "score") -> DataFrame:
@@ -50,7 +61,7 @@ def search(index, query, limit: int | None = None, offset: int = 0,
     sort_exprs = []
     for c, direction in order_by:
         col = F.col("doc_id") if c == key else F.col(c)
-        sort_exprs.append(col.desc() if direction == "desc" else col.asc())
+        sort_exprs.append(_dir(col, direction))
 
     if limit is not None:
         narrow = narrow.orderBy(*sort_exprs).limit(limit + offset)
@@ -76,7 +87,7 @@ def search(index, query, limit: int | None = None, offset: int = 0,
             col = F.col(key)
         else:
             col = F.col(c)
-        final_sort.append(col.desc() if direction == "desc" else col.asc())
+        final_sort.append(_dir(col, direction))
     sel = out_cols + ([score_alias] if with_score else [])
     return hits.select(*sel).orderBy(*final_sort)
 
