@@ -230,3 +230,22 @@ def test_proximity_regress_goldens(prox_index):
     assert _prox_ids(prox_index, P("text", "z", 24, "a")) == {1}
     assert _prox_ids(prox_index, P("text", "z", 24, "a",
                                    ordered=True)) == set()
+
+
+def test_phrase_tokenization_golden(spark):
+    """expected/phrase_tokenization.out: phrase terms normalize through
+    the field analyzer at query time ('BANANA' matches 'banana'), slop=2
+    allows one intervening token."""
+    from sparksearch.index import build_index
+    from sparksearch.query import ast, search
+    from sparksearch.schema import IndexSchema, FieldConfig
+    docs = spark.createDataFrame([
+        (1, 'apple, with, banana'), (2, 'Banana with Cherry'),
+        (3, 'Cherry, strawberry'), (4, 'apple, cherry, banana')],
+        "id int, flavour string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="flavour")]))
+    got = [r["flavour"] for r in
+           search(idx, ast.Phrase("flavour", ["apple", "BANANA"], slop=2),
+                  columns=["flavour"], order_by=[("id", "asc")]).collect()]
+    assert got == ['apple, with, banana', 'apple, cherry, banana']
