@@ -514,7 +514,26 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
                  "avg_len": (totals[f"t_{i}"] or 0) / max(n_total, 1)}
             for i, f_ in enumerate(fields)}
     if save_docs:
-        docs.write.mode("overwrite").parquet(f"{path}/docs")
+        out = docs
+        sb = (schema.sort_by or "").strip().lower()
+        if sb and sb != "none":
+            # reference sort_by segment pre-sorting (sort_by.out):
+            # range-partition + in-partition sort so every parquet
+            # row-group covers a disjoint key range — ORDER BY/keyset
+            # scans prune on row-group min/max stats
+            parts = sb.split()
+            col = F.col(parts[0])
+            desc = len(parts) > 1 and parts[1] == "desc"
+            if "first" in parts:
+                expr = col.desc_nulls_first() if desc else col.asc_nulls_first()
+            elif desc:
+                expr = col.desc_nulls_first()
+            else:
+                expr = col.asc_nulls_last()
+            out = (docs.repartitionByRange(
+                max(docs.sparkSession.sparkContext.defaultParallelism, 1),
+                expr).sortWithinPartitions(expr))
+        out.write.mode("overwrite").parquet(f"{path}/docs")
     with open(f"{path}/meta.json", "w") as fh:
         json.dump({"meta": meta, "key_field": schema.key_field,
                    "n_buckets": nb,

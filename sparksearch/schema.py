@@ -56,6 +56,14 @@ class IndexSchema:
     key_field: str
     text_fields: list  # list[FieldConfig]
     name: str = "search_idx"
+    # reference ``sort_by='col ASC NULLS FIRST'`` (sort_by.out: Tantivy
+    # segment pre-sorting for early-terminating ORDER BY scans).  Spark
+    # analog: the saved docs table is range-partitioned + sorted within
+    # partitions on this field, so parquet row-group min/max stats serve
+    # ORDER BY ... LIMIT and keyset-paging range pruning.  Accepts
+    # "col", "col asc", "col desc nulls last", or "none"
+    # (case-insensitive, like the reference).
+    sort_by: str | None = None
 
     def field(self, name: str) -> FieldConfig:
         for f in self.text_fields:

@@ -46,3 +46,34 @@ def test_direct_layout_plan_has_no_exchange(spark, tmp_path):
          .coalesce(4))
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_sort_by_segment_presorting(spark, tmp_path):
+    """reference sort_by (sort_by.out): saved docs are range-partitioned
+    and sorted, so each parquet file covers a disjoint key range."""
+    import glob
+    from sparksearch.fixtures import mock_items
+    docs = mock_items(spark)
+    schema = IndexSchema(key_field="id",
+                         text_fields=[FieldConfig(name="description")],
+                         sort_by="rating ASC NULLS FIRST")
+    build_and_save(docs, schema, str(tmp_path / "sorted"), save_docs=True)
+    files = sorted(glob.glob(str(tmp_path / "sorted/docs/part-*.parquet")))
+    assert files
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f).select("rating").toPandas()
+        if len(pdf):
+            vals = pdf["rating"].tolist()
+            assert vals == sorted(vals, key=lambda v: (v is not None, v))
+            ranges.append((min(v for v in vals if v is not None),
+                           max(v for v in vals if v is not None)))
+    # disjoint (or touching) ranges across files in order
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo
+    # round-trip: the reloaded index still answers queries
+    from sparksearch.index import SearchIndex
+    idx = SearchIndex.load(spark, str(tmp_path / "sorted"), schema)
+    from sparksearch.query import ast, search
+    assert search(idx, ast.Term("description", "keyboard"),
+                  limit=5).count() > 0
