@@ -200,6 +200,16 @@ class _Compiler:
         return self._attr_filter(cond)
 
     def _c_exists(self, node: ast.Exists) -> DataFrame:
+        # JSON path refs (paradedb.exists('metadata.category'),
+        # json_groupby_orderby_limit.out) test the extracted value
+        try:
+            cfg, prefix = self.index.schema.resolve(node.field)
+        except KeyError:
+            cfg, prefix = None, ""
+        if prefix:
+            return self._attr_filter(
+                F.get_json_object(F.col(cfg.name),
+                                  "$." + prefix[:-1]).isNotNull())
         return self._attr_filter(F.col(node.field).isNotNull())
 
     # -- ltree hierarchy ops (customscan/pushdown.rs:36-122) --------------

@@ -76,3 +76,21 @@ def test_json_default_value_tokenizer_word_splits():
     # reference default: json values are word-split (not raw strings)
     toks = py_tokenize('{"a": "A test author"}', "json", {}, True)
     assert toks == ["a:a", "a:test", "a:author"]
+
+
+def test_exists_on_json_path(spark):
+    """paradedb.exists over a nested json path + GROUP BY json value with
+    ORDER/LIMIT (json_groupby_orderby_limit.out shape)."""
+    from pyspark.sql import functions as F
+    from sparksearch.query.compiler import compile_query
+    docs, idx = _index(spark)
+    d = compile_query(idx, ast.Exists("metadata_jsonb.details.author.description"))
+    assert [r["doc_id"] for r in d.collect()] == [1]
+    # group-by json value over exists-filtered docs, order/limit
+    j = (compile_query(idx, ast.Exists("metadata_jsonb.id"))
+         .join(docs, F.col("doc_id") == docs.id)
+         .groupBy(F.get_json_object("metadata_jsonb", "$.id").alias("k"))
+         .agg(F.count("*").alias("cnt"))
+         .orderBy("k").limit(5))
+    assert [(r["k"], r["cnt"]) for r in j.collect()] == \
+        [("1", 1), ("2", 1), ("3", 1)]
