@@ -190,8 +190,26 @@ class _Compiler:
                 .select(F.col(self.key).alias("doc_id"),
                         F.lit(float(score)).alias("score")))
 
+    def _attr_col(self, field: str) -> tuple:
+        """(Column, is_json_path) for attribute predicates — JSON path
+        refs (``metadata.attributes.quantity``) extract the value with
+        get_json_object; plain columns pass through."""
+        try:
+            cfg, prefix = self.index.schema.resolve(field)
+        except KeyError:
+            return F.col(field), False
+        if prefix:
+            return (F.get_json_object(F.col(cfg.name), "$." + prefix[:-1]),
+                    True)
+        return F.col(field), False
+
     def _c_range(self, node: ast.Range) -> DataFrame:
-        c = F.col(node.field)
+        c, is_json = self._attr_col(node.field)
+        if is_json and isinstance(
+                node.lower if node.lower is not None else node.upper,
+                (int, float)):
+            # json numeric paths compare numerically, not lexically
+            c = c.cast("double")
         cond = F.lit(True)
         if node.lower is not None:
             cond = cond & (c >= node.lower if node.lower_inclusive else c > node.lower)
@@ -202,15 +220,8 @@ class _Compiler:
     def _c_exists(self, node: ast.Exists) -> DataFrame:
         # JSON path refs (paradedb.exists('metadata.category'),
         # json_groupby_orderby_limit.out) test the extracted value
-        try:
-            cfg, prefix = self.index.schema.resolve(node.field)
-        except KeyError:
-            cfg, prefix = None, ""
-        if prefix:
-            return self._attr_filter(
-                F.get_json_object(F.col(cfg.name),
-                                  "$." + prefix[:-1]).isNotNull())
-        return self._attr_filter(F.col(node.field).isNotNull())
+        c, _ = self._attr_col(node.field)
+        return self._attr_filter(c.isNotNull())
 
     # -- ltree hierarchy ops (customscan/pushdown.rs:36-122) --------------
     def _c_ltreedescendant(self, node: ast.LtreeDescendant) -> DataFrame:

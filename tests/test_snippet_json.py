@@ -94,3 +94,17 @@ def test_exists_on_json_path(spark):
          .orderBy("k").limit(5))
     assert [(r["k"], r["cnt"]) for r in j.collect()] == \
         [("1", 1), ("2", 1), ("3", 1)]
+
+
+def test_range_on_json_numeric_path(spark):
+    """range over a nested json numeric path compares numerically
+    (reference json fast-field range; '100' > '50' lexically is false,
+    numerically true)."""
+    from sparksearch.query.compiler import compile_query
+    docs, idx = _index(spark)
+    d = compile_query(idx, ast.Range("metadata_jsonb.details.stats.views",
+                                     lower=50, lower_inclusive=False))
+    assert [r["doc_id"] for r in d.collect()] == [1]  # views=100
+    d2 = compile_query(idx, ast.Range("metadata_jsonb.details.stats.views",
+                                      upper=50))
+    assert [r["doc_id"] for r in d2.collect()] == []
