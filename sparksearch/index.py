@@ -227,6 +227,12 @@ def field_text_col(docs: DataFrame, cfg) -> Column:
     matching the reference's rendered form (``{{0,4},{5,12}}`` over
     ``'test snippet function'``)."""
     src = cfg.source or cfg.name
+    if src not in docs.columns:
+        # indexed EXPRESSION source (reference: CREATE INDEX ... USING
+        # bm25 (id, (lower(description)::pdb.literal)),
+        # aliased_text_expression_topk_orderby.out) — any Spark SQL
+        # expression over the doc row
+        return F.expr(src)
     if isinstance(docs.schema[src].dataType, ArrayType):
         return F.concat_ws(" ", F.col(src))
     return F.col(src)

@@ -55,7 +55,12 @@ def search(index, query, limit: int | None = None, offset: int = 0,
 
     narrow = scores
     if doc_sort_cols:
-        nd = index.docs.select(F.col(key).alias("doc_id"), *doc_sort_cols)
+        # sort keys may be SQL expressions over the doc row, e.g.
+        # "lower(description)" (aliased_text_expression_topk_orderby.out)
+        nd = index.docs.select(
+            F.col(key).alias("doc_id"),
+            *[(F.col(c) if c in index.docs.columns
+               else F.expr(c)).alias(c) for c in doc_sort_cols])
         narrow = scores.join(nd, "doc_id")
 
     sort_exprs = []
@@ -85,8 +90,10 @@ def search(index, query, limit: int | None = None, offset: int = 0,
             col = F.col(score_alias)
         elif c == "doc_id":
             col = F.col(key)
-        else:
+        elif c in index.docs.columns:
             col = F.col(c)
+        else:
+            col = F.expr(c)
         final_sort.append(_dir(col, direction))
     sel = out_cols + ([score_alias] if with_score else [])
     return hits.select(*sel).orderBy(*final_sort)

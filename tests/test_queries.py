@@ -265,3 +265,25 @@ def test_phrase_requires_positions(spark):
         compile_query(idx, ast.Phrase("body", ["alpha", "beta"]))
     with _pytest.raises(ValueError, match="position"):
         compile_query(idx, ast.Proximity("body", "alpha", "gamma", 2))
+
+
+def test_expression_source_field_and_sort(spark):
+    """Indexed expression source + ORDER BY an expression
+    (aliased_text_expression_topk_orderby.out): lower(description) as a
+    literal field; match disjunction then sort by the expression."""
+    from sparksearch.fixtures import mock_items
+    from sparksearch.index import build_index
+    from sparksearch.query.search import search
+    from sparksearch.schema import IndexSchema, FieldConfig
+    docs = mock_items(spark)
+    # the golden aliases `description` to the lowered-literal expression:
+    # a match against it is a whole-string literal term, so the
+    # disjunction 'sleek running shoes' hits exactly one row
+    idx = build_index(docs, IndexSchema(key_field="id", text_fields=[
+        FieldConfig(name="description", source="lower(description)",
+                    tokenizer="literal", lowercase=False)]))
+    rows = search(idx, ast.Term("description", "sleek running shoes"),
+                  limit=5, order_by=[("lower(description)", "asc")],
+                  columns=["description", "rating"]).collect()
+    assert [(r["description"], r["rating"]) for r in rows] == \
+        [("Sleek running shoes", 5)]
