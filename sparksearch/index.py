@@ -420,9 +420,19 @@ def corpus_stats_df(postings: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf")))
 
 
+def _apply_predicate(docs: DataFrame, schema: IndexSchema) -> DataFrame:
+    """Partial-index restriction (reference ``CREATE INDEX ... WHERE``):
+    only predicate-matching rows are indexed, so BM25 stats and results
+    all reflect the partial corpus (partial_index_gating.out)."""
+    if schema.predicate:
+        return docs.filter(F.expr(schema.predicate))
+    return docs
+
+
 def build_index(docs: DataFrame, schema: IndexSchema,
                 cache: bool = True, strategy: str = "local") -> SearchIndex:
     """Build the inverted index in memory (reference: ambuild / build.rs)."""
+    docs = _apply_predicate(docs, schema)
     spark = docs.sparkSession
     postings = postings_df(docs, schema, strategy)
     if cache:
@@ -489,6 +499,7 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
     doc-salted writer (fewest, largest files per bucket) for one-shot
     bulk loads where no compactor will ever run."""
     from pyspark.sql import Observation
+    docs = _apply_predicate(docs, schema)
     spark = docs.sparkSession
     n_total = docs.count()
     nb = adaptive_buckets(n_total)

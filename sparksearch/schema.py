@@ -64,6 +64,11 @@ class IndexSchema:
     # "col", "col asc", "col desc nulls last", or "none"
     # (case-insensitive, like the reference).
     sort_by: str | None = None
+    # partial index (reference ``CREATE INDEX ... WHERE predicate``,
+    # partial_index_gating.out): only rows satisfying the predicate are
+    # indexed — BM25 stats, counts, and search results all reflect the
+    # partial corpus.  Any Spark SQL boolean expression over the doc row.
+    predicate: str | None = None
 
     def field(self, name: str) -> FieldConfig:
         for f in self.text_fields:

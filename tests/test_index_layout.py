@@ -77,3 +77,27 @@ def test_sort_by_segment_presorting(spark, tmp_path):
     from sparksearch.query import ast, search
     assert search(idx, ast.Term("description", "keyboard"),
                   limit=5).count() > 0
+
+
+def test_partial_index_predicate(spark):
+    """reference partial index (partial_index_gating.out): only
+    predicate-matching rows are indexed; counts and BM25 stats reflect
+    the partial corpus."""
+    from pyspark.sql import functions as F
+    from sparksearch.index import build_index
+    from sparksearch.query import ast
+    from sparksearch.query.compiler import compile_query
+    rows = [(g, ['a', 'b', 'c'][g % 3], g % 2 == 0) for g in range(1, 901)]
+    docs = spark.createDataFrame(rows, "id int, category string, active boolean")
+    full = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="category")]))
+    part = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="category")],
+        predicate="active"))
+    n_full = compile_query(full, ast.Term("category", "a")).count()
+    n_part = compile_query(part, ast.Term("category", "a")).count()
+    assert n_full == 300
+    assert n_part == docs.filter("active AND category = 'a'").count()
+    # stats reflect the partial corpus, not the full table
+    assert part.num_docs("category") == 450
+    assert part.docs.count() == 450
