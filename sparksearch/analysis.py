@@ -132,7 +132,16 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
 
 
 def _py_ngram(text: str, lo: int, hi: int, prefix_only: bool) -> list[str]:
-    # char n-grams over the whole string (tantivy ngram.rs semantics)
+    # char n-grams over the whole string (tantivy ngram.rs semantics:
+    # spaces are ordinary chars and appear inside grams).  \x00 marks an
+    # array-element boundary (index.field_text_col): each segment grams
+    # separately — Tantivy never emits grams spanning two array values
+    # (ngram-text-array.out).
+    if "\x00" in text:
+        out = []
+        for seg in text.split("\x00"):
+            out.extend(_py_ngram(seg, lo, hi, prefix_only))
+        return out
     out = []
     n = len(text)
     starts = [0] if prefix_only else range(n)

@@ -234,7 +234,14 @@ def field_text_col(docs: DataFrame, cfg) -> Column:
         # expression over the doc row
         return F.expr(src)
     if isinstance(docs.schema[src].dataType, ArrayType):
-        return F.concat_ws(" ", F.col(src))
+        # word tokenizers: a space join is token-identical to per-element
+        # tokenization.  char-ngram tokenizers gram RAW chars (spaces
+        # included), so a space join would fabricate grams spanning two
+        # elements (Tantivy grams each array value separately,
+        # ngram-text-array.out) — join with \x00, which the ngram
+        # tokenizers treat as a segment boundary.
+        sep = "\x00" if cfg.tokenizer in ("ngram", "edge_ngram") else " "
+        return F.concat_ws(sep, F.col(src))
     return F.col(src)
 
 

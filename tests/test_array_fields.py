@@ -68,3 +68,44 @@ def test_array_field_cross_field_isolation(spark):
                   columns=["id"]).count() == 0
     assert search(idx, ast.Term("content", "multiple"), limit=10,
                   columns=["id"]).count() == 1
+
+
+def test_ngram_over_array_elements(spark):
+    """ngram match on TEXT[] (ngram-text-array.out): grams include
+    spaces WITHIN an element but never span two elements; multi-word
+    conjunction match requires the words adjacent in one element."""
+    from sparksearch.query import ast
+    rows = [
+        (1, ['The Dragon Hatchling', 'A Tale of Fire', 'Wings of Gold']),
+        (2, ['PostgreSQL Database Guide', 'SQL for Beginners',
+             'Advanced Queries']),
+        (3, ['The Hatchling Returns', 'Dragon Slayer', 'Fire and Ice']),
+        (4, ['Cooking with Dragon Fruit', 'Hatchling Care Guide']),
+        (5, ['Mystery at the Library', 'The Lost Book', 'Hidden Pages']),
+        (6, ['Science of Flight', 'Bird Watching 101', 'Wings and Feathers']),
+        (7, ['Database Internals', 'Index Structures', 'B-Tree Deep Dive']),
+        (8, ['The Dragon Chronicles', 'Rise of the Phoenix',
+             'Ancient Legends']),
+    ]
+    docs = spark.createDataFrame(rows, "id int, all_titles array<string>")
+    idx = build_index(docs, IndexSchema(key_field="id", text_fields=[
+        FieldConfig(name="all_titles"),
+        FieldConfig(name="all_titles_ngram", source="all_titles",
+                    tokenizer="ngram",
+                    tokenizer_opts={"min_gram": 4, "max_gram": 4,
+                                    "prefix_only": False})]))
+    # Test 1: single word, conjunction over its grams -> ids 1, 3, 4, 8
+    got = sorted(r["id"] for r in
+                 search(idx, ast.Match("all_titles_ngram", "Dragon",
+                                       conjunction_mode=True),
+                        columns=["id"]).collect())
+    assert got == [1, 3, 4, 8]
+    # Test 2: 'Dragon Hatchling' grams include space-spanning grams, so
+    # only the doc with the words adjacent IN ONE ELEMENT matches; doc 3
+    # has both words in separate elements and must NOT match
+    got2 = sorted(r["id"] for r in
+                  search(idx, ast.Match("all_titles_ngram",
+                                        "Dragon Hatchling",
+                                        conjunction_mode=True),
+                         columns=["id"]).collect())
+    assert got2 == [1]
