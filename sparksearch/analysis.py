@@ -295,7 +295,15 @@ def _jvm_token_array(col: Column, cfg) -> Column:
         # expression tree (opts max_depth, default 4) — no Python on the
         # tokenize path.  Mirrors py_tokenize's json branch bit-for-bit
         # (arrays expand elements at the same path; beyond-depth objects
-        # become compact serialized scalars).
+        # become compact serialized scalars).  Whether a value is
+        # STRUCTURAL (object/array) vs a scalar string whose text merely
+        # parses as JSON (e.g. {"note": "{\"a\":1}"}) cannot be decided
+        # from the re-serialized string — both render identically — so a
+        # parallel from_json(map<string,variant>) parse carries the
+        # type-faithful value and schema_of_variant() gates recursion,
+        # matching py_tokenize's isinstance(dict/list) walk.  Rendering
+        # still uses the string map (Jackson preserves key order, like
+        # json.dumps; variant to_json would sort keys).
         vt = opts.get("value_tokenizer", "default")
         max_depth = int(opts.get("max_depth", 4))
         empty = F.array().cast("array<string>")
@@ -310,28 +318,35 @@ def _jvm_token_array(col: Column, cfg) -> Column:
                 toks = F.when(v.isNull(), empty).otherwise(F.array(s))
             return F.coalesce(toks, empty)
 
-        def _expand(vcol, path_col, depth):
+        def _expand(vcol, var, path_col, depth):
             scalar = F.transform(_value_tokens(vcol),
                                  lambda x: F.concat(path_col, F.lit(":"), x))
             if depth <= 0:
                 return F.coalesce(scalar, empty)
+            sv = F.schema_of_variant(var)
             m_ = F.from_json(vcol, "map<string,string>")
+            mv = F.from_json(vcol, "map<string,variant>")
             a_ = F.from_json(vcol, "array<string>")
+            av = F.from_json(vcol, "array<variant>")
             obj = F.flatten(F.transform(
                 F.map_entries(m_),
-                lambda e: _expand(e["value"],
+                lambda e: _expand(e["value"], F.element_at(mv, e["key"]),
                                   F.concat(path_col, F.lit("."), e["key"]),
                                   depth - 1)))
             arr_ = F.flatten(F.transform(
-                a_, lambda el: _expand(el, path_col, depth - 1)))
+                a_, lambda el, i: _expand(el, F.element_at(av, i + 1),
+                                          path_col, depth - 1)))
             return F.coalesce(
-                F.when(m_.isNotNull(), obj).when(a_.isNotNull(), arr_)
+                F.when(sv.startswith("OBJECT") & m_.isNotNull(), obj)
+                .when(sv.startswith("ARRAY") & a_.isNotNull(), arr_)
                 .otherwise(scalar), empty)
 
         m = F.from_json(col, "map<string,string>")
+        mv0 = F.from_json(col, "map<string,variant>")
         arr = F.flatten(F.transform(
             F.map_entries(m),
-            lambda e: _expand(e["value"], e["key"], max_depth - 1)))
+            lambda e: _expand(e["value"], F.element_at(mv0, e["key"]),
+                              e["key"], max_depth - 1)))
     else:  # pragma: no cover
         raise ValueError(tok)
     return F.coalesce(arr, F.array().cast("array<string>"))

@@ -158,9 +158,13 @@ class SearchIndex:
         """
         scan = self.corpus_stats.filter(F.col("field") == field)
         if prefix:
-            # dictionary-order range prune: prefix <= term < prefix+￿
+            # startswith is the truth; the >= bound is a pruning hint the
+            # parquet scan can push down.  No upper range bound — Spark
+            # compares UTF-8 bytes, where U+FFFF sorts BELOW the
+            # supplementary planes, so `term < prefix + '￿'` would
+            # drop terms whose char right after the prefix is U+10000+.
             scan = scan.filter((F.col("term") >= prefix)
-                               & (F.col("term") < prefix + "￿"))
+                               & F.col("term").startswith(prefix))
             if length_range is None:
                 length_range = (len(prefix), None)
         if length_range is not None and "tl" in scan.columns:
@@ -374,7 +378,7 @@ def _postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
     from sparksearch.scoring import quantize_len
     from sparksearch.schema import RECORD_POSITION as _RP
 
-    cfgs = [(c.name, c.source or c.name, c, c.record == _RP)
+    cfgs = [(c.name, f"__txt_{c.name}", c, c.record == _RP)
             for c in schema.text_fields]
     key = schema.key_field
 
@@ -400,12 +404,13 @@ def _postings_arrow(docs: DataFrame, schema: IndexSchema) -> DataFrame:
                         cols["len_q"].append(lq)
             yield pd.DataFrame(cols)
 
-    srcs = sorted({c.source or c.name for c in schema.text_fields})
-    # array<string> fields are space-joined before crossing into the
-    # python workers (same form the JVM analyzers see)
+    # One rendered column PER FIELD, not per source: array<string>
+    # columns join with a tokenizer-dependent separator (\x00 segments
+    # for ngram tokenizers vs space for word tokenizers), so two fields
+    # sharing one source can need different renderings of it.
     sel = [F.col(key)] + [
-        next(field_text_col(docs, c) for c in schema.text_fields
-             if (c.source or c.name) == s_).alias(s_) for s_ in srcs]
+        field_text_col(docs, c).alias(f"__txt_{c.name}")
+        for c in schema.text_fields]
     return (docs.select(*sel)
             .mapInPandas(gen, schema=_postings_schema_str(docs, key)))
 

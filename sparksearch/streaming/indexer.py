@@ -318,19 +318,32 @@ def _merge_into_segment(spark: SparkSession, index_path: str, segs: list,
                        spark.read.parquet(f"{merged}/postings")),
                    "fields": {f_: {"total_len": t} for f_, t in totals.items()}},
                   fh)
-    os.rename(merged, final)
-
-    # commit point: swap the manifest. The new dir carries no commit
-    # marker yet, so marker-scan readers can't see old + new together if
-    # we crash right before this line; manifest readers flip atomically.
+    # Two-phase commit (Iceberg pending-snapshot pattern).  Phase 1
+    # pre-declares out_name in the manifest's RETIRED set ("known, not
+    # live"): the marker-union rule in _committed_segments only surfaces
+    # marker-committed dirs the manifest does NOT know, so the new dir
+    # can carry its commit marker from the moment it appears at its
+    # final path without manifest readers ever seeing old + new
+    # together.  The marker is written BEFORE the rename, so there is no
+    # crash window leaving a manifest-live segment unmarked — a
+    # manifest-less fallback reader (deleted/corrupt manifest) never
+    # drops the merged segment, which after source cleanup may be the
+    # only copy.
     merged_names = {os.path.basename(s) for s in segs}
     live_now = {os.path.basename(s) for s in _committed_segments(index_path)}
     man = _read_manifest(index_path) or {"retired": [], "gen": 0}
+    retired0 = set(man.get("retired", []))
+    _write_manifest(index_path, list(live_now),
+                    list(retired0 | {out_name}), man.get("gen", 0) + 1)
+    _atomic_success(merged)
+    os.rename(merged, final)
+
+    # Phase 2 — commit point: flip out_name from retired to live and
+    # retire the merged sources; atomic for manifest readers.
     new_live = (live_now - merged_names) | {out_name}
     _write_manifest(index_path, list(new_live),
-                    list(set(man.get("retired", [])) | merged_names),
-                    man.get("gen", 0) + 1)
-    _atomic_success(final)
+                    list((retired0 | merged_names) - {out_name}),
+                    man.get("gen", 0) + 2)
 
     for s in segs:
         shutil.rmtree(s, ignore_errors=True)

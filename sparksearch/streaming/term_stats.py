@@ -54,16 +54,22 @@ def _make_update(dedup_docs: str):
         df0, tf0, bloom_hex = state.get if state.exists else (0, 0, "")
         tf = 0
         if dedup_docs == "bloom":
-            # cross-batch doc dedup: a doc whose tokens span micro-batches
-            # (replays, re-chunked upstreams) is counted once
+            # cross-batch doc REPLAY dedup: a doc that re-arrives in a
+            # later micro-batch contributes neither df nor tf — both
+            # counters admit each doc exactly once, so (df, tf) stay
+            # mutually consistent under replays.  (A doc whose tokens are
+            # re-CHUNKED across batches consequently counts only its
+            # first chunk's tf — replay-safety is chosen over
+            # chunk-summing; upstreams that split docs should use
+            # dedup_docs="batch" after a watermarked re-assembly.)
             bloom = int(bloom_hex or "0", 16)
             new = 0
             for pdf in pdfs:
-                tf += int(pdf["tf"].sum())
-                for d in set(pdf["doc_id"].values):
+                for d, t_ in pdf.groupby("doc_id")["tf"].sum().items():
                     pos = list(_bloom_positions(d))
                     if not all((bloom >> p) & 1 for p in pos):
                         new += 1
+                        tf += int(t_)
                         for p in pos:
                             bloom |= 1 << p
             df0, tf0 = df0 + new, tf0 + tf
@@ -100,9 +106,10 @@ def salted_term_stats(turns_with_watermark: DataFrame, field_cfg,
     exact under the PRECONDITION that each doc's tokens arrive in one
     micro-batch (the engine's own pipeline guarantees it via
     dropDuplicatesWithinWatermark before exploding); ``"bloom"`` keeps a
-    per-key bloom of seen doc_ids in state, so docs spanning micro-batches
-    are never double-counted (slight UNDER-count possible at extreme
-    per-bucket cardinality — the safe direction for idf).
+    per-key bloom of seen doc_ids in state and admits each doc's (df AND
+    tf) contribution exactly once, so REPLAYED docs never double-count
+    either counter (slight UNDER-count possible at extreme per-bucket
+    cardinality — the safe direction for idf).
     """
     from sparksearch.analysis import flat_token_array_expr, analyzer_expr
     name = field_cfg.name

@@ -42,6 +42,41 @@ def test_pandas_tokenizers_match_python(spark):
             assert g == py_analyze(text, cfg), (tok, text)
 
 
+def test_json_tokenizer_spark_matches_python(spark):
+    """JVM _jvm_token_array ≡ py_tokenize on the json tokenizer, including
+    the class ADVICE.md flagged: JSON *string* values whose text parses as
+    an object/array must stay scalar strings (py isinstance walk), not be
+    expanded as nested structure — the variant-typed gate decides."""
+    texts = [
+        '{"a": "hello world", "n": 3}',
+        # string values that LOOK structural — must remain scalars
+        '{"note": "{\\"a\\":1}", "arrstr": "[1,2]"}',
+        # genuinely nested twins of the same shapes
+        '{"note": {"a": 1}, "arrstr": [1, 2]}',
+        # arrays mixing structural and scalar elements, incl. a
+        # JSON-looking string element
+        '{"xs": [{"k": "v"}, "plain", "{\\"k\\":9}", [3, 4]]}',
+        # beyond-depth object serialized as scalar (max_depth default 4)
+        '{"d1": {"d2": {"d3": {"d4": {"deep": "x"}}}}}',
+        # null / bool / float scalars, empty object and array
+        '{"z": null, "b": true, "f": 1.5, "eo": {}, "ea": []}',
+        '{"mixed": ["{\\"a\\":1}", {"a": 1}]}',
+        "not json at all",
+        "",
+        None,
+    ]
+    cfg = FieldConfig(name="j", tokenizer="json")
+    got = _spark_tokens(spark, cfg, texts)
+    for text, g in zip(texts, got):
+        assert g == py_analyze(text, cfg), text
+    # the ambiguous pair must tokenize DIFFERENTLY (string value stays
+    # scalar: note:a note:1; nested object expands the path: note.a:1)
+    flat = [t for t, _ in got[1]]
+    nested = [t for t, _ in got[2]]
+    assert "note:a" in flat and "note.a:1" not in flat
+    assert "note.a:1" in nested
+
+
 def test_default_tokenizer_goldens():
     # parity with the reference's default config (lowercase + non-alnum split)
     assert py_tokenize("Ergonomic metal keyboard") == ["ergonomic", "metal", "keyboard"]

@@ -413,8 +413,11 @@ def test_manifest_hides_retired_segments(spark, tdir):
 
 
 def test_salted_term_stats_bloom_dedup(spark, tdir):
-    """A doc whose tokens span micro-batches must not double-count df in
-    bloom mode (batch mode documents this as a precondition instead)."""
+    """A doc that re-arrives in a later micro-batch (replay) must not
+    double-count df OR tf in bloom mode — both counters admit each doc
+    exactly once, keeping the running (df, tf) pair internally
+    consistent (batch mode documents one-batch-per-doc as a
+    precondition instead)."""
     import datetime as _dt
     src = f"{tdir}/bloom_src"
     os.makedirs(src, exist_ok=True)
@@ -449,6 +452,7 @@ def test_salted_term_stats_bloom_dedup(spark, tdir):
                  row_number() OVER (PARTITION BY salted ORDER BY tf DESC) rn
           FROM bloomstats) WHERE rn = 1 GROUP BY term""")
     got = {r["term"]: (r["df"], r["tf"]) for r in latest.collect()}
-    # df('alpha') == 1 (same doc seen twice across batches); tf == 2
-    assert got["alpha"] == (1, 2), got
+    # df('alpha') == tf('alpha') == 1: the doc's second arrival is a
+    # replay — the bloom admits its df AND tf contribution exactly once
+    assert got["alpha"] == (1, 1), got
     assert got["beta"] == (1, 1) and got["gamma"] == (1, 1)
