@@ -155,6 +155,12 @@ def _is_top_hits(spec: dict) -> bool:
     return next(iter(spec)) == "top_hits"
 
 
+class AggBucketLimitError(RuntimeError):
+    """An aggregation level exceeded config.max_agg_buckets (reference:
+    pg_search api/aggregate.rs bucket_limit / paradedb.max_term_agg_buckets;
+    Tantivy aborts with "too many buckets" instead of exhausting memory)."""
+
+
 def run_aggs(df: DataFrame, aggs, query_filter=None) -> dict:
     """Execute an ES-style aggs dict over ``df``; returns the ES-shaped
     result dict. ``aggs`` may be a JSON string (pdb.agg('{...}'))."""
@@ -291,7 +297,20 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
     else:
         g = g.orderBy(*pcols, F.col(kd).asc())
 
-    rows = g.collect()
+    # driver-OOM guardrail: the envelope is assembled driver-side, so a
+    # bucket level may never collect unboundedly — abort loudly past the
+    # cap instead of silently truncating or OOMing (reference:
+    # api/aggregate.rs:74-108 bucket_limit; Tantivy AggregationLimits
+    # "Aborting aggregation because too many buckets were created").
+    from sparksearch.config import CONFIG
+    cap = CONFIG.max_agg_buckets
+    rows = g.limit(cap + 1).collect() if cap else g.collect()
+    if cap and len(rows) > cap:
+        raise AggBucketLimitError(
+            f"aggregation level {kind!r} produced more than "
+            f"max_agg_buckets={cap} buckets; raise "
+            "sparksearch.config.set(max_agg_buckets=...) or narrow the "
+            "aggregation (size / ranges / interval)")
 
     # children: ONE filtered frame for all kept buckets of this level
     child_by_parent: dict = {}

@@ -23,6 +23,12 @@ class EngineConfig:
     max_expansions: int = 50
     # terms bucket agg default size (reference max_term_agg_buckets guard)
     terms_agg_default_size: int = 10
+    # hard cap on buckets COLLECTED per aggregation level — the result
+    # envelope is driver-side, so an unbounded-cardinality histogram /
+    # terms agg must abort instead of OOMing the driver (reference:
+    # api/aggregate.rs bucket_limit + paradedb.max_term_agg_buckets GUC;
+    # Tantivy AggregationLimits defaults to 65k buckets)
+    max_agg_buckets: int = 65_000
     # persisted postings layout (reference: segment count / merge tuning)
     n_term_buckets: int = 64
     docs_per_bucket: int = 100_000

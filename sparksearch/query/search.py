@@ -71,9 +71,21 @@ def search(index, query, limit: int | None = None, offset: int = 0,
     if limit is not None:
         narrow = narrow.orderBy(*sort_exprs).limit(limit + offset)
     if offset:
-        # applies with or without a limit (offset-only paging is valid;
-        # the bounded-limit case above has already shrunk the input to
-        # limit+offset rows so the single-partition window is tiny)
+        if limit is None:
+            # Offset WITHOUT limit runs row_number() over an
+            # unpartitioned window across the FULL match set — a
+            # single-partition serialization at scale.  Keep it valid
+            # (small/interactive result sets) but warn: keyset paging
+            # (filter on the last seen sort key, the q_paging_keyset
+            # pattern) is the scale path, or pass a limit so the window
+            # input is pre-shrunk to limit+offset rows.
+            import warnings
+            warnings.warn(
+                "search(offset=...) without limit sorts the full match "
+                "set through one partition; use keyset paging or pass a "
+                "limit for large result sets", stacklevel=2)
+        # the bounded-limit case has already shrunk the input to
+        # limit+offset rows, so the single-partition window is tiny
         w = W.orderBy(*sort_exprs)
         narrow = (narrow.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") > offset).drop("_rn"))

@@ -121,6 +121,31 @@ def test_bad_agg_raises(mock_index):
         run_aggs(mock_index.docs, {"x": {"nope": {"field": "rating"}}})
 
 
+def test_bucket_limit_guardrail(spark):
+    """An unbounded-cardinality bucket level must ABORT past
+    config.max_agg_buckets instead of collecting every bucket onto the
+    driver (reference: api/aggregate.rs bucket_limit; Tantivy 'too many
+    buckets' abort) — and the cap is per collected level, so a terms agg
+    whose size cap keeps it under the limit still succeeds."""
+    from sparksearch.aggs import AggBucketLimitError
+    from sparksearch import config as cfg
+    df = spark.range(500).select(F.col("id").cast("double").alias("v"))
+    old = cfg.CONFIG.max_agg_buckets
+    try:
+        cfg.set(max_agg_buckets=100)
+        with pytest.raises(AggBucketLimitError, match="max_agg_buckets"):
+            run_aggs(df, {"h": {"histogram": {"field": "v", "interval": 1}}})
+        # same data, bucket count under the cap → fine
+        res = run_aggs(df, {"h": {"histogram": {"field": "v",
+                                                "interval": 10}}})
+        assert len(res["aggregations"]["h"]["buckets"]) == 50
+        # terms size cap bounds the collected level below the limit
+        res = run_aggs(df, {"t": {"terms": {"field": "v", "size": 5}}})
+        assert len(res["aggregations"]["t"]["buckets"]) == 5
+    finally:
+        cfg.set(max_agg_buckets=old)
+
+
 def test_nested_buckets_deep_and_top_hits(mock_index):
     """3-level nesting + per-bucket top_hits; values cross-checked against
     a brute-force pandas twin."""

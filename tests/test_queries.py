@@ -243,13 +243,25 @@ def test_boolean_batched_unindexed_attr_terms(mock_index):
 
 
 def test_search_offset_without_limit(mock_index):
+    import warnings as _warnings
     from sparksearch.query.search import search
     allrows = search(mock_index, ast.Term("description", "shoes"),
                      columns=["id"]).collect()
-    off = search(mock_index, ast.Term("description", "shoes"),
-                 offset=1, columns=["id"]).collect()
+    # offset-only paging stays valid but WARNS (unpartitioned window over
+    # the full match set — keyset paging is the scale path)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        off = search(mock_index, ast.Term("description", "shoes"),
+                     offset=1, columns=["id"]).collect()
+    assert any("keyset" in str(w.message) for w in caught)
     assert len(off) == len(allrows) - 1
     assert [r["id"] for r in off] == [r["id"] for r in allrows][1:]
+    # with a limit the window input is pre-shrunk — no warning
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        search(mock_index, ast.Term("description", "shoes"),
+               limit=2, offset=1, columns=["id"]).collect()
+    assert not any("keyset" in str(w.message) for w in caught)
 
 
 def test_phrase_requires_positions(spark):

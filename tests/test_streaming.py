@@ -456,3 +456,89 @@ def test_salted_term_stats_bloom_dedup(spark, tdir):
     # replay — the bloom admits its df AND tf contribution exactly once
     assert got["alpha"] == (1, 1), got
     assert got["beta"] == (1, 1) and got["gamma"] == (1, 1)
+
+
+def test_parquet_merge_sink_exercises_iceberg_merge_semantics(spark, tdir):
+    """The MERGE keying the Iceberg sink relies on, executed for real via
+    the jar-free twin (shared MERGE_KEY / keyed_batch / merge_condition):
+    replayed epochs are no-ops, recomputed replays UPDATE in place, new
+    epochs INSERT."""
+    from sparksearch.streaming.iceberg_sink import (
+        ParquetMergeSink, merge_condition, MERGE_KEY)
+    sink = ParquetMergeSink(spark, f"{tdir}/merge_sink")
+    schema = ("field string, term string, doc_id string, tf int, "
+              "positions array<int>, len_q int")
+    b0 = spark.createDataFrame(
+        [("text", "alpha", "c1#0", 2, [0, 3], 4),
+         ("text", "beta", "c1#0", 1, [1], 4)], schema)
+    sink.merge_batch(b0, 0)
+    first = {tuple(r) for r in sink.read()
+             .select("field", "term", "doc_id", "tf", "epoch").collect()}
+    assert first == {("text", "alpha", "c1#0", 2, 0),
+                     ("text", "beta", "c1#0", 1, 0)}
+
+    # exact replay of epoch 0 → MATCHED → UPDATE to identical values → no-op
+    sink.merge_batch(b0, 0)
+    assert {tuple(r) for r in sink.read()
+            .select("field", "term", "doc_id", "tf", "epoch")
+            .collect()} == first
+
+    # recomputed replay (same key, different tf) → UPDATE SET * in place
+    b0b = spark.createDataFrame([("text", "alpha", "c1#0", 5, [0], 4)], schema)
+    sink.merge_batch(b0b, 0)
+    rows = {(r["term"], r["tf"]) for r in sink.read().collect()}
+    assert ("alpha", 5) in rows and ("alpha", 2) not in rows
+    assert ("beta", 1) in rows and sink.read().count() == 2
+
+    # new epoch → NOT MATCHED → INSERT
+    b1 = spark.createDataFrame([("text", "alpha", "c2#0", 1, [7], 9)], schema)
+    sink.merge_batch(b1, 1)
+    assert sink.read().count() == 3
+    assert {r["epoch"] for r in sink.read().collect()} == {0, 1}
+
+    # the twin keys on exactly the condition the Iceberg MERGE SQL emits
+    assert merge_condition("t", "s").split(" AND ") == [
+        f"t.{k} = s.{k}" for k in MERGE_KEY]
+
+
+def test_parquet_merge_sink_in_foreachbatch_stream(spark, tdir):
+    """ParquetMergeSink driven by a real foreachBatch micro-batch stream."""
+    import glob as _glob
+    from sparksearch.streaming.iceberg_sink import ParquetMergeSink
+    from sparksearch.index import postings_df
+    from sparksearch.schema import IndexSchema, FieldConfig
+    import datetime as _dt
+    src = f"{tdir}/merge_stream_src"
+    os.makedirs(src, exist_ok=True)
+    rows = [("c1", 0, "user", "alpha beta", None,
+             _dt.datetime(2026, 1, 1)),
+            ("c2", 0, "user", "beta gamma", None,
+             _dt.datetime(2026, 1, 1, 0, 1))]
+    for i, row in enumerate(rows):
+        spark.createDataFrame([row], schema=TRANSCRIPTS_SCHEMA) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    n = 0
+    for p in sorted(_glob.glob(f"{src}/f*/*.parquet")):
+        dst = f"{src}/part{n:03d}.parquet"
+        shutil.copy(p, dst)
+        shutil.rmtree(os.path.dirname(p))
+        n += 1
+    sink = ParquetMergeSink(spark, f"{tdir}/merge_stream_sink")
+    ischema = IndexSchema(key_field="doc_id",
+                          text_fields=[FieldConfig(name="text")])
+
+    def body(batch, epoch_id):
+        docs = batch.withColumn(
+            "doc_id", F.concat_ws("#", "conv_id",
+                                  F.col("turn_idx").cast("string")))
+        sink.merge_batch(postings_df(docs, ischema), epoch_id)
+
+    q = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(body)
+         .option("checkpointLocation", f"{tdir}/merge_stream_ckpt").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["term"], r["doc_id"]) for r in sink.read().collect()}
+    assert got == {("alpha", "c1#0"), ("beta", "c1#0"),
+                   ("beta", "c2#0"), ("gamma", "c2#0")}
