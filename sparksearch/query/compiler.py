@@ -68,9 +68,21 @@ def _sloppy_count(arrs, slop: int) -> int:
     ``arrs[i]`` = sorted raw token positions of phrase slot i.  Using the
     offset-adjusted positions pp = p - i, an alignment matches when
     max(pp) - min(pp) <= slop with distinct raw positions (Lucene
-    SloppyPhraseMatcher matchLength).  The scan advances the minimum
-    slot's pointer each step and counts every window that matches —
-    deterministic and O(total positions)."""
+    SloppyPhraseMatcher matchLength; golden-verified row sets — slop.out).
+
+    Counting discipline: when a window matches, EVERY slot's position is
+    consumed (all pointers advance), so each raw position participates in
+    at most one counted match; otherwise only the minimum slot advances.
+    This is the consumption rule both Lucene's matcher (each repetition
+    of a term position yields one match) and Tantivy's greedy pairwise
+    ``intersection_count_with_slop`` (matched left/right positions both
+    advance) share: overlapping windows that reuse a position are NOT
+    double-counted — 'a b a b' ~2 for phrase "a b" counts 2 matches
+    ((a0,b1),(a2,b3)), not the 3 windows a sliding scan would see.
+    Deterministic, O(total positions).  The reference regression suite
+    pins no sloppy BM25 scores (slop.out checks row sets only), so the
+    residual tie-break freedom a maximal-matching counter would have is
+    unobservable there; see COVERAGE.md."""
     tp = [[p - i for p in arr] for i, arr in enumerate(arrs)]
     n = len(tp)
     idx = [0] * n
@@ -79,14 +91,23 @@ def _sloppy_count(arrs, slop: int) -> int:
         vals = [tp[i][idx[i]] for i in range(n)]
         mn = min(vals)
         mx = max(vals)
+        matched = False
         if mx - mn <= slop:
             raw = {tp[i][idx[i]] + i for i in range(n)}
             if len(raw) == n:
                 count += 1
-        mn_slot = vals.index(mn)
-        idx[mn_slot] += 1
-        if idx[mn_slot] >= len(tp[mn_slot]):
-            return count
+                matched = True
+        if matched:
+            # consume every slot's position
+            for i in range(n):
+                idx[i] += 1
+                if idx[i] >= len(tp[i]):
+                    return count
+        else:
+            mn_slot = vals.index(mn)
+            idx[mn_slot] += 1
+            if idx[mn_slot] >= len(tp[mn_slot]):
+                return count
 
 
 def compile_query(index, node: ast.Query) -> DataFrame:

@@ -148,6 +148,31 @@ def test_slop_reorder_golden(mock_index):
                                slop=0)).collect()} == {3}
 
 
+def test_sloppy_count_consumes_positions():
+    """Overlapping sloppy windows must not double-use a position: the
+    counter consumes every slot's position on a match (Lucene
+    SloppyPhraseMatcher / Tantivy greedy pairwise-intersection
+    discipline), so 'a b a b' ~2 for phrase "a b" counts the two
+    disjoint matches (a0,b1),(a2,b3) — not the 3 windows a sliding scan
+    sees ((a0,b1),(a2,b1),(a2,b3))."""
+    from sparksearch.query.compiler import _sloppy_count
+    # doc 'a b a b': a at raw [0,2], b at raw [1,3]
+    assert _sloppy_count([[0, 2], [1, 3]], 2) == 2
+    # exact phrase twice, non-overlapping: 'a b x a b'
+    assert _sloppy_count([[0, 3], [1, 4]], 0) == 2
+    # single occurrence each
+    assert _sloppy_count([[0], [1]], 0) == 1
+    # reorder at slop 2 (doc 'b a', phrase "a b"): a raw [1], b raw [0]
+    assert _sloppy_count([[1], [0]], 2) == 1
+    # same raw position may not serve two slots ('a a'~1 on doc 'a')
+    assert _sloppy_count([[0], [0]], 1) == 0
+    # 3-term phrase "a b c" on doc 'a b c a b c' ~1: two disjoint matches
+    assert _sloppy_count([[0, 3], [1, 4], [2, 5]], 1) == 2
+    # phrase "a a" ~2 on doc 'a b a': both slots see raw [0, 2]; one
+    # match consuming (0, 2) — the leftover single 'a' cannot match alone
+    assert _sloppy_count([[0, 2], [0, 2]], 2) == 1
+
+
 def test_regex_phrase(mock_index):
     """RegexPhrase: 'runn.*' followed by 'sho.*' → id 3 only."""
     got = {r["doc_id"] for r in compile_query(
