@@ -47,11 +47,30 @@ def _fixed_interval_ms(s: str) -> int:
     return int(m.group(1)) * _FIXED_MS[m.group(2)]
 
 
-def _bucket_expr(spec: dict):
+def _resolve_field(name: str, df=None, numeric: bool = False):
+    """Agg field reference → Column.  Reference agg definitions address
+    nested JSON paths directly ('metadata_json.value' — json_fields with
+    expand_dots, json_agg.out / json_groupby_orderby_limit.out); when the
+    path head is a plain JSON STRING column, extract with
+    get_json_object (codegen'd JSON path — the Spark analog of the
+    tantivy json fast field), cast to double in numeric (metric /
+    histogram) contexts.  Anything else resolves as a normal (possibly
+    struct) column reference."""
+    if df is not None and "." in name:
+        head = name.split(".", 1)[0]
+        from pyspark.sql.types import StringType
+        if (head in df.columns
+                and isinstance(df.schema[head].dataType, StringType)):
+            c = F.get_json_object(F.col(head), "$." + name.split(".", 1)[1])
+            return c.cast("double") if numeric else c
+    return F.col(name)
+
+
+def _bucket_expr(spec: dict, df=None):
     """(bucket kind, key Column, post-filter) for one bucket agg spec."""
     if "terms" in spec:
         t = spec["terms"]
-        col = F.col(t["field"])
+        col = _resolve_field(t["field"], df)
         if "missing" in t:
             col = F.coalesce(col, F.lit(t["missing"]))
         return "terms", col, t
@@ -59,7 +78,8 @@ def _bucket_expr(spec: dict):
         h = spec["histogram"]
         interval = float(h["interval"])
         off = float(h.get("offset", 0))
-        key = (F.floor((F.col(h["field"]) - off) / interval) * interval + off)
+        key = (F.floor((_resolve_field(h["field"], df, numeric=True) - off)
+                       / interval) * interval + off)
         return "histogram", key, h
     if "date_histogram" in spec:
         h = spec["date_histogram"]
@@ -124,11 +144,12 @@ def _filter_cond(cond: dict):
     raise AggError(f"unsupported filter {list(cond)}")
 
 
-def _metric_exprs(name: str, spec: dict) -> list:
+def _metric_exprs(name: str, spec: dict, df=None) -> list:
     """One metric agg → list of (alias, Column expr) pairs."""
     kind = next(iter(spec))
     field = spec[kind].get("field") if isinstance(spec[kind], dict) else None
-    c = F.col(field) if field else None
+    numeric = kind not in ("value_count", "cardinality")
+    c = _resolve_field(field, df, numeric=numeric) if field else None
     if kind == "value_count":
         return [(name, F.count(c))]
     if kind == "cardinality":
@@ -176,7 +197,7 @@ def run_aggs(df: DataFrame, aggs, query_filter=None) -> dict:
 
 def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list) -> dict:
     if _is_metric(spec):
-        pairs = _metric_exprs("v", spec)
+        pairs = _metric_exprs("v", spec, df)
         row = df.agg(*[e.alias(a) for a, e in pairs]).collect()[0]
         vals = row.asDict()
         if list(vals) == ["v"]:
@@ -251,13 +272,13 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
     unlike ES's sharded approximation; matches the reference's
     agg-bool-terms.out which also reports 0).
     """
-    kind, key_col, opts = _bucket_expr(spec)
+    kind, key_col, opts = _bucket_expr(spec, df)
     kd = f"__k{len(pcols)}"
     sub = spec.get("aggs", {})
     metric_exprs, sub_buckets, top_hits = [], {}, {}
     for sname, sspec in sub.items():
         if _is_metric(sspec):
-            metric_exprs += _metric_exprs(sname, sspec)
+            metric_exprs += _metric_exprs(sname, sspec, df)
         elif _is_top_hits(sspec):
             top_hits[sname] = sspec
         else:

@@ -1,0 +1,131 @@
+"""JSON aggregate golden family, ported from the reference pg_regress
+suite (PUBLIC reference behavior, tables replicated inline):
+
+- json_agg.out — terms agg / GROUP BY over a JSON projection
+  (metadata_json->>'value') filtered by paradedb.exists, including the
+  direct paradedb.aggregate envelope and multi-metric (min/max over
+  (->>'count')::INT) variants.
+- json_groupby_orderby_limit.out — JSON-path GROUP BY with ORDER BY
+  key / ORDER BY count and LIMIT.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch import IndexSchema, FieldConfig, build_index
+from sparksearch.aggs import run_aggs, search_aggregate
+from sparksearch.query import ast
+
+
+@pytest.fixture(scope="module")
+def json_test_index(spark):
+    """json_agg.out's json_test table (8 rows)."""
+    rows = [
+        (1, '{"value": "apple", "count": 5}'),
+        (2, '{"value": "banana", "count": 3}'),
+        (3, '{"value": "apple", "count": 2}'),
+        (4, '{"value": "orange", "count": 7}'),
+        (5, '{"value": "banana", "count": 1}'),
+        (6, '{"value": "apple", "count": 4}'),
+        (7, '{"value": "cherry", "count": 6}'),
+        (8, '{"value": "banana", "count": 8}'),
+    ]
+    docs = spark.createDataFrame(rows, "id int, metadata_json string")
+    return build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[FieldConfig(name="metadata_json", tokenizer="json")]))
+
+
+@pytest.fixture(scope="module")
+def json_single_index(spark):
+    """json_groupby_orderby_limit.out's json_test_single table (7 rows)."""
+    rows = [
+        (1, '{"category": "electronics", "brand": "Apple", "price": 999}'),
+        (2, '{"category": "electronics", "brand": "Samsung", "price": 799}'),
+        (3, '{"category": "electronics", "brand": "Apple", "price": 1299}'),
+        (4, '{"category": "clothing", "brand": "Nike", "price": 89}'),
+        (5, '{"category": "clothing", "brand": "Adidas", "price": 79}'),
+        (6, '{"category": "clothing", "brand": "Nike", "price": 99}'),
+        (7, '{"category": "clothing", "brand": "Puma", "price": 99}'),
+    ]
+    docs = spark.createDataFrame(rows, "id int, metadata string")
+    return build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[FieldConfig(name="metadata", tokenizer="json")]))
+
+
+def test_json_agg_terms_envelope_golden(json_test_index):
+    """json_agg.out Test 4: paradedb.aggregate(index, exists, terms) —
+    the exact ES envelope the reference prints."""
+    res = search_aggregate(
+        json_test_index, ast.Exists("metadata_json.value"),
+        {"buckets": {"terms": {"field": "metadata_json.value"}}})
+    assert res["aggregations"]["buckets"] == {
+        "buckets": [{"key": "apple", "doc_count": 3},
+                    {"key": "banana", "doc_count": 3},
+                    {"key": "cherry", "doc_count": 1},
+                    {"key": "orange", "doc_count": 1}],
+        "sum_other_doc_count": 0,
+        "doc_count_error_upper_bound": 0,
+    }
+
+
+def test_json_agg_groupby_projection_golden(json_test_index):
+    """json_agg.out Tests 1-2: GROUP BY metadata_json->>'value' ORDER BY
+    count DESC, value → apple 3, banana 3, cherry 1, orange 1."""
+    res = search_aggregate(
+        json_test_index, ast.Exists("metadata_json.value"),
+        {"v": {"terms": {"field": "metadata_json.value",
+                         "order": {"_count": "desc"}}}})
+    got = [(b["key"], b["doc_count"])
+           for b in res["aggregations"]["v"]["buckets"]]
+    assert got == [("apple", 3), ("banana", 3), ("cherry", 1), ("orange", 1)]
+
+
+def test_json_agg_multiple_metrics_golden(json_test_index):
+    """json_agg.out Test 3: COUNT(*), MIN/MAX((->>'count')::INT) per
+    value, ORDER BY value."""
+    res = search_aggregate(
+        json_test_index, ast.Exists("metadata_json.value"),
+        {"v": {"terms": {"field": "metadata_json.value",
+                         "order": {"_key": "asc"}},
+               "aggs": {"min_count": {"min": {"field": "metadata_json.count"}},
+                        "max_count": {"max": {"field": "metadata_json.count"}}}}})
+    got = [(b["key"], b["doc_count"], b["min_count"]["value"],
+            b["max_count"]["value"])
+           for b in res["aggregations"]["v"]["buckets"]]
+    assert got == [("apple", 3, 2, 5), ("banana", 3, 1, 8),
+                   ("cherry", 1, 6, 6), ("orange", 1, 7, 7)]
+
+
+def test_json_groupby_orderby_limit_golden(json_single_index):
+    """json_groupby_orderby_limit.out Test 1: GROUP BY
+    metadata->>'category' with exists filter.
+
+    ORDER BY 1 (key asc) LIMIT 5 → clothing 4, electronics 3;
+    ORDER BY 2 (count asc) LIMIT 5 → electronics 3, clothing 4."""
+    by_key = search_aggregate(
+        json_single_index, ast.Exists("metadata.category"),
+        {"c": {"terms": {"field": "metadata.category", "size": 5,
+                         "order": {"_key": "asc"}}}})
+    assert [(b["key"], b["doc_count"])
+            for b in by_key["aggregations"]["c"]["buckets"]] == [
+        ("clothing", 4), ("electronics", 3)]
+    by_count = search_aggregate(
+        json_single_index, ast.Exists("metadata.category"),
+        {"c": {"terms": {"field": "metadata.category", "size": 5,
+                         "order": {"_count": "asc"}}}})
+    assert [(b["key"], b["doc_count"])
+            for b in by_count["aggregations"]["c"]["buckets"]] == [
+        ("electronics", 3), ("clothing", 4)]
+
+
+def test_json_path_histogram_on_numeric_json(json_single_index):
+    """JSON numeric path feeds a histogram (numeric resolve path):
+    prices 999/799/1299/89/79/99/99 at interval 500 → [0: 4, 500: 2,
+    1000: 1]."""
+    res = run_aggs(json_single_index.docs,
+                   {"p": {"histogram": {"field": "metadata.price",
+                                        "interval": 500}}})
+    got = {b["key"]: b["doc_count"] for b in res["aggregations"]["p"]["buckets"]}
+    assert got == {0.0: 4, 500.0: 2, 1000.0: 1}

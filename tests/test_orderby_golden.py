@@ -1,0 +1,168 @@
+"""ORDER BY golden family, ported from the reference pg_regress
+index_order_by.out (PUBLIC reference behavior, tables replicated inline).
+
+Covers the result-row matrix: NULLS placement under the reference's
+Postgres defaults and explicit overrides, duplicate sort values, all-NULL
+sort columns, empty/single-row results, column projection where the sort
+key is NOT selected, and LIMIT/OFFSET over the sorted scan.  (The
+reference file's EXPLAIN sections assert Postgres plan shapes — Sort vs
+sorted-scan pathkeys — which have no Spark analog; the row-level
+semantics they guard are what these tests pin.)
+"""
+
+import pytest
+
+from sparksearch import IndexSchema, FieldConfig, build_index
+from sparksearch.query import ast
+from sparksearch.query.search import search
+
+
+@pytest.fixture(scope="module")
+def sorted_scan_index(spark):
+    """index_order_by.out's sorted_scan_test: 5 base + 3×8 batch rows,
+    sort_by='priority DESC NULLS LAST', plus section 6's 20 'document'
+    rows (priority 1000-i)."""
+    rows = [(1, "searchable product alpha", "electronics", 100, 4.5),
+            (2, "searchable product beta", "electronics", 50, 3.8),
+            (3, "searchable product gamma", "clothing", 150, 4.9),
+            (4, "searchable product delta", "clothing", 75, 4.2),
+            (5, "searchable product epsilon", "electronics", 200, 4.7)]
+    nid = 6
+    for b in (1, 2, 3):
+        for i in range(1, 9):
+            rows.append((nid, f"searchable batch{b} item {i}", f"batch{b}",
+                         b * 10 + i, b + 1.0 + i * 0.1))
+            nid += 1
+    for i in range(1, 21):
+        rows.append((nid, f"searchable document {i}", "docs",
+                     1000 - i, 5.0 - i * 0.1))
+        nid += 1
+    docs = spark.createDataFrame(
+        rows, "id int, content string, category string, priority int, "
+              "score double")
+    return build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="content")],
+        sort_by="priority DESC NULLS LAST"))
+
+
+@pytest.fixture(scope="module")
+def asc_sort_index(spark):
+    """asc_sort_test: 6 rows, two NULL values,
+    sort_by='value ASC NULLS FIRST'."""
+    rows = [(1, "item one", 50), (2, "item two", 20),
+            (3, "item three", None), (4, "item four", 80),
+            (5, "item five", None), (6, "item six", 10)]
+    docs = spark.createDataFrame(rows, "id int, description string, value int")
+    return build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="description")],
+        sort_by="value ASC NULLS FIRST"))
+
+
+def _ids(idx, q, **kw):
+    return [r["id"] for r in search(idx, q, with_score=False, **kw).collect()]
+
+
+def test_nulls_first_asc_golden(asc_sort_index):
+    """Test 2.3: ORDER BY value ASC NULLS FIRST → 3,5 (NULLs, id-tiebreak)
+    then 6,2,1,4."""
+    got = search(asc_sort_index, ast.Parse("item", field="description"),
+                 order_by=[("value", "asc nulls first"), ("id", "asc")],
+                 columns=["id", "value"], with_score=False).collect()
+    assert [(r["id"], r["value"]) for r in got] == [
+        (3, None), (5, None), (6, 10), (2, 20), (1, 50), (4, 80)]
+
+
+def test_asc_default_nulls_last_golden(asc_sort_index):
+    """Test 2.2's semantic: plain ASC uses the reference's Postgres
+    default NULLS LAST → values first, NULLs (3,5) at the end."""
+    got = search(asc_sort_index, ast.Parse("item", field="description"),
+                 order_by=[("value", "asc"), ("id", "asc")],
+                 columns=["id", "value"], with_score=False).collect()
+    assert [(r["id"], r["value"]) for r in got] == [
+        (6, 10), (2, 20), (1, 50), (4, 80), (3, None), (5, None)]
+
+
+def test_projection_excludes_sort_key_golden(sorted_scan_index):
+    """Tests 3.2/3.3: ORDER BY priority while selecting only content/id —
+    epsilon(200), gamma(150), alpha(100), delta(75), beta(50), then
+    batch3 8..1, batch2 8..1, batch1 8..1 → ids 5,3,1,4,2,29..6."""
+    q = ast.Parse("searchable", field="content")
+    got = search(sorted_scan_index, q,
+                 order_by=[("priority", "desc nulls last"), ("id", "asc")],
+                 columns=["content"], with_score=False).collect()
+    want_head = ["searchable product epsilon", "searchable product gamma",
+                 "searchable product alpha", "searchable product delta",
+                 "searchable product beta"]
+    # section-6 'document' rows also contain 'searchable'; the reference
+    # ran 3.2 BEFORE inserting them, so filter to the original 29
+    texts = [r["content"] for r in got
+             if "document" not in r["content"]]
+    assert texts[:5] == want_head
+    assert texts[5:] == [f"searchable batch{b} item {i}"
+                         for b in (3, 2, 1) for i in range(8, 0, -1)]
+    ids = [i for i in _ids(sorted_scan_index, q,
+                           order_by=[("priority", "desc nulls last"),
+                                     ("id", "asc")], columns=["id"])
+           if i <= 29]
+    assert ids == [5, 3, 1, 4, 2] + list(range(29, 5, -1))
+
+
+def test_duplicate_sort_values_golden(spark):
+    """Test 5.2: duplicates keep deterministic key order within ties:
+    value DESC → 3,5 (100) then 1,2,4 (50)."""
+    rows = [(1, "doc alpha", 50), (2, "doc beta", 50), (3, "doc gamma", 100),
+            (4, "doc delta", 50), (5, "doc epsilon", 100)]
+    docs = spark.createDataFrame(rows, "id int, content string, value int")
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="content")],
+        sort_by="value DESC NULLS LAST"))
+    got = search(idx, ast.Parse("doc", field="content"),
+                 order_by=[("value", "desc nulls last"), ("id", "asc")],
+                 columns=["id", "value"], with_score=False).collect()
+    assert [(r["id"], r["value"]) for r in got] == [
+        (3, 100), (5, 100), (1, 50), (2, 50), (4, 50)]
+
+
+def test_all_null_sort_column_golden(spark):
+    """Test 5.3: all-NULL sort column → key order, no crash."""
+    rows = [(1, "item one", None), (2, "item two", None),
+            (3, "item three", None)]
+    docs = spark.createDataFrame(rows, "id int, content string, value int")
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="content")],
+        sort_by="value DESC NULLS LAST"))
+    got = search(idx, ast.Parse("item", field="content"),
+                 order_by=[("value", "desc nulls last"), ("id", "asc")],
+                 columns=["id"], with_score=False).collect()
+    assert [r["id"] for r in got] == [1, 2, 3]
+
+
+def test_empty_and_single_row_golden(spark):
+    """Tests 5.1/5.4: empty result set and single-row result."""
+    docs = spark.createDataFrame([(1, "unique", 42), (2, "other", 99)],
+                                 "id int, content string, value int")
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="content")],
+        sort_by="value DESC NULLS LAST"))
+    assert search(idx, ast.Parse("nonexistent", field="content"),
+                  columns=["id"], with_score=False).count() == 0
+    got = search(idx, ast.Parse("unique", field="content"),
+                 order_by=[("value", "desc nulls last")],
+                 columns=["id", "value"], with_score=False).collect()
+    assert [(r["id"], r["value"]) for r in got] == [(1, 42)]
+
+
+def test_limit_offset_golden(sorted_scan_index):
+    """Tests 6.1-6.4 over the 'document' rows (ids 30-49, priority
+    999..980): LIMIT 5 → 30-34; LIMIT 5 OFFSET 5 → 35-39; LIMIT 3 →
+    30-32; LIMIT 100 → all 20."""
+    q = ast.Parse("document", field="content")
+    ob = [("priority", "desc nulls last"), ("id", "asc")]
+    assert _ids(sorted_scan_index, q, order_by=ob, columns=["id"],
+                limit=5) == [30, 31, 32, 33, 34]
+    assert _ids(sorted_scan_index, q, order_by=ob, columns=["id"],
+                limit=5, offset=5) == [35, 36, 37, 38, 39]
+    assert _ids(sorted_scan_index, q, order_by=ob, columns=["id"],
+                limit=3) == [30, 31, 32]
+    assert _ids(sorted_scan_index, q, order_by=ob, columns=["id"],
+                limit=100) == list(range(30, 50))
