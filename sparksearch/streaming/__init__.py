@@ -13,6 +13,7 @@ segments (merge policy analog).
 
 from sparksearch.streaming.indexer import (  # noqa: F401
     StreamingIndexer, open_segmented_index, compact_segments,
+    compact_layered, vacuum_retired,
 )
 from sparksearch.streaming.sessions import conversation_docs  # noqa: F401
 from sparksearch.streaming.term_stats import salted_term_stats  # noqa: F401

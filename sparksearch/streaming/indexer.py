@@ -266,15 +266,21 @@ def open_segmented_index(spark: SparkSession, index_path: str,
 
 
 def _merge_into_segment(spark: SparkSession, index_path: str, segs: list,
-                        out_name: str, apply_deletes: bool) -> str:
+                        out_name: str, apply_deletes: bool,
+                        remove_sources: bool = True) -> str:
     """Merge ``segs`` into one new segment, committed crash-safely:
 
     1. write merged postings + stats + commit marker to the NEW dir;
     2. atomically swap the manifest (live = old − merged + new) —
        this is the commit point; a crash before it leaves the old
        segments live, a crash after it leaves the new set live;
-    3. best-effort delete of the retired dirs (re-deletable on retry;
-       readers resolve from the manifest so leftovers are invisible).
+    3. with ``remove_sources`` (batch contexts), best-effort delete of
+       the retired dirs (re-deletable on retry; readers resolve from the
+       manifest so leftovers are invisible).  Continuous-ingest contexts
+       (compact_layered) pass False so IN-FLIGHT readers whose plans
+       still reference the retired files keep working — Iceberg's
+       snapshot-expiry model; :func:`vacuum_retired` reclaims the space
+       once concurrent readers have drained.
     """
     import shutil
     from functools import reduce
@@ -345,11 +351,31 @@ def _merge_into_segment(spark: SparkSession, index_path: str, segs: list,
                     list((retired0 | merged_names) - {out_name}),
                     man.get("gen", 0) + 2)
 
-    for s in segs:
-        shutil.rmtree(s, ignore_errors=True)
+    if remove_sources:
+        for s in segs:
+            shutil.rmtree(s, ignore_errors=True)
     if deletes is not None:
         shutil.rmtree(f"{index_path}/_deletes", ignore_errors=True)
     return final
+
+
+def vacuum_retired(index_path: str) -> int:
+    """Physically delete retired segment directories (Iceberg
+    expire-snapshots analog).  Retired dirs are invisible to every
+    manifest reader already; call this once in-flight readers that may
+    still reference the old files have drained.  Returns the number of
+    directories removed."""
+    import shutil
+    man = _read_manifest(index_path)
+    if not man:
+        return 0
+    n = 0
+    for name in man.get("retired", []):
+        p = os.path.join(index_path, "segments", name)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            n += 1
+    return n
 
 
 def _next_gen(index_path: str) -> int:
@@ -400,7 +426,7 @@ def compact_layered(spark: SparkSession, index_path: str, schema: IndexSchema,
     for i, cand in enumerate(candidates):
         out.append(_merge_into_segment(
             spark, index_path, cand["segments"], f"epoch=c{gen}_{i}",
-            apply_deletes=False))
+            apply_deletes=False, remove_sources=False))
     return out
 
 

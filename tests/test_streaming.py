@@ -542,3 +542,75 @@ def test_parquet_merge_sink_in_foreachbatch_stream(spark, tdir):
     got = {(r["term"], r["doc_id"]) for r in sink.read().collect()}
     assert got == {("alpha", "c1#0"), ("beta", "c1#0"),
                    ("beta", "c2#0"), ("gamma", "c2#0")}
+
+
+def test_soak_concurrent_ingest_compaction_readers(spark, tdir):
+    """Soak (reference stressgres analog): continuous ingest + layered
+    compaction + concurrent readers interleaved under the manifest swap.
+
+    Invariants asserted on EVERY read while ingest+compaction run:
+    (a) no posting key (field, term, doc_id) appears twice — a reader
+        never sees a source segment and its merged replacement together;
+    (b) the visible doc count never decreases (no reader sees a partial
+        index mid-swap);
+    (c) a BM25 search always executes.
+    Afterwards: vacuum_retired() reclaims retired dirs and the surviving
+    postings equal the batch build exactly."""
+    from sparksearch.streaming.indexer import (compact_layered,
+                                               vacuum_retired,
+                                               _segment_bytes,
+                                               _committed_segments)
+    flat, full_df = _write_stream_files(spark, tdir, n_convs=24, parts=8)
+    idx_path, ckpt = f"{tdir}/idx", f"{tdir}/ckpt"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt,
+                          watermark="10 minutes")
+    q = ix.start(_read_stream(spark, flat))
+
+    import time as _time
+    last_docs, reads, compactions = 0, 0, 0
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        lin = f"{idx_path}/_lineage.jsonl"
+        done = (os.path.exists(lin)
+                and len(open(lin).read().strip().splitlines()) >= 8)
+        try:
+            idx = open_segmented_index(spark, idx_path, _turn_schema())
+        except FileNotFoundError:
+            continue
+        p = idx.postings
+        dups = (p.groupBy("field", "term", "doc_id").count()
+                .filter(F.col("count") > 1).count())
+        assert dups == 0, "reader saw a segment and its merged replacement"
+        n_docs = p.select("doc_id").distinct().count()
+        assert n_docs >= last_docs, "visible doc count went backwards"
+        last_docs = n_docs
+        hits = compile_query(idx, ast.Term("text", "zephyr")).count()
+        assert hits >= 0
+        reads += 1
+        # layered compaction every other read, with a layer sized so
+        # accumulated small segments actually merge
+        if reads % 2 == 0:
+            segs = _committed_segments(idx_path)
+            if len(segs) >= 3:
+                layer = int(sum(_segment_bytes(s) for s in segs) * 0.7)
+                if compact_layered(spark, idx_path, _turn_schema(),
+                                   layer_sizes=[layer]):
+                    compactions += 1
+        if done:
+            break
+    q.processAllAvailable()
+    q.stop()
+    assert reads >= 5, f"soak made too few reads ({reads})"
+    assert compactions >= 1, "soak never exercised a concurrent compaction"
+
+    # retired dirs survive until vacuum (in-flight reader safety) …
+    removed = vacuum_retired(idx_path)
+    assert removed >= 1
+    # … and the final visible index equals the batch build exactly
+    sidx = open_segmented_index(spark, idx_path, _turn_schema())
+    batch_docs = full_df.withColumn(
+        "doc_id", F.concat_ws("#", "conv_id",
+                              F.col("turn_idx").cast("string")))
+    bidx = build_index(batch_docs, _turn_schema())
+    assert _postings_set(sidx.postings) == _postings_set(bidx.postings)
+    assert sidx.meta == bidx.meta
