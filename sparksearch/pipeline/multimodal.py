@@ -51,6 +51,10 @@ def _decode_any_image(data: bytes):
             return codecs.decode_png(data)
         if codecs.is_bmp(data):
             return codecs.decode_bmp(data)
+        if codecs.is_jpeg(data):
+            # baseline sequential JPEG decodes for real (pure python);
+            # progressive/arithmetic raise → fallback
+            return codecs.decode_jpeg(data)
     except ValueError:
         return None
     return None

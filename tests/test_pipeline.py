@@ -208,6 +208,9 @@ def test_multimodal_real_decode_ground_truth(spark):
          "bytes": codecs.encode_png(light), "meta": {}},
         {"media_id": "junk", "kind": "image", "mime": "image/jpeg",
          "bytes": b"\xff\xd8 not really a jpeg", "meta": {}},
+        {"media_id": "photo", "kind": "image", "mime": "image/jpeg",
+         "bytes": codecs.encode_jpeg(
+             np.full((24, 16, 3), 200, dtype=np.uint8)), "meta": {}},
         {"media_id": "tone", "kind": "audio", "mime": "audio/wav",
          "bytes": codecs.encode_wav(tone, sr), "meta": {}},
     ]
@@ -217,6 +220,13 @@ def test_multimodal_real_decode_ground_truth(spark):
             img["dark"]["channels"]) == (20, 10, 3)
     assert img["dark"]["decoded"] and img["light"]["decoded"]
     assert not img["junk"]["decoded"]
+    # real baseline JPEG decodes for real (pure-python T.81 decoder)
+    assert img["photo"]["decoded"]
+    assert (img["photo"]["width"], img["photo"]["height"],
+            img["photo"]["channels"]) == (16, 24, 3)
+    # flat 200-gray → embedding ≈ (200-127.5)/255 each, within quant err
+    assert all(abs(e - (200 - 127.5) / 255) < 0.02
+               for e in img["photo"]["embedding"])
     assert all(e == pytest.approx(-0.5) for e in img["dark"]["embedding"])
     assert all(e == pytest.approx(0.5) for e in img["light"]["embedding"])
     aud = {r["media_id"]: r for r in extract_audio_features(media).collect()}
@@ -224,3 +234,43 @@ def test_multimodal_real_decode_ground_truth(spark):
     # compare against the MFCC of the decoded (16-bit-quantized) samples
     want = codecs.mfcc(codecs.decode_wav(codecs.encode_wav(tone, sr))[1], sr)
     assert aud["tone"]["mfcc"] == pytest.approx(want, rel=1e-5)
+
+
+def test_jpeg_codec_roundtrip():
+    """Pure-python baseline JPEG (ITU-T T.81): encode→decode round-trips
+    within quantization error for RGB, grayscale, odd (non-multiple-of-8)
+    dimensions, and restart intervals; non-baseline input raises."""
+    import numpy as np
+    from sparksearch.pipeline import codecs
+    rng = np.random.RandomState(7)
+    x = np.linspace(0, 255, 48)[None, :] * np.ones((32, 1))
+    img = np.stack([x, x[::-1], np.full((32, 48), 128.0)], -1)
+    img = np.clip(img + rng.randint(-10, 10, img.shape), 0, 255) \
+        .astype(np.uint8)
+    data = codecs.encode_jpeg(img)
+    assert codecs.is_jpeg(data) and not codecs.is_png(data)
+    dec = codecs.decode_jpeg(data)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 8
+
+    # smooth content → near-lossless at the Annex K tables
+    smooth = np.stack([np.linspace(40, 200, 64)[None, :]
+                       * np.ones((40, 1))] * 3, -1).astype(np.uint8)
+    sdec = codecs.decode_jpeg(codecs.encode_jpeg(smooth))
+    assert np.abs(sdec.astype(int) - smooth.astype(int)).max() <= 2
+
+    # grayscale + odd dims (35x23, forces edge-padded partial blocks)
+    g = img[:35 % 32 + 20, :23, 0]
+    gdec = codecs.decode_jpeg(codecs.encode_jpeg(g))
+    assert gdec.shape == g.shape
+
+    # restart intervals (DRI + RSTn markers) decode identically
+    r = codecs.decode_jpeg(codecs.encode_jpeg(img, restart_interval=3))
+    assert np.array_equal(r, dec)
+
+    # truncated / non-jpeg input raises (fallback path upstream)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        codecs.decode_jpeg(b"\xff\xd8 not really a jpeg")
+    with _pytest.raises(ValueError):
+        codecs.decode_jpeg(b"GIF89a")
