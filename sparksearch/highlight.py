@@ -57,7 +57,8 @@ def _render_fragment(text, hits, start_tag, end_tag, left, right):
     return "".join(out)
 
 
-def _all_fragments(text, spans, terms, start_tag, end_tag, max_chars):
+def _all_fragments(text, spans, terms, start_tag, end_tag, max_chars,
+                   allowed=None):
     """[(score, position, fragment)] — Tantivy SnippetGenerator
     fragmentation, verified against the reference's pg_regress
     ``snippets.out`` golden: fragments are cut SEQUENTIALLY at token
@@ -78,12 +79,14 @@ def _all_fragments(text, spans, terms, start_tag, end_tag, max_chars):
         hits = []
         j = i
         while j < n and spans[j][1] - start <= max_chars:
-            if spans[j][2] in terms:
+            if spans[j][2] in terms and (
+                    allowed is None or (spans[j][0], spans[j][1]) in allowed):
                 hits.append((spans[j][0], spans[j][1]))
             last_end = spans[j][1]
             j += 1
         if j == i:  # single token wider than the budget: emit it alone
-            if spans[i][2] in terms:
+            if spans[i][2] in terms and (
+                    allowed is None or (spans[i][0], spans[i][1]) in allowed):
                 hits.append((spans[i][0], spans[i][1]))
             last_end = spans[i][1]
             j = i + 1
@@ -95,21 +98,37 @@ def _all_fragments(text, spans, terms, start_tag, end_tag, max_chars):
     return frags
 
 
-def _best_fragment(text, spans, terms, start_tag, end_tag, max_chars):
-    frags = _all_fragments(text, spans, terms, start_tag, end_tag, max_chars)
+def _best_fragment(text, spans, terms, start_tag, end_tag, max_chars,
+                   allowed=None):
+    frags = _all_fragments(text, spans, terms, start_tag, end_tag, max_chars,
+                           allowed)
     if not frags:
         return None
     return max(frags, key=lambda f: (f[0], -f[1]))[2]
 
 
+def _occurrence_slice(spans, tset, occ_limit, occ_offset):
+    """Doc-order occurrence paging (the deprecated pdb.snippet
+    limit/offset surface, snippet_limit_offset.out): select matched
+    occurrences [offset : offset+limit]; None means no paging."""
+    occs = [(a, b) for a, b, t in spans if t in tset]
+    end = occ_offset + occ_limit if occ_limit is not None else None
+    return occs[occ_offset:end]
+
+
 def snippet_udf(terms: list, tokenizer: str = "default", opts: dict | None = None,
                 lowercase: bool = True, start_tag: str = DEFAULT_START,
                 end_tag: str = DEFAULT_END,
-                max_chars: int = DEFAULT_MAX_CHARS):
+                max_chars: int = DEFAULT_MAX_CHARS,
+                occ_limit: int | None = None, occ_offset: int = 0):
     """pandas UDF: text column → highlighted fragment (or NULL when no
-    term matches)."""
+    term matches).  ``occ_limit``/``occ_offset`` page over matched
+    OCCURRENCES in document order (reference pdb.snippet "limit"/"offset"
+    args, snippet_limit_offset.out): only the selected occurrences are
+    highlighted, and a doc whose selection is empty yields NULL."""
     tset = set(terms)
     o = dict(opts or {})
+    paged = occ_limit is not None or occ_offset
 
     @F.pandas_udf(T.StringType())
     def _snip(s: pd.Series) -> pd.Series:
@@ -117,8 +136,14 @@ def snippet_udf(terms: list, tokenizer: str = "default", opts: dict | None = Non
             if text is None:
                 return None
             spans = _token_spans(text, tokenizer, o, lowercase)
+            allowed = None
+            if paged:
+                sel = _occurrence_slice(spans, tset, occ_limit, occ_offset)
+                if not sel:
+                    return None
+                allowed = set(sel)
             return _best_fragment(text, spans, tset, start_tag, end_tag,
-                                  max_chars)
+                                  max_chars, allowed)
         return s.map(one)
 
     return _snip
@@ -163,9 +188,12 @@ def snippets_udf(terms: list, tokenizer: str = "default",
 
 
 def snippet_positions_udf(terms: list, tokenizer: str = "default",
-                          opts: dict | None = None, lowercase: bool = True):
+                          opts: dict | None = None, lowercase: bool = True,
+                          occ_limit: int | None = None, occ_offset: int = 0):
     """pandas UDF: text → array<struct<start int, end int>> char offsets of
-    matched terms (pdb.snippet_positions)."""
+    matched terms (pdb.snippet_positions); ``occ_limit``/``occ_offset``
+    page occurrences in document order (snippet_limit_offset.out) —
+    an empty selection yields NULL, like the reference."""
     tset = set(terms)
     o = dict(opts or {})
 
@@ -176,9 +204,9 @@ def snippet_positions_udf(terms: list, tokenizer: str = "default",
         def one(text):
             if text is None:
                 return None
-            return [{"start": a, "end": b}
-                    for a, b, t in _token_spans(text, tokenizer, o, lowercase)
-                    if t in tset] or None
+            spans = _token_spans(text, tokenizer, o, lowercase)
+            sel = _occurrence_slice(spans, tset, occ_limit, occ_offset)
+            return [{"start": a, "end": b} for a, b in sel] or None
         return s.map(one)
 
     return _pos
@@ -240,25 +268,27 @@ def _snippet_source(index, field: str):
 def with_snippet(index, hits_df, query, field: str,
                  start_tag: str = DEFAULT_START, end_tag: str = DEFAULT_END,
                  max_chars: int = DEFAULT_MAX_CHARS,
-                 out_col: str = "snippet"):
+                 out_col: str = "snippet",
+                 occ_limit: int | None = None, occ_offset: int = 0):
     """Add a snippet column to a top-k result (post-limit projection)."""
     col, cfg = _snippet_source(index, field)
     from sparksearch.query.search import _as_query
     terms = _query_terms(index, _as_query(index, query), field)
     udf = snippet_udf(terms, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase,
-                      start_tag, end_tag, max_chars)
+                      start_tag, end_tag, max_chars, occ_limit, occ_offset)
     return hits_df.withColumn(out_col, udf(col))
 
 
 def with_snippet_positions(index, hits_df, query, field: str,
-                           out_col: str = "snippet_positions"):
+                           out_col: str = "snippet_positions",
+                           occ_limit: int | None = None, occ_offset: int = 0):
     """Add a char-offset span column (``pdb.snippet_positions``) to a
     top-k result; supports JSON path refs like the other projections."""
     col, cfg = _snippet_source(index, field)
     from sparksearch.query.search import _as_query
     terms = _query_terms(index, _as_query(index, query), field)
     udf = snippet_positions_udf(terms, cfg.tokenizer, cfg.tokenizer_opts,
-                                cfg.lowercase)
+                                cfg.lowercase, occ_limit, occ_offset)
     return hits_df.withColumn(out_col, udf(col))
 
 

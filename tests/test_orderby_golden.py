@@ -166,3 +166,73 @@ def test_limit_offset_golden(sorted_scan_index):
                 limit=3) == [30, 31, 32]
     assert _ids(sorted_scan_index, q, order_by=ob, columns=["id"],
                 limit=100) == list(range(30, 50))
+
+
+@pytest.mark.parametrize("case", ["float", "timestamp", "date", "uuid",
+                                  "numeric"])
+def test_datatype_sort_golden(spark, case):
+    """index_order_by.out Section 4: sorting works across fast-field data
+    types — FLOAT, TIMESTAMP, DATE, UUID (string byte-order), and
+    wide NUMERIC(30,0) (NumericBytes order-preserving encoding; Spark
+    decimal(30,0) compares numerically) — with the reference's NULLS
+    placement."""
+    if case == "float":
+        rows = [(1, "movie a", 8.5), (2, "movie b", 7.2), (3, "movie c", 9.1),
+                (4, "movie d", 6.8), (5, "movie e", 8.9)]
+        schema, col, direction = "id int, content string, v double", "v", \
+            "desc nulls last"
+        want = [3, 5, 1, 2, 4]
+        term = "movie"
+    elif case == "timestamp":
+        import datetime as dt
+        rows = [(1, "event a", dt.datetime(2024, 1, 15, 10)),
+                (2, "event b", dt.datetime(2024, 3, 20, 14, 30)),
+                (3, "event c", dt.datetime(2024, 1, 1, 8)),
+                (4, "event d", dt.datetime(2024, 6, 10, 16, 45)),
+                (5, "event e", dt.datetime(2024, 2, 28, 12))]
+        schema, col, direction = "id int, content string, v timestamp", "v", \
+            "desc nulls last"
+        want = [4, 2, 5, 1, 3]
+        term = "event"
+    elif case == "date":
+        import datetime as dt
+        rows = [(1, "appointment a", dt.date(2024, 5, 15)),
+                (2, "appointment b", dt.date(2024, 3, 1)),
+                (3, "appointment c", dt.date(2024, 7, 20)),
+                (4, "appointment d", dt.date(2024, 1, 10)),
+                (5, "appointment e", dt.date(2024, 4, 25))]
+        schema, col, direction = "id int, content string, v date", "v", \
+            "asc nulls first"
+        want = [4, 2, 5, 1, 3]
+        term = "appointment"
+    elif case == "uuid":
+        rows = [(1, "uuid", "00000000-0000-0000-0000-000000000002"),
+                (2, "uuid", "00000000-0000-0000-0000-000000000010"),
+                (3, "uuid", "00000000-0000-0000-0000-000000000001"),
+                (4, "uuid", None),
+                (5, "uuid", "00000000-0000-0000-0000-000000000003"),
+                (6, "uuid", "00000000-0000-0000-0000-000000000100")]
+        schema, col, direction = "id int, content string, v string", "v", \
+            "asc nulls first"
+        want = [4, 3, 1, 5, 2, 6]
+        term = "uuid"
+    else:  # numeric(30,0) — beyond long range
+        from decimal import Decimal
+        rows = [(1, "num", None),
+                (2, "num", Decimal(10**29)),
+                (3, "num", Decimal(5)), (4, "num", Decimal(10)),
+                (5, "num", Decimal(1)), (6, "num", Decimal(10**29 + 1)),
+                (7, "num", Decimal(500)), (8, "num", Decimal(50))]
+        schema, col, direction = "id int, content string, v decimal(30,0)", \
+            "v", "asc nulls first"
+        want = [1, 5, 3, 4, 8, 7, 2, 6]
+        term = "num"
+    docs = spark.createDataFrame(rows, schema)
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="content")],
+        sort_by=f"{col} {direction.upper()}"))
+    got = [r["id"] for r in search(
+        idx, ast.Parse(term, field="content"),
+        order_by=[(col, direction), ("id", "asc")],
+        columns=["id", col], with_score=False).collect()]
+    assert got == want

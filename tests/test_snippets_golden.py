@@ -126,3 +126,77 @@ def test_spark_path_matches_golden(spark):
                       '<b>dog</b>. The <b>dog</b> is very lazy. The '
                       '<b>fox</b> is quick']
     assert out[4] is None
+
+
+def test_snippet_occurrence_limit_offset_golden(spark):
+    """snippet_limit_offset.out (occurrence paging through pdb.snippet /
+    pdb.snippet_positions "limit"/"offset" args): only selected
+    occurrences highlight; an empty selection yields NULL rows."""
+    from sparksearch import IndexSchema, FieldConfig, build_index
+    from sparksearch.highlight import with_snippet, with_snippet_positions
+    from sparksearch.query import ast
+    from sparksearch.query.compiler import compile_query
+    rows = [
+        (1, 'This is a test test of the snippet function with multiple '
+            'test words'),
+        (2, 'Another test of the snippet snippet function with repeated '
+            'snippet words'),
+        (3, 'Yet another test test test of the function function function'),
+        (4, 'test Lorem ipsum dolor sit amet...test'),
+    ]
+    docs = spark.createDataFrame(rows, "id int, content string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="content")]))
+    q = ast.Term("content", "test")
+    scores = compile_query(idx, q)
+    hits = scores.join(docs, scores["doc_id"] == docs["id"])
+
+    def snippets(**kw):
+        return {r["id"]: r["snippet"] for r in
+                with_snippet(idx, hits, q, "content", **kw).collect()}
+
+    def positions(**kw):
+        return {r["id"]: ([(p["start"], p["end"]) for p in r["snippet_positions"]]
+                          if r["snippet_positions"] is not None else None)
+                for r in with_snippet_positions(idx, hits, q, "content",
+                                                **kw).collect()}
+
+    # unpaged: all occurrences highlighted
+    assert snippets()[1] == ('This is a <b>test</b> <b>test</b> of the '
+                             'snippet function with multiple <b>test</b> '
+                             'words')
+    assert positions()[1] == [(10, 14), (15, 19), (58, 62)]
+    assert positions()[4] == [(0, 4), (34, 38)]
+
+    # limit=1: first occurrence only
+    s1 = snippets(occ_limit=1)
+    assert s1[1] == ('This is a <b>test</b> test of the snippet function '
+                     'with multiple test words')
+    assert s1[4] == '<b>test</b> Lorem ipsum dolor sit amet...test'
+    assert positions(occ_limit=1) == {1: [(10, 14)], 2: [(8, 12)],
+                                      3: [(12, 16)], 4: [(0, 4)]}
+
+    # limit=1 offset=1: second occurrence; single-occurrence docs → NULL
+    s11 = snippets(occ_limit=1, occ_offset=1)
+    assert s11[1] == ('This is a test <b>test</b> of the snippet function '
+                      'with multiple test words')
+    assert s11[2] is None
+    assert s11[3] == ('Yet another test <b>test</b> test of the function '
+                      'function function')
+    assert s11[4] == 'test Lorem ipsum dolor sit amet...<b>test</b>'
+    assert positions(occ_limit=1, occ_offset=1) == {
+        1: [(15, 19)], 2: None, 3: [(17, 21)], 4: [(34, 38)]}
+
+    # limit=5 offset=2: third occurrence onward
+    s52 = snippets(occ_limit=5, occ_offset=2)
+    assert s52[1] == ('This is a test test of the snippet function with '
+                      'multiple <b>test</b> words')
+    assert s52[2] is None and s52[4] is None
+    assert s52[3] == ('Yet another test test <b>test</b> of the function '
+                      'function function')
+    assert positions(occ_limit=5, occ_offset=2) == {
+        1: [(58, 62)], 2: None, 3: [(22, 26)], 4: None}
+
+    # limit=0 → everything NULL
+    assert set(snippets(occ_limit=0).values()) == {None}
+    assert set(positions(occ_limit=0).values()) == {None}
