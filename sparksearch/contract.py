@@ -727,6 +727,51 @@ def q_multi_index_scored_join(spark, sf_dir):
             .limit(10).select("event_id", "doc_id", "pdb_score"))
 
 
+def q_snippet_occ_paged(spark, sf_dir):
+    """pdb.snippet_positions with the occurrence limit/offset args
+    (snippet_limit_offset.out, round-3): page to the SECOND occurrence
+    of 'vector' in each BM25 top-20 doc; single-occurrence docs drop
+    (NULL selection)."""
+    from sparksearch.highlight import snippet_positions_udf
+    from sparksearch.query.search import search
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.Term("text", "vector")
+    hits = search(idx, q, limit=20, columns=["doc_id", "text"])
+    pos = snippet_positions_udf(["vector"], occ_limit=1, occ_offset=1)
+    return (hits.withColumn("p", F.explode(pos(F.col("text"))))
+            .select("doc_id", F.col("p.start").alias("start"),
+                    F.col("p.end").alias("end")))
+
+
+def _snippet_occ_paged_oracle_sql(term: str = "vector", topk: int = 20) -> str:
+    """Occurrence-paged twin: all boundary-checked occurrence offsets per
+    top-k doc, then row_number() = 2 (occ_offset=1, occ_limit=1)."""
+    inner = _snippet_positions_oracle_sql(term, topk)
+    return f"""WITH occ AS ({inner})
+SELECT doc_id, start, "end" FROM (
+  SELECT doc_id, start, "end",
+         row_number() OVER (PARTITION BY doc_id ORDER BY start) AS rn
+  FROM occ) WHERE rn = 2"""
+
+
+def q_json_path_agg_dsl(spark, sf_dir):
+    """ES agg DSL over a nested JSON path (round-3 _resolve_field:
+    json_agg.out / json_groupby_orderby_limit.out surface): histogram on
+    events props.k (numeric json path) with an avg(value) sub-metric,
+    flattened to rows for the oracle."""
+    from sparksearch.aggs import run_aggs
+    ev = _t(spark, sf_dir, "events")
+    res = run_aggs(ev, {
+        "k": {"histogram": {"field": "props.k", "interval": 25},
+              "aggs": {"avg_value": {"avg": {"field": "value"}}}}})
+    rows = [(b["key"], b["doc_count"], b["avg_value"]["value"])
+            for b in res["aggregations"]["k"]["buckets"]]
+    return (spark.createDataFrame(
+        rows, "k_bucket double, cnt long, avg_value double")
+        .select("k_bucket", "cnt",
+                F.round("avg_value", 4).alias("avg_value")))
+
+
 def q_snippet_positions(spark, sf_dir):
     """pdb.snippet_positions over the BM25 top-5 (char-offset spans of
     matched terms, projections/snippet.rs:466): exploded to one row per
@@ -1086,6 +1131,10 @@ QUERIES = {
     "parse_query": q_parse_query,
     "range_term": q_range_term,
     "range_contains": q_range_contains,
+    # round-3 additions (appended AFTER the driver's 50-entry window so the
+    # 17 previously-unchecked entries keep their front slots)
+    "snippet_occ_paged": q_snippet_occ_paged,
+    "json_path_agg_dsl": q_json_path_agg_dsl,
 }
 
 
@@ -1110,6 +1159,12 @@ def oracle_sql() -> dict:
     return {
         "bm25_topk": _bm25_oracle_sql("vector", topk=10),
         "snippet_positions": _snippet_positions_oracle_sql("vector", topk=5),
+        "snippet_occ_paged": _snippet_occ_paged_oracle_sql("vector", topk=20),
+        "json_path_agg_dsl": (
+            "SELECT CAST(floor(CAST(props->>'k' AS DOUBLE) / 25) * 25"
+            " AS DOUBLE) AS k_bucket, count(*) AS cnt,"
+            " round(avg(value), 4) AS avg_value"
+            " FROM events GROUP BY 1"),
         "snippet_topk": _snippet_oracle_sql("vector", topk=5),
         "filters_agg": (
             "WITH k AS (SELECT CASE WHEN n_chars < 200 THEN 'short' "
