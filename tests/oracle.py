@@ -264,7 +264,10 @@ def _osa(a, b):
 
 def _phrase_count(tokens, terms, slop):
     """Independent twin of the engine's sloppy count: offset-adjusted
-    window width <= slop, distinct raw positions, min-advance scan."""
+    window width <= slop, distinct raw positions; a matching window
+    CONSUMES every slot's position (each raw position participates in at
+    most one counted match — Lucene/Tantivy consumption discipline),
+    otherwise the minimum slot advances."""
     pos = {t: [i for i, x in enumerate(tokens) if x == t] for t in set(terms)}
     if any(not pos[t] for t in terms):
         return 0
@@ -276,10 +279,16 @@ def _phrase_count(tokens, terms, slop):
     matches = 0
     while True:
         cur = [adj[i][ptr[i]] for i in range(len(adj))]
-        if max(cur) - min(cur) <= slop:
-            if len({c + i for i, c in enumerate(cur)}) == len(cur):
-                matches += 1
-        i_min = cur.index(min(cur))
-        ptr[i_min] += 1
-        if ptr[i_min] >= len(adj[i_min]):
-            return matches
+        matched = (max(cur) - min(cur) <= slop
+                   and len({c + i for i, c in enumerate(cur)}) == len(cur))
+        if matched:
+            matches += 1
+            for i in range(len(adj)):
+                ptr[i] += 1
+                if ptr[i] >= len(adj[i]):
+                    return matches
+        else:
+            i_min = cur.index(min(cur))
+            ptr[i_min] += 1
+            if ptr[i_min] >= len(adj[i_min]):
+                return matches
