@@ -13,6 +13,7 @@ flow through the same Spark plumbing; swap a PIL/av-backed decoder into
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -55,7 +56,9 @@ def _decode_any_image(data: bytes):
             # baseline sequential JPEG decodes for real (pure python);
             # progressive/arithmetic raise → fallback
             return codecs.decode_jpeg(data)
-    except ValueError:
+    except (ValueError, IndexError, KeyError, struct.error):
+        # malformed/truncated container (bad huffman state, short reads,
+        # missing tables) → labeled fallback path, never a UDF crash
         return None
     return None
 

@@ -274,3 +274,23 @@ def test_jpeg_codec_roundtrip():
         codecs.decode_jpeg(b"\xff\xd8 not really a jpeg")
     with _pytest.raises(ValueError):
         codecs.decode_jpeg(b"GIF89a")
+
+
+def test_jpeg_malformed_routes_to_fallback():
+    """Truncated or bit-flipped JPEG bytes must route to the labeled
+    fallback (return None from the decode dispatcher), never crash the
+    Arrow UDF worker."""
+    import random
+    import numpy as np
+    from sparksearch.pipeline.codecs import encode_jpeg
+    from sparksearch.pipeline.multimodal import _decode_any_image
+    good = encode_jpeg(np.full((16, 16, 3), 99, np.uint8))
+    assert _decode_any_image(good) is not None
+    for cut in (3, 20, 100, len(good) // 2, len(good) - 3):
+        assert _decode_any_image(good[:cut]) is None, cut
+    rng = random.Random(5)
+    for _ in range(20):
+        b = bytearray(good)
+        for _ in range(6):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        _decode_any_image(bytes(b))  # any result is fine; raising is not
