@@ -13,8 +13,7 @@ keyed), ``filters`` (named sub-filters).  Metrics: ``value_count``,
 ``stats``, ``percentiles``, ``top_hits``.  Buckets nest via ``aggs``.
 
 Result shape mirrors ES: ``{"aggregations": {name: {"buckets": [...]}}}``
-via :func:`run_aggs`; :func:`compile_aggs` returns the underlying
-DataFrames for plan inspection.
+via :func:`run_aggs` / :func:`search_aggregate`.
 
 Execution notes (scale): every bucket level compiles to ONE
 ``groupBy(...).agg(...)`` over the (optionally search-filtered) doc

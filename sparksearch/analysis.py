@@ -42,6 +42,41 @@ _PY_WORD = re.compile(r"[^\W_]+", re.UNICODE)  # \w minus underscore
 # unicode_words (UAX#29 approximation): words may contain interior
 # apostrophes (MidLetter) and interior . , in numbers (MidNum).
 _JAVA_UAX29 = r"[\p{L}\p{N}](?:[\p{L}\p{N}]|['’](?=[\p{L}])|[.,](?=[\p{N}]))*"
+
+# RFC3339-ish datetime detection for JSON string values.  Tantivy types
+# such values as DATE terms (one typed token, second precision) instead
+# of running the text tokenizer over them — the behavior
+# json_term_set.out locks in via is_datetime term_set queries.  Both
+# analyzer twins canonicalize to UTC 'yyyy-MM-ddTHH:mm:ssZ'.
+_RFC3339_RE = (r"\d{4}-\d{2}-\d{2}"
+               r"([T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?)?")
+_RFC3339_PY = re.compile("^" + _RFC3339_RE + "$")
+
+
+def py_canon_datetime(s: str) -> str | None:
+    """Canonical UTC second-precision rendering of an RFC3339-ish string
+    (None when it isn't one).  Naive inputs are treated as UTC — the same
+    convention as the JVM twin's cast under the UTC session timezone."""
+    if not _RFC3339_PY.match(s):
+        return None
+    import datetime as _dt
+    try:
+        d = _dt.datetime.fromisoformat(s.strip().replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc)
+    return d.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def canon_datetime_expr(v: Column) -> Column:
+    """JVM twin of :func:`py_canon_datetime`: NULL unless RFC3339-ish."""
+    is_dt = v.rlike("^" + _RFC3339_RE + "$")
+    ts = F.try_to_timestamp(v)  # session tz is UTC (sparksearch.session)
+    return F.when(is_dt & ts.isNotNull(),
+                  F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+
 _PY_UAX29 = re.compile(
     r"[^\W_](?:[^\W_]|['’](?=[^\W\d_])|[.,](?=\d))*", re.UNICODE)
 
@@ -86,6 +121,13 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
                 v = "true" if v else "false"
             elif not isinstance(v, str):
                 v = _json.dumps(v, separators=(",", ":"))
+            elif vt in ("default", "simple"):
+                # RFC3339-ish strings index as ONE typed date token
+                # (Tantivy json date detection, json_term_set.out)
+                dt = py_canon_datetime(v)
+                if dt is not None:
+                    out.append(f"{prefix}:{dt}")
+                    return
             for t in py_tokenize(v, vt, None, lowercase):
                 out.append(f"{prefix}:{t}")
 
@@ -312,6 +354,10 @@ def _jvm_token_array(col: Column, cfg) -> Column:
             s = F.lower(v) if cfg.lowercase else v
             if vt in ("default", "simple"):
                 toks = F.regexp_extract_all(s, F.lit(_JAVA_WORD), 0)
+                # RFC3339-ish string values → ONE typed date token
+                # (mirrors py_tokenize's scalar(); json_term_set.out)
+                dt = canon_datetime_expr(v)
+                toks = F.when(dt.isNotNull(), F.array(dt)).otherwise(toks)
             elif vt == "whitespace":
                 toks = F.filter(F.split(s, r"\s+"), lambda x: x != "")
             else:  # raw

@@ -140,6 +140,23 @@ class _Compiler:
 
     def _norm(self, field: str, value):
         cfg, prefix = self.index.schema.resolve(field)
+        if prefix and not isinstance(value, str):
+            # typed datetime value against a JSON path (reference
+            # paradedb.term(..., '...'::timestamptz), json_term_set.out)
+            import datetime as _dt
+            if isinstance(value, _dt.datetime):
+                value = value.isoformat()
+            elif isinstance(value, _dt.date):
+                value = value.isoformat()
+        if (isinstance(value, str) and prefix
+                and cfg.tokenizer_opts.get("value_tokenizer", "default")
+                in ("default", "simple")):
+            # RFC3339-ish values match the json analyzer's typed date
+            # token (canonical UTC form, NOT lowercased/word-split)
+            from sparksearch.analysis import py_canon_datetime
+            dt = py_canon_datetime(value)
+            if dt is not None:
+                return prefix + dt
         if isinstance(value, str) and cfg.lowercase and cfg.tokenizer not in ("keyword", "literal"):
             value = value.lower()
         if isinstance(value, str) and prefix:
@@ -226,16 +243,34 @@ class _Compiler:
 
     def _c_range(self, node: ast.Range) -> DataFrame:
         c, is_json = self._attr_col(node.field)
-        if is_json and isinstance(
-                node.lower if node.lower is not None else node.upper,
-                (int, float)):
-            # json numeric paths compare numerically, not lexically
-            c = c.cast("double")
+        lo, up = node.lower, node.upper
+        if is_json:
+            import datetime as _dt
+            from sparksearch.analysis import py_canon_datetime
+            b = lo if lo is not None else up
+            if isinstance(b, (int, float)) and not isinstance(b, bool):
+                # json numeric paths compare numerically, not lexically
+                c = c.cast("double")
+            elif isinstance(b, _dt.datetime) or (
+                    isinstance(b, str) and py_canon_datetime(b) is not None):
+                # datetime subpath (json_range.out: tstzrange /
+                # is_datetime legacy form): compare as INSTANTS so mixed
+                # renderings ('Z' vs '+02:00' vs space separator) agree;
+                # non-datetime values at the path are NULL → no match
+                c = F.try_to_timestamp(c)
+
+                def _b(x):
+                    if x is None:
+                        return None
+                    if isinstance(x, _dt.datetime):
+                        return F.lit(x)
+                    return F.to_timestamp(F.lit(py_canon_datetime(x)))
+                lo, up = _b(lo), _b(up)
         cond = F.lit(True)
-        if node.lower is not None:
-            cond = cond & (c >= node.lower if node.lower_inclusive else c > node.lower)
-        if node.upper is not None:
-            cond = cond & (c <= node.upper if node.upper_inclusive else c < node.upper)
+        if lo is not None:
+            cond = cond & (c >= lo if node.lower_inclusive else c > lo)
+        if up is not None:
+            cond = cond & (c <= up if node.upper_inclusive else c < up)
         return self._attr_filter(cond)
 
     def _c_exists(self, node: ast.Exists) -> DataFrame:

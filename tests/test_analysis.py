@@ -61,6 +61,11 @@ def test_json_tokenizer_spark_matches_python(spark):
         # null / bool / float scalars, empty object and array
         '{"z": null, "b": true, "f": 1.5, "eo": {}, "ea": []}',
         '{"mixed": ["{\\"a\\":1}", {"a": 1}]}',
+        # RFC3339-ish values become ONE canonical date token; invalid
+        # dates and near-misses word-split as ordinary text
+        '{"tstz": "2023-05-01T09:12:34Z", "sp": "2023-05-01 09:12:34+02:00",'
+        ' "d": "2024-05-15", "bad": "2023-13-99", "txt": "born 2023-05-01"}',
+        '{"arr": ["2023-05-01T09:12:34Z", "plain"]}',
         "not json at all",
         "",
         None,

@@ -129,3 +129,110 @@ def test_json_path_histogram_on_numeric_json(json_single_index):
                                         "interval": 500}}})
     got = {b["key"]: b["doc_count"] for b in res["aggregations"]["p"]["buckets"]}
     assert got == {0.0: 4, 500.0: 2, 1000.0: 1}
+
+
+def test_json_term_set_datetime_golden(spark):
+    """json_term_set.out: TermSet / Term over a JSON datetime subpath.
+    RFC3339-ish JSON string values index as one canonical typed date
+    token (Tantivy json date detection), so datetime term queries match
+    regardless of rendering (Z suffix vs +00:00 offset vs python
+    datetime objects — the reference's '::timestamptz' round-trip)."""
+    import datetime as dt
+    from sparksearch.query import ast
+    from sparksearch.query.compiler import compile_query
+    rows = [(1, '{"attributes": {"tstz": "2023-05-01T08:12:34Z"}}'),
+            (2, '{"attributes": {"tstz": "2023-05-01T09:12:34Z"}}'),
+            (3, '{"attributes": {"tstz": "2023-05-01T10:12:34Z"}}')]
+    docs = spark.createDataFrame(rows, "id int, metadata string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[FieldConfig(name="metadata", tokenizer="json")]))
+
+    def ids(q):
+        return sorted(r["doc_id"] for r in compile_query(idx, q).collect())
+
+    path = "metadata.attributes.tstz"
+    # new API: term_set of two timestamps → docs 2,3
+    assert ids(ast.TermSet(path, ["2023-05-01T09:12:34Z",
+                                  "2023-05-01T10:12:34Z"])) == [2, 3]
+    # alternate renderings of the same instants match too
+    assert ids(ast.TermSet(path, ["2023-05-01 09:12:34+00:00",
+                                  "2023-05-01T12:12:34+02:00"])) == [2, 3]
+    # typed python datetimes (the '::timestamptz' form)
+    assert ids(ast.TermSet(path, [
+        dt.datetime(2023, 5, 1, 9, 12, 34, tzinfo=dt.timezone.utc),
+        dt.datetime(2023, 5, 1, 10, 12, 34, tzinfo=dt.timezone.utc),
+    ])) == [2, 3]
+    # single Term
+    assert ids(ast.Term(path, "2023-05-01T08:12:34Z")) == [1]
+    # non-matching instant
+    assert ids(ast.Term(path, "2023-05-01T23:59:59Z")) == []
+
+
+def test_json_range_golden(spark):
+    """json_range.out: Range over JSON numeric and datetime subpaths.
+    Numeric: score >= 4 → {2,3}. Datetime (tstzrange semantics): tstz >=
+    2023-05-01T09:12:00Z → {2,3}, matching across renderings."""
+    import datetime as dt
+    from sparksearch.query import ast
+    from sparksearch.query.compiler import compile_query
+    rows = [
+        (1, '{"attributes": {"score": 3, "tstz": "2023-05-01T08:12:34Z"}}'),
+        (2, '{"attributes": {"score": 4, "tstz": "2023-05-01T09:12:34Z"}}'),
+        (3, '{"attributes": {"score": 5, "tstz": "2023-05-01T10:12:34Z"}}'),
+    ]
+    docs = spark.createDataFrame(rows, "id int, metadata string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[FieldConfig(name="metadata", tokenizer="json")]))
+
+    def ids(q):
+        return sorted(r["doc_id"] for r in compile_query(idx, q).collect())
+
+    # numeric subpath: int4range(4, NULL, '[)')
+    assert ids(ast.Range("metadata.attributes.score", lower=4,
+                         lower_inclusive=True)) == [2, 3]
+    # datetime subpath: tstzrange('2023-05-01T09:12:00Z', NULL, '[)')
+    assert ids(ast.Range("metadata.attributes.tstz",
+                         lower="2023-05-01T09:12:00Z",
+                         lower_inclusive=True)) == [2, 3]
+    # alternate rendering of the same bound instant
+    assert ids(ast.Range("metadata.attributes.tstz",
+                         lower="2023-05-01 11:12:00+02:00",
+                         lower_inclusive=True)) == [2, 3]
+    # python datetime bound + bounded-above form
+    assert ids(ast.Range("metadata.attributes.tstz",
+                         lower=dt.datetime(2023, 5, 1, 8, 30,
+                                           tzinfo=dt.timezone.utc),
+                         upper=dt.datetime(2023, 5, 1, 10, 0,
+                                           tzinfo=dt.timezone.utc),
+                         lower_inclusive=True, upper_inclusive=False)) == [2]
+
+
+def test_exists_json_golden(spark):
+    """exists_json.out: paradedb.exists over JSON subpaths and the whole
+    json column, incl. a NULL json row and an OR with a text query."""
+    from sparksearch.query import ast
+    from sparksearch.query.compiler import compile_query
+    rows = [
+        (1, "Marketing manager", '{"first_name": "John", "last_name": "Smith"}'),
+        (2, "Sales manager", '{"first_name": "Jane"}'),
+        (3, "Engineer", '{"last_name": "Wilson"}'),
+        (4, "CEO", None),
+        (5, "CTO", '{"first_name": "Jim", "last_name": "Johnson"}'),
+    ]
+    docs = spark.createDataFrame(rows,
+                                 "id int, description string, data string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[FieldConfig(name="description"),
+                     FieldConfig(name="data", tokenizer="json")]))
+
+    def ids(q):
+        return sorted(r["doc_id"] for r in compile_query(idx, q).collect())
+
+    assert ids(ast.Exists("data.first_name")) == [1, 2, 5]
+    assert ids(ast.Boolean(should=[ast.Exists("data.last_name"),
+                                   ast.Term("description", "ceo")])) \
+        == [1, 3, 4, 5]
+    assert ids(ast.Exists("data")) == [1, 2, 3, 5]
