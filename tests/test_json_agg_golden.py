@@ -236,3 +236,38 @@ def test_exists_json_golden(spark):
                                    ast.Term("description", "ceo")])) \
         == [1, 3, 4, 5]
     assert ids(ast.Exists("data")) == [1, 2, 3, 5]
+
+
+def test_jsonb_exists_operator_golden(spark):
+    """jsonb_exists_operator.out: the JSONB `?` key-exists operator maps
+    to Exists over json paths — AND of two keys, nested-path
+    (data->'address' ? 'city'), and the OR-with-text case."""
+    from sparksearch.query import ast
+    from sparksearch.query.compiler import compile_query
+    rows = [
+        (1, "Marketing manager", '{"first_name": "John", "last_name": "Smith"}'),
+        (2, "Sales manager", '{"first_name": "Jane"}'),
+        (3, "Engineer", '{"last_name": "Wilson"}'),
+        (4, "CEO", None),
+        (5, "CTO", '{"first_name": "Jim", "last_name": "Johnson"}'),
+        (6, "Intern", '{"address": {"city": "New York", "zip": "10001"}}'),
+    ]
+    docs = spark.createDataFrame(rows,
+                                 "id int, description string, data string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[FieldConfig(name="description"),
+                     FieldConfig(name="data", tokenizer="json")]))
+
+    def ids(q):
+        return sorted(r["doc_id"] for r in compile_query(idx, q).collect())
+
+    assert ids(ast.Exists("data.first_name")) == [1, 2, 5]
+    assert ids(ast.Boolean(should=[ast.Exists("data.last_name"),
+                                   ast.Match("description", "CEO")])) \
+        == [1, 3, 4, 5]
+    assert ids(ast.Boolean(must=[ast.Exists("data.first_name"),
+                                 ast.Exists("data.last_name")])) == [1, 5]
+    # nested path: data->'address' ? 'city'
+    assert ids(ast.Exists("data.address.city")) == [6]
+    assert ids(ast.Exists("data.address.country")) == []

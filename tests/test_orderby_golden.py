@@ -236,3 +236,20 @@ def test_datatype_sort_golden(spark, case):
         order_by=[(col, direction), ("id", "asc")],
         columns=["id", col], with_score=False).collect()]
     assert got == want
+
+
+def test_byte_ordered_text_sort_golden(spark):
+    """order_by_collation.out result semantics: the engine sorts text in
+    byte (C-collation) order — the only ordering the reference pushes
+    into the index (TopK refuses non-byte-ordered collations), so
+    uppercase letters sort before lowercase: Banana, Date, apple,
+    cherry, elderberry."""
+    rows = [(1, "apple", 10), (2, "Banana", 20), (3, "cherry", 30),
+            (4, "Date", 40), (5, "elderberry", 50)]
+    docs = spark.createDataFrame(rows, "id int, name_c string, priority int")
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="name_c")]))
+    got = [r["name_c"] for r in search(
+        idx, ast.All(), order_by=[("name_c", "asc")], limit=5,
+        columns=["name_c"], with_score=False).collect()]
+    assert got == ["Banana", "Date", "apple", "cherry", "elderberry"]
