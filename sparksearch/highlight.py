@@ -47,13 +47,28 @@ def _token_spans(text: str, tokenizer: str, opts: dict, lowercase: bool):
     return spans
 
 
+def _merge_spans(hits):
+    """Merge overlapping/touching matched spans into maximal ranges —
+    adjacent grams of one needle ('toot','ooth' for needle 'tooth' on an
+    ngram field) highlight as ONE region, Tantivy's merged
+    HighlightSections (keys_snippet_score.out: blue<b>tooth</b>)."""
+    out: list = []
+    for s, e in hits:
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
 def _render_fragment(text, hits, start_tag, end_tag, left, right):
+    import html
     out, cur = [], left
     for s, e in hits:
-        out.append(text[cur:s])
-        out.append(start_tag + text[s:e] + end_tag)
+        out.append(html.escape(text[cur:s]))
+        out.append(start_tag + html.escape(text[s:e]) + end_tag)
         cur = e
-    out.append(text[cur:right])
+    out.append(html.escape(text[cur:right]))
     return "".join(out)
 
 
@@ -91,6 +106,7 @@ def _all_fragments(text, spans, terms, start_tag, end_tag, max_chars,
             last_end = spans[i][1]
             j = i + 1
         if hits:
+            hits = _merge_spans(hits)
             frags.append((len(hits), start,
                           _render_fragment(text, hits, start_tag, end_tag,
                                            start, last_end)))
