@@ -295,6 +295,17 @@ class HeapFilter(Query):
 
 
 @dataclass
+class HeapOr(Query):
+    """Indexed query OR a non-indexed SQL predicate — the custom-scan OR
+    pushdown (``name @@@ '...' OR category = '...'``): matches the UNION
+    of both sides; docs matching only the predicate score 0
+    (score_non_indexed_predicates.out: MacBook Pro / Sony Headphones
+    carry score 0 in the OR result)."""
+    query: Query
+    predicate: str
+
+
+@dataclass
 class Parse(Query):
     """Tantivy query-string mini-language (pdb_query.rs:229-240); resolved
     by parser.parse_query at compile time."""

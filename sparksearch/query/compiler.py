@@ -793,6 +793,15 @@ class _Compiler:
                 .select(F.col(self.key).alias("doc_id")))
         return d.join(keep, "doc_id", "left_semi")
 
+    def _c_heapor(self, node: ast.HeapOr) -> DataFrame:
+        """Union of the indexed query's matches and the SQL predicate's
+        matches; predicate-only docs score 0 (the reference's custom-scan
+        OR pushdown, score_non_indexed_predicates.out)."""
+        scored = self.compile(node.query)
+        attr = self._attr_filter(F.expr(node.predicate), score=0.0)
+        only_attr = attr.join(scored.select("doc_id"), "doc_id", "left_anti")
+        return scored.unionByName(only_attr)
+
     def _c_parse(self, node: ast.Parse) -> DataFrame:
         from sparksearch.query.parser import parse_query
         parsed = parse_query(node.query_string,

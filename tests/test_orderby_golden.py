@@ -253,3 +253,28 @@ def test_byte_ordered_text_sort_golden(spark):
         idx, ast.All(), order_by=[("name_c", "asc")], limit=5,
         columns=["name_c"], with_score=False).collect()]
     assert got == ["Banana", "Date", "apple", "cherry", "elderberry"]
+
+
+def test_string_key_topk_order_golden(spark):
+    """string_id_limit.out: keyword-field term search with ORDER BY a
+    VARCHAR key DESC LIMIT — the TopK must return the byte-order top
+    keys, not insertion order."""
+    rows = [("ctx_01ifsur2egUPnbJOAiHv", "customer_1"),
+            ("ctx_01iddo3tioqV6f4yCB6O", "customer_1"),
+            ("ctx_01ic75tgb5J5XkhJqkjn", "customer_1"),
+            ("ctx_01iso5q4prkOQVGKK0ue", "customer_1")]
+    docs = spark.createDataFrame(rows, "id string, customer_id string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[FieldConfig(name="customer_id", tokenizer="keyword")]))
+    got = [r["id"] for r in search(
+        idx, ast.Term("customer_id", "customer_1"),
+        order_by=[("id", "desc")], limit=2, columns=["id"],
+        with_score=False).collect()]
+    assert got == ["ctx_01iso5q4prkOQVGKK0ue", "ctx_01ifsur2egUPnbJOAiHv"]
+    # without limit: full set, still key-desc
+    allr = [r["id"] for r in search(
+        idx, ast.Term("customer_id", "customer_1"),
+        order_by=[("id", "desc")], columns=["id"],
+        with_score=False).collect()]
+    assert allr == sorted((r[0] for r in rows), reverse=True)
