@@ -320,6 +320,15 @@ def q_boolean_heap_filter(spark, sf_dir):
     return compile_query(idx, q).agg(F.count("*").alias("cnt"))
 
 
+def q_heap_or(spark, sf_dir):
+    """Indexed query OR non-indexed predicate (ast.HeapOr, round-3;
+    score_non_indexed_predicates.out): text matches keep BM25 scores,
+    predicate-only docs carry score 0."""
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.HeapOr(ast.Term("text", "vector"), "n_chars > 900")
+    return _score4(compile_query(idx, q))
+
+
 def q_terms_facet(spark, sf_dir):
     """terms bucket aggregation (docs/aggregates/bucket/terms.mdx)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1135,6 +1144,7 @@ QUERIES = {
     # 17 previously-unchecked entries keep their front slots)
     "snippet_occ_paged": q_snippet_occ_paged,
     "json_path_agg_dsl": q_json_path_agg_dsl,
+    "heap_or": q_heap_or,
 }
 
 
@@ -1236,6 +1246,11 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
             f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents) "
             "SELECT doc_id FROM t WHERE len(list_filter(ts, "
             "x -> damerau_levenshtein(x, 'joinn') <= 1)) > 0"),
+        "heap_or": (
+            _bm25_base_cte("vector")
+            + " SELECT doc_id, score FROM scored"
+            " UNION ALL SELECT doc_id, 0.0 AS score FROM lens"
+            " WHERE n_chars > 900 AND tf = 0"),
         "heap_filter_count": (
             f"SELECT count(*) AS cnt FROM documents WHERE {has('vector')} "
             "AND n_chars > 500"),
