@@ -95,3 +95,37 @@ def test_or_non_indexed_predicate_scores_zero_golden(products_index):
     order = [i for i, _ in sorted(got.items(),
                                   key=lambda kv: (-kv[1], kv[0]))]
     assert order[:4] == [1, 7, 4, 10] and set(order[4:]) == {2, 8}
+
+
+def test_partial_index_scores_golden(spark):
+    """partial_index_score_fix.out: BM25 stats over the PARTIAL corpus —
+    a partial index (WHERE category='Electronics', 3 rows) gives
+    score = idf = ln(1.6) = 0.47000363 for 'apple' (df=2 of N=3, every
+    doc 2 tokens so the length term cancels); heap-filtering rating >= 4
+    keeps the same scores; paradedb.all() over the partial index sees
+    only the partial corpus."""
+    rows = [(1, "Apple iPhone", "Electronics", 5),
+            (2, "Samsung Galaxy", "Electronics", 4),
+            (3, "Nike Shoes", "Footwear", 3),
+            (4, "Apple Watch", "Electronics", 4),
+            (5, "Apple Box", "Footwear", 4),
+            (6, "Adidas Sneakers", "Footwear", 2)]
+    docs = spark.createDataFrame(
+        rows, "id int, description string, category string, rating int")
+    idx = build_index(docs, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="description")],
+        predicate="category = 'Electronics'"))
+    got = {r["doc_id"]: r["score"] for r in
+           compile_query(idx, ast.Term("description", "apple")).collect()}
+    assert set(got) == {1, 4}
+    for i in (1, 4):
+        assert got[i] == pytest.approx(0.47000363, abs=2e-6)
+    # + rating >= 4 heap filter: same rows, same scores
+    got2 = {r["doc_id"]: r["score"] for r in compile_query(
+        idx, ast.HeapFilter(ast.Term("description", "apple"),
+                            "rating >= 4")).collect()}
+    assert got2 == pytest.approx(got)
+    # paradedb.all() + heap filter over the partial corpus
+    got3 = sorted(r["doc_id"] for r in compile_query(
+        idx, ast.HeapFilter(ast.All(), "rating >= 4")).collect())
+    assert got3 == [1, 2, 4]
