@@ -1,0 +1,84 @@
+"""Training-data pipeline job — dedup + quality + language-id over a
+document corpus as a spark-submit entry point (the 100 TB curation path).
+
+    zip -r /tmp/sparksearch.zip sparksearch
+    spark-submit --py-files /tmp/sparksearch.zip jobs/pipeline_job.py \\
+        --input /data/documents --output /data/curated \\
+        --key doc_id --text text \\
+        --minhash-threshold 0.8 --min-quality-tokens 5
+
+Stages (each a bounded, shuffle-conscious DataFrame plan — see
+PLANS.md):
+1. exact dedup: md5 groupBy, keep the smallest key per hash group;
+2. near dedup: MinHash + banded LSH candidates, exact-Jaccard verify,
+   drop the larger key of each pair ≥ threshold;
+3. annotate: language id, quality scores, token counts;
+4. filter: configurable floors (tokens, distinct-token ratio);
+5. write partitioned parquet (by lang_pred) + one JSON line of counters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet documents dir")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--key", default="doc_id")
+    ap.add_argument("--text", default="text")
+    ap.add_argument("--minhash-threshold", type=float, default=0.8)
+    ap.add_argument("--skip-near-dedup", action="store_true")
+    ap.add_argument("--min-quality-tokens", type=int, default=0)
+    ap.add_argument("--min-distinct-ratio", type=float, default=0.0)
+    args = ap.parse_args()
+
+    spark = (SparkSession.builder.appName("sparksearch-pipeline")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+    from sparksearch.pipeline import (exact_duplicates,
+                                      minhash_near_duplicates,
+                                      dedup_keep_first, language_id,
+                                      quality_scores, token_counts)
+
+    docs = spark.read.parquet(args.input)
+    counters = {"input": docs.count()}
+
+    # 1. exact dedup (hash groupBy — one shuffle on the 16-byte md5)
+    groups = exact_duplicates(docs, args.key, text_col=args.text)
+    keep_exact = groups.select(F.col("keep_id").alias(args.key))
+    docs = docs.join(keep_exact, args.key, "left_semi")
+    counters["after_exact_dedup"] = docs.count()
+
+    # 2. near dedup (sub-quadratic LSH candidates + exact verification)
+    if not args.skip_near_dedup:
+        pairs = minhash_near_duplicates(docs, args.key, text_col=args.text,
+                                        threshold=args.minhash_threshold)
+        docs = dedup_keep_first(docs, pairs, args.key)
+        counters["after_near_dedup"] = docs.count()
+
+    # 3. annotate (all JVM column expressions appended in one pass —
+    # no python and no joins on the hot path)
+    ann = token_counts(quality_scores(language_id(docs, args.text),
+                                      args.text), args.text)
+
+    # 4. quality floors
+    if args.min_quality_tokens:
+        ann = ann.filter(F.col("word_tokens") >= args.min_quality_tokens)
+    if args.min_distinct_ratio:
+        ann = ann.filter(F.col("distinct_token_ratio")
+                         >= args.min_distinct_ratio)
+
+    # 5. partitioned write (lang partitioning → downstream jobs prune)
+    ann.write.mode("overwrite").partitionBy("lang_pred").parquet(args.output)
+    counters["output"] = spark.read.parquet(args.output).count()
+    print(json.dumps(counters))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
