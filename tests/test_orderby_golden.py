@@ -278,3 +278,28 @@ def test_string_key_topk_order_golden(spark):
         order_by=[("id", "desc")], columns=["id"],
         with_score=False).collect()]
     assert allr == sorted((r[0] for r in rows), reverse=True)
+
+
+def test_join_order_by_limit_golden(spark):
+    """join_order_by.out Test 1: search-filtered join ordered by the
+    left key with LIMIT — t2.t1_id = (i % 1000) + 1, so t1.id=1 joins
+    t2.id=1000, t1.id=k joins t2.id=k-1 for k>=2."""
+    t1 = spark.createDataFrame([(i, f"val {i}") for i in range(1, 1001)],
+                               "id int, val string")
+    t2 = spark.createDataFrame(
+        [(i, (i % 1000) + 1, f"val {i}") for i in range(1, 1001)],
+        "id int, t1_id int, val string")
+    idx = build_index(t1, IndexSchema(
+        key_field="id", text_fields=[FieldConfig(name="val")],
+        sort_by="id ASC NULLS FIRST"))
+    from pyspark.sql import functions as F
+    matches = search(idx, ast.Parse("val", field="val"),
+                     order_by=[("id", "asc nulls first")], limit=10,
+                     columns=["id", "val"], with_score=False)
+    joined = (matches.join(t2.select(F.col("t1_id"),
+                                     F.col("val").alias("val2")),
+                           matches["id"] == F.col("t1_id"))
+              .orderBy("id").limit(10))
+    got = [(r["val"], r["val2"]) for r in joined.collect()]
+    assert got[0] == ("val 1", "val 1000")
+    assert got[1:] == [(f"val {k}", f"val {k - 1}") for k in range(2, 11)]
