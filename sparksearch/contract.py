@@ -217,6 +217,51 @@ FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({match})
 WHERE list_cosine_similarity(a.e, b.e) >= {threshold}"""
 
 
+def _ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                    n_clusters: int = 16, seed: int = 7,
+                    max_probe: float = 0.25, k: int = 10,
+                    train_limit: int = 4096) -> str:
+    """SQL twin of the IVF probe: retrains the IDENTICAL deterministic
+    centroids from the same ordered sample, inlines them (and the probe
+    set) as literals, recomputes every vector's cluster assignment with
+    the same first-max argmax, and exact-ranks inside the probed
+    clusters.  Data-coupled to the driver's sf0.01 corpus by design
+    (like the ScoreFilter thresholds)."""
+    import math
+    import pyarrow.parquet as pq
+    from sparksearch.pipeline.similarity import train_centroids, IvfIndex
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qv = [float(x) for x in tb[tb.vec_id == 0].embedding.iloc[0]]
+    rest = tb[tb.vec_id != 0].sort_values("vec_id")
+    cents = train_centroids(
+        [list(map(float, v)) for v in rest.embedding.iloc[:train_limit]],
+        n_clusters, seed)
+    nprobe = max(1, int(n_clusters * max_probe))
+    probe = IvfIndex(None, "", {"centroids": cents}).probe_clusters(
+        qv, nprobe)
+
+    def arr(c):
+        return "[" + ",".join(repr(float(x)) for x in c) + "]"
+
+    dot_terms = ", ".join(
+        f"list_dot_product(e, {arr(c)})"
+        f" / {math.sqrt(sum(x * x for x in c)) or 1.0!r}"
+        for c in cents)
+    return f"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id <> 0
+), a AS (
+  SELECT vec_id, e, list_indexof(l, list_max(l)) AS cluster
+  FROM (SELECT vec_id, e, [{dot_terms}] AS l FROM v)
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id AS id,
+       round(CAST(list_cosine_similarity(e, qe) AS DOUBLE), 4) AS cos
+FROM a, q WHERE cluster IN ({",".join(str(p) for p in probe)})
+ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT {k}"""
+
+
 def _bm25_multi_cte(terms: list) -> str:
     """CTE computing per-doc BM25 score columns s0..s{n-1} (0 when the
     term is absent) for several terms — shared by the compound-query
@@ -653,6 +698,32 @@ def q_lsh_ann_topk(spark, sf_dir):
             emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", path)
     idx = _INDEX_CACHE[key]
     return (idx.topk(qv, k=10)
+            .select("id", F.round("cos", 4).alias("cos")))
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """ANN top-k over the PERSISTED IVF layout (reference clustered
+    vector index, docs/vector/*): deterministic spherical k-means
+    centroids, vectors partitioned by nearest cluster, the query probes
+    the 4 closest of 16 clusters (max_probe=0.25) via partition filters,
+    exact cosine rank inside.  The oracle retrains the IDENTICAL
+    centroids (same deterministic sample + k-means) and inlines them as
+    SQL literals, so assignment, probe set, and ranking are all
+    value-checked.  NOTE: like the ScoreFilter thresholds, the oracle's
+    centroids are derived from the sf0.01 corpus the driver checks."""
+    import tempfile
+    from sparksearch.pipeline.similarity import build_ivf_index
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    key = ("ivf", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="sparksearch_ivf_")
+        _INDEX_CACHE[key] = build_ivf_index(
+            emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", path,
+            n_clusters=16, seed=7)
+    idx = _INDEX_CACHE[key]
+    return (idx.topk(qv, k=10, max_probe=0.25)
             .select("id", F.round("cos", 4).alias("cos")))
 
 
@@ -1145,6 +1216,7 @@ QUERIES = {
     "snippet_occ_paged": q_snippet_occ_paged,
     "json_path_agg_dsl": q_json_path_agg_dsl,
     "heap_or": q_heap_or,
+    "ivf_ann_topk": q_ivf_ann_topk,
 }
 
 
@@ -1223,6 +1295,7 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
             "round(value, 4) AS value FROM w "
             "ORDER BY w.value DESC, event_id ASC LIMIT 10"),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        "ivf_ann_topk": _ivf_oracle_sql(),
         "term_count": f"SELECT count(*) AS cnt FROM documents WHERE {has('data')}",
         "conjunction": ("SELECT doc_id FROM documents WHERE "
                         + " AND ".join(has(t) for t in ["data", "join", "batch"])),

@@ -13,7 +13,8 @@ from sparksearch.pipeline.dedup import (  # noqa: F401
     shingle_jaccard_pairs, embedding_near_duplicates, dedup_keep_first,
 )
 from sparksearch.pipeline.similarity import (  # noqa: F401
-    cosine_topk, lsh_cosine_topk,
+    cosine_topk, lsh_cosine_topk, build_ivf_index, load_ivf_index,
+    train_centroids,
 )
 from sparksearch.pipeline.text import (  # noqa: F401
     language_id, quality_scores, token_counts, fingerprint64,

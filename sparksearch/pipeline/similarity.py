@@ -168,3 +168,114 @@ def load_ann_index(spark, path: str) -> AnnIndex:
     import json
     with open(f"{path}/ann_meta.json") as fh:
         return AnnIndex(spark, path, json.load(fh))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) vector index — the reference's clustered vector
+# layout (docs/documentation/vector/overview.mdx "vector clusters",
+# indexing-vectors centroid_ratio; tuning.mdx vector_cluster_max_probe):
+# k-means centroids at build time, every vector stored in its nearest
+# centroid's cluster, queries probe only the clusters whose centroids
+# are closest to the query (a max_probe fraction), then exact-rank
+# inside the probed clusters.  Maps onto Spark as parquet partitioned by
+# cluster id → partition pruning does the probe skipping.
+# ---------------------------------------------------------------------------
+
+def train_centroids(vecs, k: int, seed: int = 7, iters: int = 8):
+    """Deterministic spherical k-means (fixed seed + iteration count,
+    float64) — both the Spark build and the DuckDB oracle twin call this
+    on identically-ordered input, so centroids are bit-identical."""
+    import numpy as np
+    v = np.asarray(vecs, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    c = v[rng.choice(len(v), size=k, replace=False)].copy()
+    vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(vn @ cn.T, axis=1)
+        for j in range(k):
+            members = v[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in c]
+
+
+def _cluster_expr(vec: Column, centroids: list) -> Column:
+    """1-based nearest-centroid id (cosine): argmax of dot(v, ĉ_j) with
+    first-max tie-break — array_position(dots, array_max(dots)),
+    identical to DuckDB's list_indexof(l, list_max(l)) twin."""
+    import math
+    dots = F.array(*[
+        F.aggregate(F.zip_with(vec, _vec_lit(c), lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x)
+        / F.lit(math.sqrt(sum(x * x for x in c)) or 1.0)
+        for c in centroids])
+    return F.array_position(dots, F.array_max(dots))
+
+
+class IvfIndex:
+    """Persisted IVF layout: vectors parquet-partitioned by cluster id;
+    ``topk`` probes the nearest ``nprobe`` clusters (or a ``max_probe``
+    fraction, the reference's vector_cluster_max_probe semantics) via
+    partition filters, then exact cosine-ranks the probed vectors."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.centroids = meta["centroids"]
+
+    def probe_clusters(self, query_vec, nprobe: int) -> list:
+        import math
+        qn = math.sqrt(sum(float(x) ** 2 for x in query_vec)) or 1.0
+        scored = []
+        for j, c in enumerate(self.centroids):
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            dot = sum(float(a) * b for a, b in zip(query_vec, c))
+            scored.append((dot / (qn * cn), -(j + 1)))
+        scored.sort(reverse=True)
+        return [-neg for _, neg in scored[:nprobe]]
+
+    def topk(self, query_vec, k: int = 10, nprobe: int | None = None,
+             max_probe: float | None = None) -> DataFrame:
+        n = len(self.centroids)
+        if nprobe is None:
+            frac = max_probe if max_probe is not None else 0.25
+            nprobe = max(1, int(n * frac))
+        probe = self.probe_clusters(query_vec, nprobe)
+        vecs = self.spark.read.parquet(f"{self.path}/clusters")
+        cands = vecs.filter(F.col("cluster").isin(probe))
+        return cosine_topk(cands, "id", "vec", query_vec, k)
+
+
+def build_ivf_index(emb: DataFrame, key: str, vec_col: str, path: str,
+                    n_clusters: int = 16, seed: int = 7,
+                    train_limit: int = 4096) -> IvfIndex:
+    """Train centroids on the first ``train_limit`` vectors in key order
+    (deterministic sample), assign every vector to its nearest centroid
+    with a codegen'd argmax expression, write partitioned by cluster."""
+    import json
+    import os
+    spark = emb.sparkSession
+    sample = (emb.orderBy(key).limit(train_limit)
+              .select(F.col(vec_col).cast("array<double>")).collect())
+    centroids = train_centroids([r[0] for r in sample], n_clusters, seed)
+    v = F.col(vec_col).cast("array<double>")
+    assigned = emb.select(F.col(key).alias("id"), v.alias("vec")) \
+                  .withColumn("cluster", _cluster_expr(F.col("vec"),
+                                                       centroids))
+    (assigned.repartition("cluster")
+     .write.mode("overwrite").partitionBy("cluster")
+     .parquet(f"{path}/clusters"))
+    meta = {"n_clusters": n_clusters, "seed": seed,
+            "train_limit": train_limit, "centroids": centroids}
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/ivf_meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return IvfIndex(spark, path, meta)
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    import json
+    with open(f"{path}/ivf_meta.json") as fh:
+        return IvfIndex(spark, path, json.load(fh))

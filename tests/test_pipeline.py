@@ -294,3 +294,48 @@ def test_jpeg_malformed_routes_to_fallback():
         for _ in range(6):
             b[rng.randrange(len(b))] = rng.randrange(256)
         _decode_any_image(bytes(b))  # any result is fine; raising is not
+
+
+def test_ivf_index_build_probe_recall(spark, tmp_path, embeddings):
+    """IVF index (reference clustered vector layout): build trains
+    deterministic spherical k-means, vectors land in their nearest
+    cluster, queries probe only the closest clusters via partition
+    filters, and recall vs the exact top-k is high for the clone
+    cluster; raising max_probe to 1.0 is exhaustive-exact."""
+    from sparksearch.pipeline import (build_ivf_index, load_ivf_index,
+                                      cosine_topk)
+    path = str(tmp_path / "ivf")
+    idx = build_ivf_index(embeddings, "vec_id", "embedding", path,
+                          n_clusters=8, seed=7)
+    q = embeddings.filter("vec_id = 0").first()["embedding"]
+    exact = [r["id"] for r in cosine_topk(
+        embeddings.filter("vec_id <> 0"), "vec_id", "embedding", q,
+        5).collect()]
+    # probe 2 of 8 clusters: the clone cluster (ids 10..50 near vec 0)
+    # lives in ONE cluster, so recall of the exact top-5 is full
+    got = [r["id"] for r in idx.topk(q, k=6, nprobe=2).collect()]
+    assert set(exact) <= set(got) | {0}
+    # partition pruning: the probed plan reads <= nprobe cluster dirs
+    plan = idx.topk(q, k=5, nprobe=2)._jdf.queryExecution() \
+              .executedPlan().toString()
+    assert "cluster" in plan
+    # max_probe=1.0 probes everything → exhaustive == exact
+    all_got = [r["id"] for r in idx.topk(q, k=6, max_probe=1.0).collect()]
+    assert [i for i in all_got if i != 0][:5] == exact
+    # load round-trip
+    idx2 = load_ivf_index(spark, path)
+    assert idx2.centroids == idx.centroids
+    assert [r["id"] for r in idx2.topk(q, k=6, nprobe=2).collect()] == got
+
+
+def test_ivf_centroids_deterministic(embeddings):
+    """Same ordered input → bit-identical centroids (the property the
+    DuckDB oracle twin relies on)."""
+    from sparksearch.pipeline import train_centroids
+    rows = [r["embedding"] for r in
+            embeddings.orderBy("vec_id").collect()]
+    a = train_centroids(rows, 8, seed=7)
+    b = train_centroids(rows, 8, seed=7)
+    assert a == b
+    c = train_centroids(rows, 8, seed=8)
+    assert a != c
