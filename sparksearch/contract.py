@@ -1142,8 +1142,10 @@ def q_embedding_near_dup(spark, sf_dir):
 
 QUERIES = {
     # The driver verifies the first 50 entries in dict order; round 2 covered
-    # the tail, so the 17 entries it never reached are listed first this round
-    # (union of CORRECTNESS_r02 + r03 then covers all 67).
+    # the tail, so the 17 entries it never reached are listed first this round,
+    # followed by the 4 round-3 additions (which have no prior CORRECTNESS row
+    # either). The 29 remaining window slots and the tail are all r2-checked,
+    # so the union of CORRECTNESS_r02 + r03 covers all 71 entries.
     "cube_agg": q_cube_agg,
     "embedding_near_dup": q_embedding_near_dup,
     "filters_agg": q_filters_agg,
@@ -1161,6 +1163,10 @@ QUERIES = {
     "snippet_positions": q_snippet_positions,
     "tokenized_phrase": q_tokenized_phrase,
     "top_hits_agg": q_top_hits_agg,
+    "snippet_occ_paged": q_snippet_occ_paged,
+    "json_path_agg_dsl": q_json_path_agg_dsl,
+    "heap_or": q_heap_or,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "bm25_topk": q_bm25_topk,
     "term_count": q_term_count,
     "conjunction": q_conjunction,
@@ -1211,12 +1217,6 @@ QUERIES = {
     "parse_query": q_parse_query,
     "range_term": q_range_term,
     "range_contains": q_range_contains,
-    # round-3 additions (appended AFTER the driver's 50-entry window so the
-    # 17 previously-unchecked entries keep their front slots)
-    "snippet_occ_paged": q_snippet_occ_paged,
-    "json_path_agg_dsl": q_json_path_agg_dsl,
-    "heap_or": q_heap_or,
-    "ivf_ann_topk": q_ivf_ann_topk,
 }
 
 
