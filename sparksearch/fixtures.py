@@ -112,6 +112,66 @@ def mock_items_index_schema() -> IndexSchema:
         ])
 
 
+# (product_id, order_quantity, order_total, customer_name) — the
+# reference's Orders regress corpus (test_table.rs:777-844
+# mock_orders_data, 64 rows; order_id = SERIAL 1..64).
+_MOCK_ORDERS = [
+    (1, 3, 99.99, "John Doe"), (2, 1, 49.99, "Jane Smith"),
+    (3, 5, 249.95, "Alice Johnson"), (2, 6, 501.87, "John Doe"),
+    (7, 10, 361.38, "Jane Smith"), (4, 6, 308.18, "Alice Johnson"),
+    (5, 6, 439.05, "Michael Brown"), (8, 3, 104.88, "Emily Davis"),
+    (3, 5, 132.75, "Chris Wilson"), (6, 8, 638.73, "Laura Martinez"),
+    (1, 7, 633.94, "David White"), (9, 8, 195.11, "Sarah Lewis"),
+    (10, 10, 234.32, "Mark Thomas"), (2, 4, 55.41, "Rachel Green"),
+    (1, 5, 239.31, "Monica Geller"), (10, 2, 110.06, "Ross Geller"),
+    (1, 1, 74.75, "Chandler Bing"), (10, 6, 484.98, "Phoebe Buffay"),
+    (8, 9, 319.31, "Joey Tribbiani"), (9, 3, 150.90, "Will Smith"),
+    (7, 8, 632.08, "Jada Smith"), (10, 9, 605.18, "Bruce Wayne"),
+    (4, 4, 61.25, "Clark Kent"), (2, 7, 258.88, "Diana Prince"),
+    (3, 10, 450.57, "Peter Parker"), (9, 7, 102.28, "Tony Stark"),
+    (2, 7, 676.15, "Natasha Romanoff"), (9, 5, 237.22, "Steve Rogers"),
+    (9, 4, 381.90, "Thor Odinson"), (8, 4, 278.91, "Bruce Banner"),
+    (4, 5, 402.69, "Wanda Maximoff"), (8, 2, 91.16, "Vision"),
+    (3, 9, 194.87, "Scott Lang"), (5, 9, 431.54, "Hope Van Dyne"),
+    (9, 7, 361.38, "Jane Smith"), (4, 6, 308.18, "Alice Johnson"),
+    (5, 6, 439.05, "Michael Brown"), (8, 3, 104.88, "Emily Davis"),
+    (3, 5, 132.75, "Chris Wilson"), (6, 8, 638.73, "Laura Martinez"),
+    (1, 7, 633.94, "David White"), (9, 8, 195.11, "Sarah Lewis"),
+    (10, 10, 234.32, "Mark Thomas"), (2, 4, 55.41, "Rachel Green"),
+    (1, 5, 239.31, "Monica Geller"), (10, 2, 110.06, "Ross Geller"),
+    (1, 1, 74.75, "Chandler Bing"), (10, 6, 484.98, "Phoebe Buffay"),
+    (8, 9, 319.31, "Joey Tribbiani"), (9, 3, 150.90, "Will Smith"),
+    (7, 8, 632.08, "Jada Smith"), (10, 9, 605.18, "Bruce Wayne"),
+    (4, 4, 61.25, "Clark Kent"), (2, 7, 258.88, "Diana Prince"),
+    (3, 10, 450.57, "Peter Parker"), (9, 7, 102.28, "Tony Stark"),
+    (2, 7, 676.15, "Natasha Romanoff"), (9, 5, 237.22, "Steve Rogers"),
+    (9, 4, 381.90, "Thor Odinson"), (8, 4, 278.91, "Bruce Banner"),
+    (4, 5, 402.69, "Wanda Maximoff"), (8, 2, 91.16, "Vision"),
+    (3, 9, 194.87, "Scott Lang"), (5, 9, 431.54, "Hope Van Dyne"),
+]
+
+MOCK_ORDERS_SCHEMA = T.StructType([
+    T.StructField("order_id", T.IntegerType(), False),
+    T.StructField("product_id", T.IntegerType(), False),
+    T.StructField("order_quantity", T.IntegerType(), False),
+    T.StructField("order_total", T.DoubleType(), False),
+    T.StructField("customer_name", T.StringType(), False),
+])
+
+
+def mock_orders_pdf() -> pd.DataFrame:
+    return pd.DataFrame([
+        {"order_id": i, "product_id": p, "order_quantity": q,
+         "order_total": t, "customer_name": c}
+        for i, (p, q, t, c) in enumerate(_MOCK_ORDERS, start=1)
+    ])
+
+
+def mock_orders(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(mock_orders_pdf(),
+                                 schema=MOCK_ORDERS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # transcripts — deterministic synthetic agent-conversation stream
 # ---------------------------------------------------------------------------
