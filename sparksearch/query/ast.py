@@ -248,15 +248,36 @@ class ScoreFilter(Query):
 
 @dataclass
 class MoreLikeThis(Query):
-    """Top TF-IDF terms of a source doc re-queried as a should-boolean
-    (query/more_like_this.rs; builders api/builder_fns/mlt.rs:28-100)."""
-    field: str
+    """Terms of a source doc re-queried as a should-boolean
+    (query/more_like_this.rs; builders api/builder_fns/mlt.rs:28-100).
+
+    ``fields=None`` and ``field=None`` = field-less mode: every indexed
+    non-json, non-vector column contributes terms (more_like_this.rs:
+    216-218 skips ``categorized.is_json || is_vector``). Explicitly
+    requesting a json or vector field raises, mirroring the reference
+    errors (more_like_this.rs:207-214).
+
+    When ``max_query_terms`` caps the candidate set, the kept terms are
+    the ones with the LOWEST tf*idf (ties broken by term order). This is
+    deliberate reference parity: expected/more_like_this.out's
+    ``max_query_terms => 2`` over doc 1 ('aaa bbb ccc') still matches
+    the 'aaa aaa' docs, so 'aaa' — the lowest-idf term — survived the
+    cap; tantivy's eviction pops the max-scored entry from its
+    BinaryHeap. A Lucene-style keep-highest would drop 'aaa' and
+    contradict that expected file.
+    """
+    field: str | None = None
     document_id: object = None
     document_text: str | None = None
-    min_term_frequency: int = 1
-    min_doc_frequency: int = 1
+    min_term_frequency: int | None = None
+    min_doc_frequency: int | None = None
     max_doc_frequency: int | None = None
-    max_query_terms: int = 25
+    max_query_terms: int | None = None
+    fields: list | None = None
+    min_word_length: int | None = None
+    max_word_length: int | None = None
+    stopwords: list | None = None
+    boost_factor: float | None = None
 
 
 @dataclass

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from sparksearch.query import ast
-from sparksearch.scoring import bm25_expr
+from sparksearch.scoring import bm25_expr, idf
 from sparksearch.analysis import py_tokenize
 
 MAX_EXPANSIONS = 50  # overridable via sparksearch.config
@@ -610,40 +610,134 @@ class _Compiler:
                                                   lambda r: cond(lp, r)))
         return j.filter(hit).select("doc_id", F.lit(1.0).alias("score"))
 
+    def _mlt_fields(self, node: ast.MoreLikeThis) -> list:
+        """Contributing fields for MoreLikeThis. Explicit json/vector
+        requests error; field-less mode silently skips them
+        (more_like_this.rs:202-218, expected/more_like_this.out)."""
+        schema = self.index.schema
+
+        def _is_json(name: str) -> bool:
+            try:
+                return schema.field(name).tokenizer == "json"
+            except KeyError:
+                return False
+
+        doc_types = dict(self.index.docs.dtypes)
+
+        def _is_vector(name: str) -> bool:
+            t = doc_types.get(name, "")
+            return t.startswith(("array", "struct", "map"))
+
+        if node.fields is not None or node.field is not None:
+            flds = list(node.fields) if node.fields is not None \
+                else [node.field]
+            for f in flds:
+                if _is_json(f):
+                    raise ValueError(
+                        "json fields are not supported for more_like_this")
+                if _is_vector(f):
+                    raise ValueError(
+                        "vector fields are not supported for more_like_this")
+            return flds
+        # field-less: every doc column, skipping json-tokenized fields
+        # and vector-like (array/struct/map) columns
+        return [c for c, _ in self.index.docs.dtypes
+                if not _is_json(c) and not _is_vector(c)]
+
     def _c_morelikethis(self, node: ast.MoreLikeThis) -> DataFrame:
-        field = node.field
-        cfg = self.index.schema.field(field)
+        schema = self.index.schema
+        flds = self._mlt_fields(node)
+
+        def _text_cfg(name: str):
+            try:
+                cfg = schema.field(name)
+                return cfg if cfg.tokenizer != "json" else None
+            except KeyError:
+                return None
+
+        # 1. source document values
         if node.document_text is not None:
-            text = node.document_text
+            values = {flds[0]: node.document_text}
         else:
-            row = (self.index.docs
-                   .filter(F.col(self.key) == node.document_id)
-                   .select(field).limit(1).collect())
-            if not row:
+            rows = (self.index.docs
+                    .filter(F.col(self.key) == node.document_id)
+                    .select(*flds).limit(1).collect())
+            if not rows:
                 return self._empty()
-            text = row[0][0]
-        toks = py_tokenize(text, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase)
-        tf: dict = {}
-        for t in toks:
-            tf[t] = tf.get(t, 0) + 1
-        cands = [t for t, c in tf.items() if c >= node.min_term_frequency]
-        dfs = self.index.term_dfs(field, cands)
+            values = rows[0].asDict()
+
+        # 2. per-field term frequencies. Word-length and stopword
+        # filters apply to analyzed text tokens (tantivy applies them
+        # while tokenizing string values); typed attribute values pass
+        # through as single terms.
+        stop = set(node.stopwords or ())
+        text_tf: dict = {}      # (field, term) -> tf for indexed text
+        attr_terms: list = []   # (field, raw_value)
+        for f in flds:
+            v = values.get(f)
+            if v is None:
+                continue
+            cfg = _text_cfg(f)
+            if cfg is not None:
+                for t in py_tokenize(str(v), cfg.tokenizer,
+                                     cfg.tokenizer_opts, cfg.lowercase):
+                    if node.min_word_length and len(t) < node.min_word_length:
+                        continue
+                    if node.max_word_length and len(t) > node.max_word_length:
+                        continue
+                    if t in stop:
+                        continue
+                    text_tf[(f, t)] = text_tf.get((f, t), 0) + 1
+            else:
+                attr_terms.append((f, v))
+
+        if node.min_term_frequency:
+            text_tf = {k: c for k, c in text_tf.items()
+                       if c >= node.min_term_frequency}
+            attr_terms = [] if node.min_term_frequency > 1 else attr_terms
+
+        # 3. doc frequencies: one dictionary lookup per text field, one
+        # aggregated job for all attribute terms together
+        by_field: dict = {}
+        for (f, t), c in text_tf.items():
+            by_field.setdefault(f, []).append(t)
+        dfs: dict = {}
+        for f, ts in by_field.items():
+            for t, d in self.index.term_dfs(f, ts).items():
+                dfs[(f, t)] = d
+        if attr_terms:
+            aggs = [F.sum(F.when(F.col(f) == F.lit(v), 1).otherwise(0))
+                    .alias(f"_a{i}") for i, (f, v) in enumerate(attr_terms)]
+            arow = self.index.docs.agg(*aggs).collect()[0]
+            for i, (f, v) in enumerate(attr_terms):
+                dfs[(f, v)] = int(arow[f"_a{i}"] or 0)
+
+        n_total = (self.index.num_docs(schema.text_fields[0].name)
+                   if schema.text_fields else self.index.docs.count())
+
+        # 4. score + bound filters; on max_query_terms keep the LOWEST
+        # tf*idf terms (reference/tantivy heap-eviction semantics — see
+        # ast.MoreLikeThis docstring and expected/more_like_this.out)
         scored = []
-        for t in cands:
-            d = dfs.get(t, 0)
-            if d < node.min_doc_frequency:
+        for key, tf in [((f, t), c) for (f, t), c in text_tf.items()] + \
+                [((f, v), 1) for f, v in attr_terms]:
+            d = dfs.get(key, 0)
+            if d == 0:
+                continue
+            if node.min_doc_frequency and d < node.min_doc_frequency:
                 continue
             if node.max_doc_frequency is not None and d > node.max_doc_frequency:
                 continue
-            scored.append((tf[t] * self.index.idf(field, d), t))
-        top = [t for _, t in sorted(scored, reverse=True)[: node.max_query_terms]]
-        if not top:
+            scored.append((tf * idf(n_total, d), str(key[1]), key))
+        scored.sort(key=lambda s: (s[0], s[1]))
+        if node.max_query_terms is not None:
+            scored = scored[: node.max_query_terms]
+        if not scored:
             return self._empty()
-        # exclude the source doc itself, like the reference's MLT-by-key
-        out = self._c_boolean(ast.Boolean(should=[ast.Term(field, t) for t in top]))
-        if node.document_id is not None:
-            out = out.filter(F.col("doc_id") != node.document_id)
-        return out
+        # 5. should-boolean over the kept terms; the source doc matches
+        # its own terms and IS included (more_like_this.out rows)
+        leaves = [ast.Term(f, t) for _, _, (f, t) in scored]
+        return self._c_boolean(ast.Boolean(should=leaves))
 
     # -- compound -------------------------------------------------------
     def _c_boolean(self, node: ast.Boolean) -> DataFrame:

@@ -134,7 +134,7 @@ def test_more_like_this(mock_index):
     q = ast.MoreLikeThis("description", document_id=3, min_doc_frequency=1,
                          max_query_terms=5)
     got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
-    assert 3 not in got          # source excluded
+    assert 3 in got              # source doc included (more_like_this.out)
     assert {4, 5} <= got         # other shoes docs surface
 
 
