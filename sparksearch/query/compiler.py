@@ -365,6 +365,9 @@ class _Compiler:
     def _c_fuzzy(self, node: ast.Fuzzy) -> DataFrame:
         v = self._norm(node.field, node.value)
         d = node.distance
+        if d not in (0, 1, 2):
+            # reference typmod validation (expected/fuzzy.out error rows)
+            raise ValueError("fuzzy value must be 0, 1, or 2")
         # length prefilter keeps the dictionary scan cheap before the
         # quadratic edit distance kicks in
         pred = (F.abs(F.length("term") - len(v)) <= d)
