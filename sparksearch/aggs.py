@@ -150,7 +150,9 @@ def _metric_exprs(name: str, spec: dict, df=None) -> list:
     numeric = kind not in ("value_count", "cardinality")
     c = _resolve_field(field, df, numeric=numeric) if field else None
     if kind == "value_count":
-        return [(name, F.count(c))]
+        # tantivy renders value_count as f64 — `{"value": 3.0}` in
+        # expected/term_set_agg.out's aggregate envelope
+        return [(name, F.count(c).cast("double"))]
     if kind == "cardinality":
         return [(name, F.approx_count_distinct(c))]
     if kind in ("sum", "avg", "min", "max"):

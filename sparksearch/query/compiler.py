@@ -203,12 +203,29 @@ class _Compiler:
         return self._terms_scan(self._real_field(node.field), [t]).drop("term")
 
     def _c_termset(self, node: ast.TermSet) -> DataFrame:
-        terms = [self._norm(node.field, t) for t in node.terms]
+        if not node.terms:
+            return self._empty()
+        try:
+            terms = [self._norm(node.field, t) for t in node.terms]
+        except KeyError:
+            # unindexed column → constant-score attribute IN-list
+            # (reference term_set over a numeric fast field,
+            # expected/term_set_agg.out build-side CTE pattern)
+            terms = list(node.terms)
+            return self._attr_filter(F.col(node.field).isin(terms))
         str_terms = [t for t in terms if isinstance(t, str)]
-        scan = (self.index.postings_for_terms(self._real_field(node.field), str_terms)
-                .select("doc_id").distinct()
-                .withColumn("score", F.lit(1.0)))
-        return scan
+        other = [t for t in terms if not isinstance(t, str)]
+        parts = []
+        if str_terms:
+            parts.append(
+                self.index.postings_for_terms(self._real_field(node.field),
+                                              str_terms)
+                .select("doc_id"))
+        if other:
+            parts.append(self._attr_filter(F.col(node.field).isin(other))
+                         .select("doc_id"))
+        scan = reduce(lambda a, b: a.unionByName(b), parts)
+        return scan.distinct().withColumn("score", F.lit(1.0))
 
     def _c_match(self, node: ast.Match) -> DataFrame:
         cfg = self.index.schema.value_analyzer(node.field)
