@@ -80,6 +80,30 @@ def canon_datetime_expr(v: Column) -> Column:
 _PY_UAX29 = re.compile(
     r"[^\W_](?:[^\W_]|['’](?=[^\W\d_])|[.,](?=\d))*", re.UNICODE)
 
+# unicode_words emits emoji as standalone tokens (tantivy's
+# unicode-segmentation word iterator; expected/unicode_words.out:
+# '🎂🚨👀🥜' → four tokens, searchable); remove_emojis strips them.
+# A cluster = regional-indicator pair | pictographic base + optional
+# VS16, extended by ZWJ-joined parts (👩‍⚕️ stays one token).
+_EMOJI_BASE_PY = ("[©®‼⁉™"
+                  "☀-➿⬀-⯿"
+                  "〰〽㊗㊙"
+                  "\U0001F000-\U0001FBFF]")
+_PY_EMOJI_SRC = ("(?:[\U0001F1E6-\U0001F1FF]{2})|"
+                 f"(?:{_EMOJI_BASE_PY}\ufe0f?"
+                 f"(?:\u200d{_EMOJI_BASE_PY}\ufe0f?)*)")
+_PY_UAX29_EMOJI = re.compile(
+    r"[^\W_](?:[^\W_]|['’](?=[^\W\d_])|[.,](?=\d))*|" + _PY_EMOJI_SRC,
+    re.UNICODE)
+_EMOJI_BASE_JAVA = (r"[\x{00a9}\x{00ae}\x{203c}\x{2049}\x{2122}"
+                    r"\x{2600}-\x{27bf}\x{2b00}-\x{2bff}"
+                    r"\x{3030}\x{303d}\x{3297}\x{3299}"
+                    r"\x{1F000}-\x{1FBFF}]")
+_JAVA_EMOJI_SRC = (r"(?:[\x{1F1E6}-\x{1F1FF}]{2})|"
+                   rf"(?:{_EMOJI_BASE_JAVA}\x{{FE0F}}?"
+                   rf"(?:\x{{200D}}{_EMOJI_BASE_JAVA}\x{{FE0F}}?)*)")
+_JAVA_UAX29_EMOJI = _JAVA_UAX29 + "|" + _JAVA_EMOJI_SRC
+
 
 # ---------------------------------------------------------------------------
 # python-side tokenizers (used by pandas UDFs, the streaming indexer, and the
@@ -152,7 +176,9 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
     if tokenizer in ("default", "simple"):
         return _PY_WORD.findall(text)
     if tokenizer == "unicode_words":
-        return _PY_UAX29.findall(text)
+        if opts.get("remove_emojis"):
+            return _PY_UAX29.findall(text)
+        return _PY_UAX29_EMOJI.findall(text)
     if tokenizer == "whitespace":
         return [t for t in re.split(r"\s+", text) if t]
     if tokenizer in ("keyword", "raw", "literal"):
@@ -322,7 +348,9 @@ def _jvm_token_array(col: Column, cfg) -> Column:
     if tok in ("default", "simple"):
         arr = F.regexp_extract_all(base, F.lit(_JAVA_WORD), 0)
     elif tok == "unicode_words":
-        arr = F.regexp_extract_all(base, F.lit(_JAVA_UAX29), 0)
+        _uw = (_JAVA_UAX29 if opts.get("remove_emojis")
+               else _JAVA_UAX29_EMOJI)
+        arr = F.regexp_extract_all(base, F.lit(_uw), 0)
     elif tok == "whitespace":
         arr = F.filter(F.split(base, r"\s+"), lambda x: x != "")
     elif tok == "regex":
