@@ -39,6 +39,10 @@ class EngineConfig:
     n_salt: int = 8
     # RRF list depth (standard top-N fusion)
     rrf_depth: int = 1000
+    # warn when a vector ORDER BY cannot use the TopK path because its
+    # distance operator mismatches the index opclass (reference GUC
+    # paradedb.check_topk_scan, vector_search_pushdown.out WARNINGs)
+    check_topk_scan: bool = True
 
 
 CONFIG = EngineConfig()

@@ -27,7 +27,10 @@ def _cos(a: Column, b: Column) -> Column:
                             F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    # zero-norm guard: cos(0⃗, ·) := 0 instead of an ANSI /0 error (the
+    # guard only engages at exactly zero norm, so finite-norm results
+    # are bit-identical to the unguarded division)
+    return dot / F.greatest(na * nb, F.lit(1e-300))
 
 
 def _vec_lit(v) -> Column:
@@ -57,6 +60,127 @@ def _sig_py(v, planes) -> int:
     return out
 
 
+# pgvector distance operators (vector_search_pushdown.out): `<->`
+# L2 distance, `<=>` cosine distance (1 - cos), `<#>` negative inner
+# product — all three order ASCENDING.
+_METRIC_OPS = {"l2": "<->", "cosine": "<=>", "ip": "<#>"}
+_METRIC_OPCLASS = {"l2": "vector_l2_ops", "cosine": "vector_cosine_ops",
+                   "ip": "vector_ip_ops"}
+
+
+def vector_distance(vec_col: Column, query_vec, metric: str = "l2") -> Column:
+    """The pgvector distance operator as a codegen'd column expression."""
+    if metric not in _METRIC_OPS:
+        raise ValueError(f"unknown vector metric {metric!r} "
+                         f"(one of {sorted(_METRIC_OPS)})")
+    v = vec_col.cast("array<double>")
+    q = _vec_lit(query_vec)
+    dot = F.aggregate(F.zip_with(v, q, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    if metric == "ip":
+        return -dot
+    if metric == "l2":
+        return F.sqrt(F.aggregate(
+            F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec)) or 1.0
+    na = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return F.lit(1.0) - dot / F.greatest(na * F.lit(qn), F.lit(1e-300))
+
+
+def vector_topk(emb: DataFrame, vec_col: str, query_vec, k: int = 10,
+                metric: str = "l2", tiebreak=None,
+                offset: int = 0) -> DataFrame:
+    """``ORDER BY vec <op> query [, tiebreak...] LIMIT k [OFFSET n]``
+    (vector_search_pushdown.out TopKScanExecState semantics): returns
+    the input rows plus a ``dist`` column; the sort+limit collapses to
+    TakeOrderedAndProject, the Spark analog of the reference's TopK
+    scan absorbing all pathkeys (distance first, then tiebreaks)."""
+    d = vector_distance(F.col(vec_col), query_vec, metric)
+    out = (emb.withColumn("dist", d)
+           .orderBy(F.col("dist").asc(), *(tiebreak or [])))
+    if offset:
+        out = out.offset(offset)
+    return out.limit(k)
+
+
+_METRIC_DISPLAY = {"l2": "L2", "cosine": "Cosine", "ip": "InnerProduct"}
+
+
+def _warn_metric_mismatch(query_metric: str, index_metric: str,
+                          limit=None, table: str = "") -> None:
+    """The reference planner's opclass-mismatch WARNING, text-for-text
+    (vector_search_pushdown.out): emitted when an ORDER BY distance
+    operator can't ride the TopK scan because the index attribute was
+    built with a different opclass.  Gated on the check_topk_scan GUC
+    analog."""
+    from .. import config as _cfg
+    if not _cfg.get().check_topk_scan:
+        return
+    import warnings
+    warnings.warn(
+        f"Query has LIMIT {limit if limit is not None else '?'} but is "
+        "not using Top K scan (using Normal instead). Reason: ORDER BY "
+        f"uses the {_METRIC_OPS[query_metric]} "
+        f"({_METRIC_DISPLAY[query_metric]}) operator but the index "
+        f"attribute was built with the {_METRIC_OPCLASS[index_metric]} "
+        f"opclass ({_METRIC_DISPLAY[index_metric]}). This may cause poor "
+        "performance on large datasets. Remedies: Either change the "
+        f"ORDER BY operator to {_METRIC_OPS[index_metric]} (matching the "
+        "index opclass), or rebuild the index with the "
+        f"{_METRIC_OPCLASS[query_metric]} opclass on the vector column.. "
+        "To disable this warning: "
+        "sparksearch.config.set(check_topk_scan=False)"
+        + (f" (table: {table})" if table else ""),
+        stacklevel=3)
+
+
+def vector_order_search(index, query, docs: DataFrame, query_vec,
+                        vec_col: str = "vec", op: str = "<->",
+                        k: int = 10, tiebreak=None,
+                        offset: int = 0) -> DataFrame:
+    """``SELECT ... WHERE <search predicate> ORDER BY vec <op> q
+    [, tiebreaks] LIMIT k`` — the reference's TopKScanExecState with a
+    vector pathkey (vector_search_pushdown.out).
+
+    The search predicate is any query AST node; matched doc_ids join
+    back to ``docs`` (late materialization), then the distance order +
+    limit collapse to TakeOrderedAndProject — the Spark TopK scan, which
+    absorbs ALL pathkeys (distance first, then tiebreaks) exactly like
+    the reference's heap.  When ``op`` mismatches the opclass the index
+    declared for ``vec_col`` (IndexSchema.vector_fields), the planner
+    warning fires and the plan degrades to the same exact sort the
+    reference's NormalScanExecState + Sort produces — identical rows,
+    no TopK pruning guarantee.
+
+    ``tiebreak``: list of (column_name, ascending) pairs or Column
+    expressions, applied after the distance key.
+    """
+    ops_to_metric = {v: m for m, v in _METRIC_OPS.items()}
+    if op not in ops_to_metric:
+        raise ValueError(f"unknown distance operator {op!r} "
+                         f"(one of {sorted(ops_to_metric)})")
+    metric = ops_to_metric[op]
+    built = index.schema.vector_opclass(vec_col)
+    if metric != built:
+        _warn_metric_mismatch(metric, built, limit=k)
+    from ..query.compiler import compile_query
+    key = index.schema.key_field
+    matched = compile_query(index, query).select("doc_id")
+    rows = docs.join(matched, on=docs[key] == matched["doc_id"],
+                     how="inner").drop("doc_id")
+    keys = []
+    for t in (tiebreak or []):
+        if isinstance(t, tuple):
+            col, asc = t
+            keys.append(F.col(col).asc() if asc else F.col(col).desc())
+        else:
+            keys.append(t)
+    return vector_topk(rows, vec_col, query_vec, k=k, metric=metric,
+                       tiebreak=keys, offset=offset)
+
+
 def cosine_topk(emb: DataFrame, key: str, vec_col: str, query_vec,
                 k: int = 10) -> DataFrame:
     """Exact cosine top-k: (key, cos), descending."""
@@ -66,7 +190,7 @@ def cosine_topk(emb: DataFrame, key: str, vec_col: str, query_vec,
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
-    cos = dot / (na * F.lit(qn))
+    cos = dot / F.greatest(na * F.lit(qn), F.lit(1e-300))
     return (emb.select(F.col(key).alias("id"), cos.alias("cos"))
             .orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k))
 
@@ -116,7 +240,18 @@ class AnnIndex:
         self.bands = meta["bands"]
         self.width = meta["n_planes"] // meta["bands"]
 
-    def topk(self, query_vec, k: int = 10) -> DataFrame:
+    def topk(self, query_vec, k: int = 10,
+             metric: str | None = None) -> DataFrame:
+        built = self.meta.get("metric", "cosine")
+        if metric is not None and metric != built:
+            # opclass mismatch (vector_search_pushdown.out): warn and
+            # fall back to an exact scan under the REQUESTED metric —
+            # sign-bit buckets only approximate the built metric
+            _warn_metric_mismatch(metric, built, limit=k)
+            vecs = self.spark.read.parquet(f"{self.path}/vectors")
+            return (vector_topk(vecs, "vec", query_vec, k, metric=metric,
+                                tiebreak=[F.col("id").asc()])
+                    .select("id", "dist"))
         qsig = _sig_py([float(x) for x in query_vec], self.planes)
         mask = (1 << self.width) - 1
         buckets = self.spark.read.parquet(f"{self.path}/buckets")
@@ -139,6 +274,8 @@ def build_ann_index(emb: DataFrame, key: str, vec_col: str, path: str,
     import json
     import os
     spark = emb.sparkSession
+    emb = emb.filter(F.col(vec_col).isNotNull())
+    assert_finite_vectors(emb, vec_col)
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(n_planes, dim, seed)
     v = F.col(vec_col).cast("array<double>")
@@ -157,6 +294,7 @@ def build_ann_index(emb: DataFrame, key: str, vec_col: str, path: str,
     (emb.select(F.col(key).alias("id"), v.alias("vec"))
      .write.mode("overwrite").parquet(f"{path}/vectors"))
     meta = {"n_planes": n_planes, "bands": bands, "seed": seed,
+            "metric": "cosine",
             "dim": dim, "planes": planes}
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/ann_meta.json", "w") as fh:
@@ -181,6 +319,26 @@ def load_ann_index(spark, path: str) -> AnnIndex:
 # cluster id → partition pruning does the probe skipping.
 # ---------------------------------------------------------------------------
 
+def assert_finite_vectors(emb: DataFrame, vec_col: str) -> None:
+    """Ingest-time element finiteness (vector_ingest.out): pgvector
+    rejects NaN / ±Inf on every SQL-visible constructor of ``vector``,
+    so non-finite elements can never reach the reference's index.  The
+    Spark analog enforces the same invariant at index build — the first
+    point vectors enter this engine — with ONE aggregate scan (two
+    conditional counts, no shuffle).  Error strings match pgvector's.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    bad = emb.select(
+        F.count(F.when(F.exists(v, F.isnan), 1)).alias("n_nan"),
+        F.count(F.when(F.exists(
+            v, lambda x: F.abs(x) == F.lit(float("inf"))), 1)).alias("n_inf"),
+    ).first()
+    if bad["n_nan"]:
+        raise ValueError("NaN not allowed in vector")
+    if bad["n_inf"]:
+        raise ValueError("infinite value not allowed in vector")
+
+
 def train_centroids(vecs, k: int, seed: int = 7, iters: int = 8):
     """Deterministic spherical k-means (fixed seed + iteration count,
     float64) — both the Spark build and the DuckDB oracle twin call this
@@ -200,17 +358,34 @@ def train_centroids(vecs, k: int, seed: int = 7, iters: int = 8):
     return [[float(x) for x in row] for row in c]
 
 
-def _cluster_expr(vec: Column, centroids: list) -> Column:
-    """1-based nearest-centroid id (cosine): argmax of dot(v, ĉ_j) with
-    first-max tie-break — array_position(dots, array_max(dots)),
-    identical to DuckDB's list_indexof(l, list_max(l)) twin."""
+def _centroid_dots_expr(vec: Column, centroids: list) -> Column:
     import math
-    dots = F.array(*[
+    return F.array(*[
         F.aggregate(F.zip_with(vec, _vec_lit(c), lambda x, y: x * y),
                     F.lit(0.0), lambda acc, x: acc + x)
         / F.lit(math.sqrt(sum(x * x for x in c)) or 1.0)
         for c in centroids])
+
+
+def _cluster_expr(vec: Column, centroids: list) -> Column:
+    """1-based nearest-centroid id (cosine): argmax of dot(v, ĉ_j) with
+    first-max tie-break — array_position(dots, array_max(dots)),
+    identical to DuckDB's list_indexof(l, list_max(l)) twin."""
+    dots = _centroid_dots_expr(vec, centroids)
     return F.array_position(dots, F.array_max(dots))
+
+
+def _cluster_ranks_expr(vec: Column, centroids: list, r: int) -> Column:
+    """The ``r`` nearest centroid ids, best first (reference
+    cluster_replication: boundary vectors are replicated into their
+    r closest cells so a narrow probe still finds them —
+    vector_merge.out).  Tie-break: lower cluster id first, so element 1
+    equals :func:`_cluster_expr`'s primary assignment."""
+    dots = _centroid_dots_expr(vec, centroids)
+    ranked = F.array_sort(F.transform(
+        dots, lambda d, i: F.struct((-d).alias("nd"),
+                                    (i + 1).cast("int").alias("c"))))
+    return F.transform(F.slice(ranked, 1, r), lambda s: s["c"])
 
 
 class IvfIndex:
@@ -225,6 +400,54 @@ class IvfIndex:
         self.meta = meta
         self.centroids = meta["centroids"]
 
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Filter tombstoned docs (vector_delete_all_docs.out: deleted
+        docs never surface, even under exhaustive probing) and collapse
+        replica memberships so every doc ranks at most once
+        (vector_merge.out: 'replicas deduped, nothing lost, nothing
+        doubled')."""
+        import os
+        tomb = f"{self.path}/tombstones"
+        if os.path.exists(tomb):
+            dead = self.spark.read.parquet(tomb)
+            df = df.join(dead, "id", "left_anti")
+        if self.meta.get("cluster_replication", 1) > 1:
+            df = df.dropDuplicates(["id"])
+        return df
+
+    def delete(self, ids) -> None:
+        """Tombstone docs (the reference's DELETE + VACUUM visibility:
+        subsequent merges/queries see them as dead).  Deleting every
+        vector-bearing doc leaves a valid, empty vector field — ORDER BY
+        returns zero rows, no error."""
+        df = (ids if isinstance(ids, DataFrame)
+              else self.spark.createDataFrame([(int(i),) for i in ids],
+                                              "id long"))
+        df.select("id").write.mode("append").parquet(
+            f"{self.path}/tombstones")
+
+    def vector_info(self) -> dict:
+        """Admin counters (reference paradedb.vector_info,
+        vector_merge.out): ``vector_num_vectors`` counts DISTINCT live
+        docs; ``vector_total_memberships`` counts posting rows — under
+        cluster_replication the memberships total strictly exceeds the
+        doc count."""
+        import os
+        clusters = self.spark.read.parquet(f"{self.path}/clusters")
+        tomb = f"{self.path}/tombstones"
+        if os.path.exists(tomb):
+            dead = self.spark.read.parquet(tomb)
+            clusters = clusters.join(dead, "id", "left_anti")
+        row = clusters.select(
+            F.count_distinct("id").alias("docs"),
+            F.count("*").alias("memberships")).first()
+        return {"vector_format": "ivf",
+                "vector_num_vectors": row["docs"],
+                "vector_total_memberships": row["memberships"],
+                "n_clusters": self.meta["n_clusters"],
+                "cluster_replication":
+                    self.meta.get("cluster_replication", 1)}
+
     def probe_clusters(self, query_vec, nprobe: int) -> list:
         import math
         qn = math.sqrt(sum(float(x) ** 2 for x in query_vec)) or 1.0
@@ -237,38 +460,86 @@ class IvfIndex:
         return [-neg for _, neg in scored[:nprobe]]
 
     def topk(self, query_vec, k: int = 10, nprobe: int | None = None,
-             max_probe: float | None = None) -> DataFrame:
+             max_probe: float | None = None,
+             metric: str | None = None) -> DataFrame:
+        built = self.meta.get("metric", "cosine")
+        if metric is not None and metric != built:
+            # opclass mismatch: clusters were trained for the built
+            # metric, so probing under another is unsound — warn and
+            # exact-scan all clusters (vector_search_pushdown.out
+            # NormalScan fallback)
+            _warn_metric_mismatch(metric, built, limit=k)
+            vecs = self._live(
+                self.spark.read.parquet(f"{self.path}/clusters"))
+            return (vector_topk(vecs, "vec", query_vec, k, metric=metric,
+                                tiebreak=[F.col("id").asc()])
+                    .select("id", "dist"))
         n = len(self.centroids)
         if nprobe is None:
             frac = max_probe if max_probe is not None else 0.25
             nprobe = max(1, int(n * frac))
         probe = self.probe_clusters(query_vec, nprobe)
         vecs = self.spark.read.parquet(f"{self.path}/clusters")
-        cands = vecs.filter(F.col("cluster").isin(probe))
+        cands = self._live(vecs.filter(F.col("cluster").isin(probe)))
         return cosine_topk(cands, "id", "vec", query_vec, k)
 
 
 def build_ivf_index(emb: DataFrame, key: str, vec_col: str, path: str,
                     n_clusters: int = 16, seed: int = 7,
-                    train_limit: int = 4096) -> IvfIndex:
+                    train_limit: int = 4096,
+                    cluster_replication: int = 1,
+                    validate_finite: bool = True) -> IvfIndex:
     """Train centroids on the first ``train_limit`` vectors in key order
     (deterministic sample), assign every vector to its nearest centroid
-    with a codegen'd argmax expression, write partitioned by cluster."""
+    with a codegen'd argmax expression, write partitioned by cluster.
+
+    Rows whose vector is NULL are not vector-indexed (the reference's
+    vector field is optional per doc — vector_delete_all_docs.out
+    interleaves vector-less rows); non-finite elements are rejected
+    with pgvector's error strings (vector_ingest.out) unless
+    ``validate_finite=False`` (skip the extra scan for pre-validated
+    data at scale).
+
+    ``cluster_replication=r`` writes each vector into its ``r`` nearest
+    cells (reference vector_merge.out): a membership row per cell, the
+    best-ranked one marked primary.  ``vector_info`` then counts
+    distinct docs as num_vectors while total_memberships counts posting
+    rows, and ``topk`` dedupes replicas before ranking — every doc is
+    returned at most once no matter how many probed cells carry it.
+    """
     import json
     import os
     spark = emb.sparkSession
+    emb = emb.filter(F.col(vec_col).isNotNull())
+    if validate_finite:
+        assert_finite_vectors(emb, vec_col)
     sample = (emb.orderBy(key).limit(train_limit)
               .select(F.col(vec_col).cast("array<double>")).collect())
+    if not sample:
+        raise ValueError("cannot build an IVF index over zero vectors")
+    n_clusters = min(n_clusters, len(sample))
     centroids = train_centroids([r[0] for r in sample], n_clusters, seed)
+    r = max(1, min(int(cluster_replication), n_clusters))
     v = F.col(vec_col).cast("array<double>")
-    assigned = emb.select(F.col(key).alias("id"), v.alias("vec")) \
-                  .withColumn("cluster", _cluster_expr(F.col("vec"),
-                                                       centroids))
+    base = emb.select(F.col(key).alias("id"), v.alias("vec"))
+    if r == 1:
+        assigned = base.withColumn(
+            "cluster", _cluster_expr(F.col("vec"), centroids)) \
+            .withColumn("is_primary", F.lit(True))
+    else:
+        assigned = (base
+                    .select("id", "vec",
+                            F.posexplode(_cluster_ranks_expr(
+                                F.col("vec"), centroids, r))
+                            .alias("rank", "cluster"))
+                    .withColumn("is_primary", F.col("rank") == 0)
+                    .drop("rank"))
     (assigned.repartition("cluster")
      .write.mode("overwrite").partitionBy("cluster")
      .parquet(f"{path}/clusters"))
-    meta = {"n_clusters": n_clusters, "seed": seed,
-            "train_limit": train_limit, "centroids": centroids}
+    meta = {"n_clusters": n_clusters, "seed": seed, "metric": "cosine",
+            "train_limit": train_limit, "centroids": centroids,
+            "cluster_replication": r}
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/ivf_meta.json", "w") as fh:
         json.dump(meta, fh)

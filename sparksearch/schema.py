@@ -69,6 +69,29 @@ class IndexSchema:
     # indexed — BM25 stats, counts, and search results all reflect the
     # partial corpus.  Any Spark SQL boolean expression over the doc row.
     predicate: str | None = None
+    # pgvector columns in the index (reference ``vec vector_l2_ops`` in
+    # the CREATE INDEX column list, vector_search_pushdown.out): maps a
+    # vector column name to its opclass — "l2" | "cosine" | "ip", the
+    # "vector_*_ops" names, or None for the AM default (vector_l2_ops).
+    # The opclass decides which distance operator (<-> / <=> / <#>) the
+    # TopK scan can absorb; a mismatched operator falls back to an
+    # exact sort with a planner warning.
+    vector_fields: dict = dc_field(default_factory=dict)
+
+    def vector_opclass(self, col: str) -> str:
+        """The metric this index's TopK path serves for ``col``
+        (reference: a bare vector column resolves to vector_l2_ops,
+        the AM default — vector_search_pushdown.out)."""
+        raw = self.vector_fields.get(col)
+        if raw is None:
+            return "l2"
+        norm = str(raw).lower()
+        if norm.startswith("vector_") and norm.endswith("_ops"):
+            norm = norm[len("vector_"):-len("_ops")]
+        if norm not in ("l2", "cosine", "ip"):
+            raise ValueError(f"unknown vector opclass {raw!r} for "
+                             f"column {col!r}")
+        return norm
 
     def field(self, name: str) -> FieldConfig:
         for f in self.text_fields:
