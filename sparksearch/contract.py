@@ -727,6 +727,34 @@ def q_ivf_ann_topk(spark, sf_dir):
             .select("id", F.round("cos", 4).alias("cos")))
 
 
+def q_vector_l2_topk(spark, sf_dir):
+    """pgvector ``ORDER BY vec <-> q LIMIT k`` (vector_search_pushdown.out
+    TopKScanExecState): exact L2 top-k over the embeddings table, the
+    distance pathkey first then the key tiebreak, both absorbed by
+    TakeOrderedAndProject — the Spark TopK scan."""
+    from sparksearch.pipeline.similarity import vector_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return (vector_topk(emb.filter(F.col("vec_id") != 0), "embedding", qv,
+                        k=10, metric="l2",
+                        tiebreak=[F.col("vec_id").asc()])
+            .select("vec_id", F.round("dist", 4).alias("dist")))
+
+
+def q_vector_ip_topk(spark, sf_dir):
+    """pgvector ``ORDER BY vec <#> q LIMIT k``: negative-inner-product
+    top-k (vector_search_pushdown.out vector_ip_ops leg)."""
+    from sparksearch.pipeline.similarity import vector_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return (vector_topk(emb.filter(F.col("vec_id") != 0), "embedding", qv,
+                        k=10, metric="ip",
+                        tiebreak=[F.col("vec_id").asc()])
+            .select("vec_id", F.round("dist", 4).alias("dist")))
+
+
 def q_snippet_topk(spark, sf_dir):
     """pdb.snippet over the BM25 top-5 with max_num_chars=1000 — every
     top doc fits in ONE fragment, so the DuckDB oracle can rebuild the
@@ -1147,7 +1175,7 @@ QUERIES = {
     # the tail, so the 17 entries it never reached are listed first this round,
     # followed by the 4 round-3 additions (which have no prior CORRECTNESS row
     # either). The 29 remaining window slots and the tail are all r2-checked,
-    # so the union of CORRECTNESS_r02 + r03 covers all 71 entries.
+    # so the union of CORRECTNESS_r02 + r03 covers all entries.
     "cube_agg": q_cube_agg,
     "embedding_near_dup": q_embedding_near_dup,
     "filters_agg": q_filters_agg,
@@ -1169,6 +1197,8 @@ QUERIES = {
     "json_path_agg_dsl": q_json_path_agg_dsl,
     "heap_or": q_heap_or,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "vector_l2_topk": q_vector_l2_topk,
+    "vector_ip_topk": q_vector_ip_topk,
     "bm25_topk": q_bm25_topk,
     "term_count": q_term_count,
     "conjunction": q_conjunction,
@@ -1298,6 +1328,22 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
             "ORDER BY w.value DESC, event_id ASC LIMIT 10"),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_oracle_sql(),
+        "vector_l2_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(CAST(list_distance("
+            "CAST(embedding AS DOUBLE[]), qe) AS DOUBLE), 4) AS dist "
+            "FROM embeddings, q WHERE vec_id <> 0 "
+            "ORDER BY list_distance(CAST(embedding AS DOUBLE[]), qe) ASC, "
+            "vec_id ASC LIMIT 10"),
+        "vector_ip_topk": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(CAST(-list_inner_product("
+            "CAST(embedding AS DOUBLE[]), qe) AS DOUBLE), 4) AS dist "
+            "FROM embeddings, q WHERE vec_id <> 0 "
+            "ORDER BY -list_inner_product(CAST(embedding AS DOUBLE[]), qe) "
+            "ASC, vec_id ASC LIMIT 10"),
         "term_count": f"SELECT count(*) AS cnt FROM documents WHERE {has('data')}",
         "conjunction": ("SELECT doc_id FROM documents WHERE "
                         + " AND ".join(has(t) for t in ["data", "join", "batch"])),
