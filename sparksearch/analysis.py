@@ -169,6 +169,18 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
 
         walk("", obj, max_depth)
         return out
+    if tokenizer == "datetime":
+        # typed date/timestamp field (Tantivy DateTime columns,
+        # pg_regress parse.out created_at/last_updated_date terms):
+        # RFC3339-ish values canonicalize to ONE UTC second-precision
+        # term, so '2023-05-03', '2023-05-03 00:00:00' and
+        # '2023-05-03T00:00:00Z' all hit the same dictionary entry;
+        # non-datetime text (e.g. timetz '09:12:34+00') indexes raw.
+        s = text.strip()
+        if not s:
+            return []
+        d = py_canon_datetime(s)
+        return [d if d is not None else s]
     if lowercase and tokenizer not in ("keyword", "literal", "source_code"):
         # source_code must see the original case (camelCase boundaries);
         # it lowercases its own output tokens
@@ -313,7 +325,7 @@ def _light_stem(t: str) -> str:
 
 _JVM_TOKENIZERS = {"default", "simple", "whitespace", "regex", "keyword",
                    "raw", "literal", "literal_normalized", "unicode_words",
-                   "json"}
+                   "json", "datetime"}
 
 
 def flat_token_array_expr(col: Column, cfg) -> Column | None:
@@ -344,7 +356,8 @@ def analyzer_expr(col: Column, cfg) -> Column:
 
 def _jvm_token_array(col: Column, cfg) -> Column:
     tok, opts = cfg.tokenizer, cfg.tokenizer_opts
-    base = F.lower(col) if (cfg.lowercase and tok not in ("keyword", "literal")) else col
+    base = F.lower(col) if (cfg.lowercase and tok not in
+                            ("keyword", "literal", "datetime")) else col
     if tok in ("default", "simple"):
         arr = F.regexp_extract_all(base, F.lit(_JAVA_WORD), 0)
     elif tok == "unicode_words":
@@ -358,6 +371,15 @@ def _jvm_token_array(col: Column, cfg) -> Column:
     elif tok in ("keyword", "raw", "literal", "literal_normalized"):
         arr = F.when(col.isNull() | (F.length(col) == 0), F.array().cast("array<string>")) \
                .otherwise(F.array(base))
+    elif tok == "datetime":
+        # typed date field: canonical UTC term for RFC3339-ish values
+        # (timestamp/date columns auto-cast to their ISO string under
+        # the UTC session tz), raw string otherwise — JVM twin of the
+        # py_tokenize 'datetime' branch
+        s = F.trim(col.cast("string"))
+        arr = F.when(col.isNull() | (F.length(s) == 0),
+                     F.array().cast("array<string>")) \
+               .otherwise(F.array(F.coalesce(canon_datetime_expr(s), s)))
     elif tok == "json":
         # Nested-path expansion, all in codegen'd column expressions:
         # from_json(map<string,string>) re-serializes nested objects /

@@ -157,6 +157,18 @@ class _Compiler:
             dt = py_canon_datetime(value)
             if dt is not None:
                 return prefix + dt
+        if cfg.tokenizer == "datetime":
+            # typed date field (parse.out quoted datetime terms): the
+            # query value canonicalizes exactly like the indexed value —
+            # never lowercased (the canonical form is case-sensitive)
+            import datetime as _dt
+            if isinstance(value, (_dt.datetime, _dt.date)):
+                value = value.isoformat()
+            if isinstance(value, str):
+                from sparksearch.analysis import py_canon_datetime
+                dt = py_canon_datetime(value.strip())
+                return dt if dt is not None else value.strip()
+            return value
         if isinstance(value, str) and cfg.lowercase and cfg.tokenizer not in ("keyword", "literal"):
             value = value.lower()
         if isinstance(value, str) and prefix:
