@@ -283,7 +283,10 @@ def py_analyze(text: str, cfg) -> list[tuple[str, int]]:
         elif name == "trim":
             toks = [(p, t.strip()) for p, t in toks if t.strip()]
         elif name == "alpha_num_only":
-            toks = [(p, t) for p, t in toks if t.isalnum()]
+            # ASCII alphanumerics ONLY (alpha_num_only_filter.out:
+            # 'Český ...' with alpha_num_only=true -> {}; non-ASCII
+            # letters survive only after ascii_folding)
+            toks = [(p, t) for p, t in toks if _ASCII_ALNUM.fullmatch(t)]
         elif name == "ascii_folding":
             toks = [(p, _fold(t)) for p, t in toks]
         elif name == "stemmer_light":
@@ -303,9 +306,22 @@ def py_analyze(text: str, cfg) -> list[tuple[str, int]]:
     return [(t, p) for p, t in toks]
 
 
+_ASCII_ALNUM = re.compile(r"[0-9A-Za-z]+")
+
+# Lucene/Tantivy ASCIIFoldingFilter mappings that NFKD cannot produce
+# (no canonical decomposition): sharp s, slashed/crossed letters,
+# ligatures, dotless i.
+_FOLD_MAP = str.maketrans({
+    "ß": "ss", "ẞ": "SS", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+    "ı": "i", "ĸ": "k", "ŋ": "n", "Ŋ": "N", "ŧ": "t", "Ŧ": "T"})
+
+
 def _fold(t: str) -> str:
-    return "".join(c for c in unicodedata.normalize("NFKD", t)
-                   if not unicodedata.combining(c))
+    t = "".join(c for c in unicodedata.normalize("NFKD", t)
+                if not unicodedata.combining(c))
+    return t.translate(_FOLD_MAP)
 
 
 def _light_stem(t: str) -> str:
@@ -365,7 +381,10 @@ def _jvm_token_array(col: Column, cfg) -> Column:
                else _JAVA_UAX29_EMOJI)
         arr = F.regexp_extract_all(base, F.lit(_uw), 0)
     elif tok == "whitespace":
-        arr = F.filter(F.split(base, r"\s+"), lambda x: x != "")
+        # Unicode whitespace split (tantivy char::is_whitespace; java \s
+        # alone is ASCII-only while the py twin's re \s is Unicode-aware)
+        arr = F.filter(F.split(base, "[\\s\\x{0085}\\p{Z}]+"),
+                       lambda x: x != "")
     elif tok == "regex":
         arr = F.regexp_extract_all(base, F.lit(opts.get("pattern", r"\w+")), 0)
     elif tok in ("keyword", "raw", "literal", "literal_normalized"):
@@ -474,12 +493,19 @@ def _apply_filters(stream: Column, cfg) -> Column:
             stream = F.transform(
                 stream, lambda s: F.struct(F.lower(s["t"]).alias("t"), s["p"].alias("p")))
         elif name == "trim":
+            # Unicode-whitespace trim (token_trim_filter.out: NBSP and
+            # ideographic spaces strip too; java F.trim is ASCII-only,
+            # the py twin's str.strip() is Unicode-aware)
+            _ws = "[\\s\\x{0085}\\p{Z}]"
             stream = F.filter(
-                F.transform(stream, lambda s: F.struct(F.trim(s["t"]).alias("t"),
-                                                       s["p"].alias("p"))),
+                F.transform(stream, lambda s: F.struct(
+                    F.regexp_replace(s["t"],
+                                     f"^{_ws}+|{_ws}+$", "").alias("t"),
+                    s["p"].alias("p"))),
                 lambda s: F.length(s["t"]) > 0)
         elif name == "alpha_num_only":
-            stream = F.filter(stream, lambda s: s["t"].rlike(r"^[\p{L}\p{N}]+$"))
+            # ASCII-only, the py twin's _ASCII_ALNUM (alpha_num_only_filter.out)
+            stream = F.filter(stream, lambda s: s["t"].rlike("^[0-9A-Za-z]+$"))
         elif name == "stopwords_language":
             from sparksearch.stem import stopwords_for
             words = sorted(stopwords_for(arg or "english"))

@@ -18,12 +18,39 @@ from pyspark.sql import DataFrame, SparkSession
 from sparksearch.analysis import py_tokenize, tokenizers  # noqa: F401
 
 
+# token-filter options accepted by tokenize(), applied in the
+# reference's FIXED chain order (tokenizers/src/manager.rs:319-328:
+# token_length -> trim -> lower_caser -> stemmer -> stopwords ->
+# ascii_folding -> alpha_num_only) regardless of kwarg order — option
+# order never changes semantics, exactly like the reference.
+_FILTER_ORDER = ("remove_short", "remove_long", "trim", "lowercase",
+                 "stemmer", "stopwords", "stopwords_language",
+                 "ascii_folding", "alpha_num_only")
+
+
 def tokenize(spark: SparkSession, tokenizer: str, text: str,
              **opts) -> DataFrame:
     """Token inspection: returns (token, position) rows, like
-    ``SELECT * FROM paradedb.tokenize('default', 'hello world')``."""
-    toks = py_tokenize(text, tokenizer, opts or None, lowercase=True)
-    rows = [(t, i) for i, t in enumerate(toks)]
+    ``SELECT * FROM paradedb.tokenize(paradedb.tokenizer('default',
+    ascii_folding => true), 'café')`` — filter kwargs build the same
+    fixed-order chain the reference's tokenizer builder applies
+    (ascii_folding_filter.out, token_length_filter.out)."""
+    from sparksearch.analysis import py_analyze
+    from sparksearch.schema import FieldConfig
+    filters = []
+    tok_opts = dict(opts)
+    lowercase = bool(tok_opts.pop("lowercase", True))
+    for name in _FILTER_ORDER:
+        if name in ("lowercase",) or name not in tok_opts:
+            continue
+        arg = tok_opts.pop(name)
+        if arg is False or arg is None:
+            continue
+        filters.append((name, None) if arg is True else (name, arg))
+    cfg = FieldConfig(name="_t", tokenizer=tokenizer,
+                      tokenizer_opts=tok_opts, filters=filters or None,
+                      lowercase=lowercase)
+    rows = [(t, p) for t, p in py_analyze(text, cfg)]
     return spark.createDataFrame(rows or [], "token string, position int")
 
 

@@ -241,7 +241,11 @@ class _Compiler:
 
     def _c_match(self, node: ast.Match) -> DataFrame:
         cfg = self.index.schema.value_analyzer(node.field)
-        tokens = py_tokenize(node.value, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase)
+        # full analyzer chain incl. filters (Tantivy match tokenizes the
+        # needle with the field's token stream — folded/stemmed indexes
+        # are queried with folded/stemmed terms)
+        from sparksearch.analysis import py_analyze
+        tokens = [t for t, _ in py_analyze(node.value, cfg)]
         if not tokens:
             return self._empty()
         if node.distance > 0:

@@ -19,7 +19,7 @@ from __future__ import annotations
 import re
 
 from sparksearch.query import ast
-from sparksearch.analysis import py_tokenize
+from sparksearch.analysis import py_analyze, py_tokenize
 
 _TOKEN_RE = re.compile(
     r"""\s+
@@ -178,7 +178,11 @@ class _Parser:
         m = re.match(r'"([^"]*)"(?:~(\d+))?(?:\^([\d.]+))?$', raw)
         body, slop, boost = m.group(1), m.group(2), m.group(3)
         cfg = self.schema.value_analyzer(field)
-        toks = py_tokenize(body, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase)
+        # the FULL analyzer chain, filters included (Tantivy's query
+        # parser runs the field's token stream over query text, so a
+        # stemmed/folded index is queried with stemmed/folded terms —
+        # ascii_folding_filter.out 'cafe' and 'café' both match)
+        toks = [t for t, _ in py_analyze(body, cfg)]
         if not toks:
             q = ast.Empty()
         elif len(toks) == 1:
@@ -248,7 +252,7 @@ class _Parser:
             # unindexed column → constant-score attribute equality
             q = ast.Term(field, _literal(w))
             return ast.Boost(q, boost) if boost else q
-        toks = py_tokenize(w, cfg.tokenizer, cfg.tokenizer_opts, cfg.lowercase)
+        toks = [t for t, _ in py_analyze(w, cfg)]
         if fuzzy is not None:
             q = ast.Fuzzy(field, toks[0] if toks else w, distance=fuzzy)
         elif prefix:
