@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparksearch.analysis import py_tokenize, tokenizers  # noqa: F401
 
@@ -52,6 +52,31 @@ def tokenize(spark: SparkSession, tokenizer: str, text: str,
                       lowercase=lowercase)
     rows = [(t, p) for t, p in py_analyze(text, cfg)]
     return spark.createDataFrame(rows or [], "token string, position int")
+
+
+def aggregate(index, query, aggs: dict):
+    """``paradedb.aggregate(index, query, aggs_json)`` analog: run an
+    ES-style aggregation request over the docs a query matches and
+    return the result envelope dict.
+
+    An EMPTY index returns ``None`` — the SQL ``null`` the reference
+    emits for every aggregate shape over a zero-segment index
+    (empty_aggregate.out sections 4-5); zero MATCHES over a non-empty
+    index still return a real envelope (zero counts / null metrics),
+    like an Elasticsearch response with hits=0.
+    """
+    from sparksearch.aggs import run_aggs
+    from sparksearch.query.compiler import compile_query
+    if index.docs.limit(1).count() == 0:
+        return None
+    key = index.schema.key_field
+    matched = compile_query(index, query)
+    docs = index.docs.select(
+        F.col(key).alias("__agg_did"),
+        *[F.col(c) for c in index.docs.columns if c != key])
+    joined = matched.join(
+        docs, matched["doc_id"] == docs["__agg_did"]).drop("__agg_did")
+    return run_aggs(joined, aggs)
 
 
 def index_fields(index) -> list:
