@@ -493,9 +493,12 @@ class _Compiler:
         terms = [self._norm(node.field, t) for t in node.phrases]
         if not terms:
             return self._empty()
+        # the positions guard runs even for the single-term shortcut —
+        # the reference errors on pdb.phrase('aaa') over an ngram field
+        # (require_positions.out), it never degrades to a term scan
+        self._position_field(node.field, "phrase")
         if len(terms) == 1:
             return self._terms_scan(field, terms).drop("term")
-        self._position_field(node.field, "phrase")
         dfs = self.index.term_dfs(field, terms)
         if any(t not in dfs for t in terms):
             return self._empty()
@@ -539,6 +542,9 @@ class _Compiler:
         return g.select("doc_id", F.lit(1.0).alias("score"))
 
     def _c_phraseprefix(self, node: ast.PhrasePrefix) -> DataFrame:
+        # positions guard first, even for the single-slot shortcut
+        # (require_positions.out: phrase_prefix errors over ngram)
+        self._position_field(node.field, "phrase-prefix")
         field = self._real_field(node.field)
         terms = [self._norm(node.field, t) for t in node.phrases]
         prefix = terms[-1]
@@ -883,6 +889,20 @@ class _Compiler:
                 f"{what} query on field {fieldref!r} requires record="
                 f"'position' but the field was indexed with record="
                 f"{cfg.record!r}")
+        if (cfg.tokenizer in ("ngram", "edge_ngram")
+                and not cfg.tokenizer_opts.get("positions")):
+            # reference require_positions.out: the ngram tokenizer does
+            # not record usable positions unless its `positions` option
+            # is set — every positional query type errors, it never
+            # silently returns empty/garbled matches (gram index != word
+            # position, so a "phrase" over grams is meaningless)
+            opts = cfg.tokenizer_opts
+            desc = (f"{cfg.tokenizer}_mingram:{opts.get('min_gram', 2)}"
+                    f"_maxgram:{opts.get('max_gram', 3)}"
+                    f"_prefixonly:{str(bool(opts.get('prefix_only'))).lower()}")
+            raise ValueError(
+                f"field {fieldref!r} was tokenized with '{desc}' which "
+                "does not support this query type")
         return cfg.name
 
     def _clause_batch(self, clauses) -> DataFrame:
