@@ -200,6 +200,13 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
     if tokenizer == "regex":
         return re.findall(opts.get("pattern", r"\w+"), text)
     if tokenizer == "ngram":
+        if (opts.get("positions")
+                and int(opts.get("min_gram", 2)) != int(opts.get("max_gram", 3))):
+            # reference ngram.out: positional gram phrases only make
+            # sense when every start position emits exactly one gram
+            raise ValueError("An invalid argument was passed: 'min_gram "
+                             "must equal max_gram when positions are "
+                             "enabled'")
         return _py_ngram(text, int(opts.get("min_gram", 2)), int(opts.get("max_gram", 3)),
                          bool(opts.get("prefix_only", False)))
     if tokenizer == "edge_ngram":
