@@ -93,6 +93,16 @@ class IndexSchema:
                              f"column {col!r}")
         return norm
 
+    def __post_init__(self):
+        seen = set()
+        for f in self.text_fields:
+            if f.name in seen:
+                # reference composite.out: two index sources resolving
+                # to the same attribute name are rejected at definition
+                raise ValueError(f"indexed attribute {f.name} defined "
+                                 "more than once")
+            seen.add(f.name)
+
     def field(self, name: str) -> FieldConfig:
         for f in self.text_fields:
             if f.name == name:
