@@ -444,6 +444,7 @@ def _apply_predicate(docs: DataFrame, schema: IndexSchema) -> DataFrame:
 def build_index(docs: DataFrame, schema: IndexSchema,
                 cache: bool = True, strategy: str = "local") -> SearchIndex:
     """Build the inverted index in memory (reference: ambuild / build.rs)."""
+    schema.partition_fields(docs.schema)  # validate (partition_by.out)
     docs = _apply_predicate(docs, schema)
     spark = docs.sparkSession
     postings = postings_df(docs, schema, strategy)
@@ -544,6 +545,7 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
             for i, f_ in enumerate(fields)}
     if save_docs:
         out = docs
+        part_cols = schema.partition_fields(docs.schema)
         sb = (schema.sort_by or "").strip().lower()
         if sb and sb != "none":
             # reference sort_by segment pre-sorting (sort_by.out):
@@ -562,7 +564,16 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
             out = (docs.repartitionByRange(
                 max(docs.sparkSession.sparkContext.defaultParallelism, 1),
                 expr).sortWithinPartitions(expr))
-        out.write.mode("overwrite").parquet(f"{path}/docs")
+        w = out.write.mode("overwrite")
+        if part_cols:
+            # reference partition_by WITH option (partition_by.out):
+            # segments split physically by these field values — the
+            # Spark analog is hive-style parquet partitioning, so any
+            # attribute filter on a partition column prunes whole
+            # directories (the reference's segment skip)
+            w = out.repartition(*[F.col(c) for c in part_cols]) \
+                .write.mode("overwrite").partitionBy(*part_cols)
+        w.parquet(f"{path}/docs")
     with open(f"{path}/meta.json", "w") as fh:
         json.dump({"meta": meta, "key_field": schema.key_field,
                    "n_buckets": nb,

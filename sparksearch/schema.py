@@ -69,6 +69,49 @@ class IndexSchema:
     # indexed — BM25 stats, counts, and search results all reflect the
     # partial corpus.  Any Spark SQL boolean expression over the doc row.
     predicate: str | None = None
+    # segment partitioning (reference ``partition_by='tenant_id,
+    # created_at'`` WITH option, partition_by.out): segments are
+    # physically split by these field values so attribute-filtered
+    # queries prune whole partitions.  Spark analog: the saved docs
+    # table is written partitionBy(these columns) — parquet partition
+    # pruning is the segment skip.  Comma-separated column list; empty
+    # string disables (reference Test 2.2).
+    partition_by: str | None = None
+
+    def partition_fields(self, docs_schema=None) -> list:
+        """Parse + validate partition_by against the doc schema
+        (reference-exact error strings, partition_by.out §2-3)."""
+        raw = self.partition_by
+        if raw is None or raw == "":
+            return []
+        fields = [f.strip() for f in raw.split(",") if f.strip()]
+        if not fields:
+            raise ValueError("invalid partition_by value: must specify "
+                             "at least one field")
+        if docs_schema is not None:
+            from pyspark.sql.types import ArrayType, MapType
+            for f in fields:
+                cfg = None
+                try:
+                    cfg = self.field(f)
+                except KeyError:
+                    pass
+                # an aliased field partitions by its SOURCE column
+                col = (cfg.source if cfg is not None and cfg.source
+                       and cfg.source in docs_schema.names else f)
+                if col not in docs_schema.names and cfg is None:
+                    raise ValueError(f"`{f}` in `partition_by` does not "
+                                     "exist")
+                multi = cfg is not None and cfg.tokenizer == "json"
+                if col in docs_schema.names:
+                    multi = multi or isinstance(
+                        docs_schema[col].dataType, (ArrayType, MapType))
+                if multi:
+                    raise ValueError(
+                        f"`{f}` cannot be used in `partition_by` "
+                        "because it is a multi-valued field")
+        return fields
+
     # pgvector columns in the index (reference ``vec vector_l2_ops`` in
     # the CREATE INDEX column list, vector_search_pushdown.out): maps a
     # vector column name to its opclass — "l2" | "cosine" | "ip", the
