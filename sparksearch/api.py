@@ -214,12 +214,40 @@ def merge_info(index_path: str, layer_sizes: list | None = None) -> dict:
     }
 
 
-def layer_sizes(index_path: str, sizes: list | None = None) -> list:
+def parse_layer_sizes(raw: str) -> list:
+    """Parse the reference's human-readable ``layer_sizes`` WITH-option
+    string (layer_size_config.out): comma-separated sizes with b / kb /
+    mb / gb / tb suffixes (case-insensitive, optional space, bare
+    numbers are bytes).  Zero entries are DROPPED (a no-op layer),
+    negatives error with 'a single layer size must be non-negative',
+    and anything unparsable errors with the reference's
+    ``invalid size: "..."`` — the unparsed text verbatim, leading
+    whitespace included."""
+    import re as _re
+    units = {"": 1, "b": 1, "kb": 1024, "mb": 1024 ** 2,
+             "gb": 1024 ** 3, "tb": 1024 ** 4}
+    out = []
+    for piece in raw.split(","):
+        m = _re.fullmatch(r"\s*(-?\d+(?:\.\d+)?)\s*([a-zA-Z]*)\s*",
+                          piece)
+        if not m or m.group(2).lower() not in units:
+            raise ValueError(f'invalid size: "{piece}"')
+        n = float(m.group(1)) * units[m.group(2).lower()]
+        if n < 0:
+            raise ValueError("a single layer size must be non-negative")
+        if n > 0:
+            out.append(int(n))
+    return out
+
+
+def layer_sizes(index_path: str, sizes: list | str | None = None) -> list:
     """Per-layer segment assignment (paradedb.layer_sizes analog): which
     layer each live segment currently belongs to by byte size."""
     from sparksearch.streaming.indexer import (_committed_segments,
                                                _segment_bytes,
                                                DEFAULT_LAYER_SIZES)
+    if isinstance(sizes, str):
+        sizes = parse_layer_sizes(sizes)
     sizes = sorted(sizes or DEFAULT_LAYER_SIZES)
     out = []
     for s in _committed_segments(index_path):
