@@ -88,6 +88,47 @@ def index_fields(index) -> list:
     } for f in index.schema.text_fields]
 
 
+def _tokenizer_descriptor(cfg) -> str:
+    """The reference's tokenizer descriptor string as shown by
+    ``paradedb.schema()`` (tokenize-uuid.out): e.g.
+    ``keyword[lowercase=false]``, ``unicode_words_removeemojis:false``,
+    ``ngram_mingram:3_maxgram:3_prefixonly:false``."""
+    t, o = cfg.tokenizer, cfg.tokenizer_opts
+    if t in ("keyword", "raw", "literal"):
+        return f"keyword[lowercase={str(bool(cfg.lowercase)).lower()}]"
+    if t == "literal_normalized":
+        return "keyword[lowercase=true]"
+    if t == "unicode_words":
+        return ("unicode_words_removeemojis:"
+                + str(bool(o.get("remove_emojis"))).lower())
+    if t == "ngram":
+        return (f"ngram_mingram:{o.get('min_gram', 2)}"
+                f"_maxgram:{o.get('max_gram', 3)}"
+                f"_prefixonly:{str(bool(o.get('prefix_only'))).lower()}")
+    if t == "regex":
+        return f"regex_pattern:{o.get('pattern', '')}"
+    return t
+
+
+def schema(index) -> list:
+    """``paradedb.schema(index)`` analog: one row per indexed field with
+    its type, storage flags, tokenizer descriptor, record level, and
+    normalizer (tokenize-uuid.out column set)."""
+    out = [{"name": index.schema.key_field, "field_type": "I64",
+            "stored": False, "indexed": True, "fast": True,
+            "tokenizer": None, "record": None, "normalizer": None}]
+    for f in index.schema.text_fields:
+        out.append({
+            "name": f.name, "field_type": "Str", "stored": False,
+            "indexed": f.indexed, "fast": f.fast,
+            "tokenizer": _tokenizer_descriptor(f), "record": f.record,
+            "normalizer": ("raw" if f.tokenizer in
+                           ("keyword", "raw", "literal") else
+                           "lowercase" if f.lowercase else None),
+        })
+    return out
+
+
 def index_info(index) -> dict:
     """Corpus-level stats (paradedb.index_info analog)."""
     terms = {r["field"]: r["n"] for r in
