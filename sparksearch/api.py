@@ -255,6 +255,33 @@ def merge_info(index_path: str, layer_sizes: list | None = None) -> dict:
     }
 
 
+def version_info() -> dict:
+    """``paradedb.version_info()`` analog."""
+    import sparksearch
+    import pyspark
+    return {"version": getattr(sparksearch, "__version__", "0.3.0"),
+            "backend": "pyspark", "pyspark": pyspark.__version__}
+
+
+def force_merge(spark: SparkSession, index_path: str, schema,
+                oneshot: bool = False) -> dict:
+    """``paradedb.force_merge(index)`` analog (api/admin.rs): run the
+    layered merge policy now — or, with ``oneshot=True``, merge every
+    committed segment into one base segment (the full-compaction form,
+    applying tombstones physically)."""
+    from sparksearch.streaming.indexer import (compact_layered,
+                                               compact_segments,
+                                               _committed_segments)
+    before = len(_committed_segments(index_path))
+    if oneshot:
+        written = [compact_segments(spark, index_path, schema)]
+    else:
+        written = compact_layered(spark, index_path, schema)
+    return {"segments_before": before,
+            "segments_after": len(_committed_segments(index_path)),
+            "new_segments": [os.path.basename(w) for w in written if w]}
+
+
 def parse_layer_sizes(raw: str) -> list:
     """Parse the reference's human-readable ``layer_sizes`` WITH-option
     string (layer_size_config.out): comma-separated sizes with b / kb /

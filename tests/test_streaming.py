@@ -614,3 +614,29 @@ def test_soak_concurrent_ingest_compaction_readers(spark, tdir):
     bidx = build_index(batch_docs, _turn_schema())
     assert _postings_set(sidx.postings) == _postings_set(bidx.postings)
     assert sidx.meta == bidx.meta
+
+
+def test_force_merge_admin(spark, tdir):
+    """paradedb.force_merge analog: oneshot merges every committed
+    segment into one base segment; postings survive byte-identical and
+    version_info reports the backend."""
+    from sparksearch.api import force_merge, version_info
+    from sparksearch.streaming.indexer import _committed_segments
+    flat, _ = _write_stream_files(spark, tdir, n_convs=10, parts=4)
+    idx_path, ckpt = f"{tdir}/idx", f"{tdir}/ckpt"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt,
+                          watermark="10 minutes")
+    q = ix.start(_read_stream(spark, flat))
+    q.processAllAvailable()
+    q.stop()
+    assert len(_committed_segments(idx_path)) >= 2
+    before = _postings_set(
+        open_segmented_index(spark, idx_path, _turn_schema()).postings)
+    out = force_merge(spark, idx_path, _turn_schema(), oneshot=True)
+    assert out["segments_after"] == 1
+    assert out["segments_before"] >= 2
+    after = _postings_set(
+        open_segmented_index(spark, idx_path, _turn_schema()).postings)
+    assert after == before
+    vi = version_info()
+    assert vi["backend"] == "pyspark" and vi["pyspark"]
