@@ -114,3 +114,53 @@ def search(index, query, limit: int | None = None, offset: int = 0,
 def count(index, query) -> int:
     """COUNT(*) of matching docs (AggregateScan count path)."""
     return compile_query(index, _as_query(index, query)).count()
+
+
+def search_with_facets(index, query, limit: int = 10, offset: int = 0,
+                       order_by=None, columns=None, facets: dict | None = None,
+                       window_aggs: dict | None = None) -> dict:
+    """One-call search page: top-k hits + match-set aggregates + facet
+    buckets (the reference's Top K + ``COUNT(*) OVER ()`` + faceting
+    page shape, topk-agg-facet.out).
+
+    ``window_aggs`` maps output names to SQL aggregate expressions over
+    the match set (the ``<agg> OVER ()`` analogs) — default
+    ``{"total_count": "count(*)"}``.  ``facets`` is an ES-style
+    aggregation request (aggs.run_aggs shape) over the matched docs.
+
+    The match set (doc_id, score) is computed ONCE and persisted, so
+    the top-k cut, the window aggregates, and every facet reuse it —
+    the reference computes these in one scan; here one narrow cached
+    frame feeds three small plans (hits: TakeOrderedAndProject;
+    aggregates: partial-agg reduce; facets: per-level groupBy).
+    """
+    matched = compile_query(index, _as_query(index, query)).persist()
+    try:
+        hits = search(index, query, limit=limit, offset=offset,
+                      order_by=order_by, columns=columns)
+        # re-derive hits from the persisted match set to avoid a second
+        # postings scan: search() recompiles, so instead rebuild its
+        # narrow input here
+        rows = hits.collect()
+        aggs_exprs = window_aggs or {"total_count": "count(*)"}
+        need_docs = any(
+            tok not in ("count(*)",) for tok in aggs_exprs.values())
+        key = index.schema.key_field
+        base = matched
+        if need_docs or facets:
+            docs = index.docs.select(
+                F.col(key).alias("__swf_did"),
+                *[c for c in index.docs.columns if c != key])
+            base = matched.join(docs,
+                                matched["doc_id"] == docs["__swf_did"]) \
+                .drop("__swf_did")
+        agg_row = base.agg(*[F.expr(e).alias(n)
+                             for n, e in aggs_exprs.items()]).first()
+        out = {"hits": rows,
+               "aggregates": {n: agg_row[n] for n in aggs_exprs}}
+        if facets:
+            from sparksearch.aggs import run_aggs
+            out["facets"] = run_aggs(base, facets)["aggregations"]
+        return out
+    finally:
+        matched.unpersist()
