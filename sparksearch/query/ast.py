@@ -76,10 +76,19 @@ class Match(Query):
 @dataclass
 class Phrase(Query):
     """Ordered tokens within slop (pdb_query.rs:241-261).
-    ``phrases`` are pre-tokenized terms in order."""
+    ``phrases`` are pre-tokenized terms in order.
+
+    ``implicit`` marks a phrase the QUERY PARSER created by analyzing a
+    needle into several tokens (e.g. one word ngram-analyzed into
+    grams).  Implicit phrases are exempt from the ngram
+    positions-support gate — over grams they ARE the substring-match
+    semantics (keys_snippet_score.out scores 'tooth' over ngram(4,4)) —
+    while explicit constructors (###, pdb.phrase, phrase_prefix,
+    regex_phrase, proximity) still error (require_positions.out)."""
     field: str
     phrases: list
     slop: int = 0
+    implicit: bool = False
 
 
 @dataclass

@@ -495,8 +495,12 @@ class _Compiler:
             return self._empty()
         # the positions guard runs even for the single-term shortcut —
         # the reference errors on pdb.phrase('aaa') over an ngram field
-        # (require_positions.out), it never degrades to a term scan
-        self._position_field(node.field, "phrase")
+        # (require_positions.out), it never degrades to a term scan.
+        # Parser-generated implicit phrases are exempt from the ngram
+        # gate (ast.Phrase.implicit): over grams they are the
+        # substring-match semantics the parse path supports.
+        self._position_field(node.field, "phrase",
+                             allow_ngram=getattr(node, "implicit", False))
         if len(terms) == 1:
             return self._terms_scan(field, terms).drop("term")
         dfs = self.index.term_dfs(field, terms)
@@ -877,7 +881,8 @@ class _Compiler:
         return (len(clauses) > 1 and all(self._is_plain_term(c) for c in clauses)
                 and len({c.field for c in clauses}) == 1)
 
-    def _position_field(self, fieldref: str, what: str) -> str:
+    def _position_field(self, fieldref: str, what: str,
+                        allow_ngram: bool = False) -> str:
         """Resolve a field ref for a position-dependent query; raise a clear
         error when the field was indexed without positions (the reference
         errors likewise instead of returning empty, record option in
@@ -889,7 +894,7 @@ class _Compiler:
                 f"{what} query on field {fieldref!r} requires record="
                 f"'position' but the field was indexed with record="
                 f"{cfg.record!r}")
-        if (cfg.tokenizer in ("ngram", "edge_ngram")
+        if (not allow_ngram and cfg.tokenizer in ("ngram", "edge_ngram")
                 and not cfg.tokenizer_opts.get("positions")):
             # reference require_positions.out: the ngram tokenizer does
             # not record usable positions unless its `positions` option

@@ -188,7 +188,8 @@ class _Parser:
         elif len(toks) == 1:
             q = ast.Term(field, toks[0])
         else:
-            q = ast.Phrase(field, toks, slop=int(slop or 0))
+            q = ast.Phrase(field, toks, slop=int(slop or 0),
+                           implicit=True)
         return ast.Boost(q, float(boost)) if boost else q
 
     def _range(self, field, open_br):
@@ -263,7 +264,7 @@ class _Parser:
             q = ast.Term(field, toks[0])
         else:
             # multi-token single word ("high-resolution") → phrase, Tantivy-style
-            q = ast.Phrase(field, toks)
+            q = ast.Phrase(field, toks, implicit=True)
         return ast.Boost(q, boost) if boost else q
 
 
