@@ -136,11 +136,11 @@ def search_with_facets(index, query, limit: int = 10, offset: int = 0,
     """
     matched = compile_query(index, _as_query(index, query)).persist()
     try:
+        # the page itself (search() recompiles the query; its scan is
+        # the cheap top-k cut, while the EXPENSIVE full-match-set work
+        # below reuses the persisted frame)
         hits = search(index, query, limit=limit, offset=offset,
                       order_by=order_by, columns=columns)
-        # re-derive hits from the persisted match set to avoid a second
-        # postings scan: search() recompiles, so instead rebuild its
-        # narrow input here
         rows = hits.collect()
         aggs_exprs = window_aggs or {"total_count": "count(*)"}
         need_docs = any(
