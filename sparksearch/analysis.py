@@ -41,7 +41,7 @@ _JAVA_WORD = r"[\p{L}\p{N}]+"
 _PY_WORD = re.compile(r"[^\W_]+", re.UNICODE)  # \w minus underscore
 # unicode_words (UAX#29 approximation): words may contain interior
 # apostrophes (MidLetter) and interior . , in numbers (MidNum).
-_JAVA_UAX29 = r"[\p{L}\p{N}](?:[\p{L}\p{N}]|['’](?=[\p{L}])|[.,](?=[\p{N}]))*"
+_JAVA_UAX29 = r"[\p{L}\p{N}](?:[\p{L}\p{N}]|['’.](?=[\p{L}])|[.,](?=[\p{N}]))*"
 
 # RFC3339-ish datetime detection for JSON string values.  Tantivy types
 # such values as DATE terms (one typed token, second precision) instead
@@ -78,7 +78,7 @@ def canon_datetime_expr(v: Column) -> Column:
 
 
 _PY_UAX29 = re.compile(
-    r"[^\W_](?:[^\W_]|['’](?=[^\W\d_])|[.,](?=\d))*", re.UNICODE)
+    r"[^\W_](?:[^\W_]|['’.](?=[^\W\d_])|[.,](?=\d))*", re.UNICODE)
 
 # unicode_words emits emoji as standalone tokens (tantivy's
 # unicode-segmentation word iterator; expected/unicode_words.out:
@@ -93,7 +93,7 @@ _PY_EMOJI_SRC = ("(?:[\U0001F1E6-\U0001F1FF]{2})|"
                  f"(?:{_EMOJI_BASE_PY}\ufe0f?"
                  f"(?:\u200d{_EMOJI_BASE_PY}\ufe0f?)*)")
 _PY_UAX29_EMOJI = re.compile(
-    r"[^\W_](?:[^\W_]|['’](?=[^\W\d_])|[.,](?=\d))*|" + _PY_EMOJI_SRC,
+    r"[^\W_](?:[^\W_]|['’.](?=[^\W\d_])|[.,](?=\d))*|" + _PY_EMOJI_SRC,
     re.UNICODE)
 _EMOJI_BASE_JAVA = (r"[\x{00a9}\x{00ae}\x{203c}\x{2049}\x{2122}"
                     r"\x{2600}-\x{27bf}\x{2b00}-\x{2bff}"
