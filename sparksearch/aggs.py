@@ -362,6 +362,19 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
             # key_as_string "false"/"true"
             b = {"key": int(r[kd]), "doc_count": r["doc_count"],
                  "key_as_string": "true" if r[kd] else "false"}
+        elif kind == "date_histogram" and r[kd] is not None:
+            # reference datetime_stability.out: date_histogram bucket
+            # keys are PG-epoch MICROSECONDS (float) with a UTC
+            # second-precision key_as_string — the stable envelope the
+            # i64-pg-micros storage transition locked in
+            import datetime as _dt
+            ts = r[kd]
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            pg_us = (ts.timestamp() - 946684800.0) * 1_000_000
+            b = {"key": float(pg_us), "doc_count": r["doc_count"],
+                 "key_as_string": ts.astimezone(_dt.timezone.utc)
+                 .strftime("%Y-%m-%dT%H:%M:%SZ")}
         else:
             b = {"key": _jval(r[kd]), "doc_count": r["doc_count"]}
         d = r.asDict()

@@ -46,9 +46,13 @@ def test_date_histogram_calendar(mock_index):
     res = run_aggs(mock_index.docs, {
         "d": {"date_histogram": {"field": "created_at",
                                  "calendar_interval": "month"}}})
-    buckets = {b["key"][:7]: b["doc_count"]
+    # date_histogram keys are PG-epoch micros; key_as_string is the
+    # stable UTC rendering (datetime_stability.out)
+    buckets = {b["key_as_string"][:7]: b["doc_count"]
                for b in res["aggregations"]["d"]["buckets"]}
     assert buckets == {"2023-04": 30, "2023-05": 11}
+    for b in res["aggregations"]["d"]["buckets"]:
+        assert isinstance(b["key"], float)
 
 
 def test_range_agg(mock_index):
