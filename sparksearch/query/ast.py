@@ -66,11 +66,16 @@ class TermSet(Query):
 @dataclass
 class Match(Query):
     """Tokenize the needle, then OR (or AND) the tokens
-    (pdb_query.rs:214-228).  ``distance`` > 0 makes each token fuzzy."""
+    (pdb_query.rs:214-228).  ``distance`` > 0 makes each token fuzzy.
+    ``tokenizer`` overrides the analyzer for THIS query's needle (the
+    reference's explicit `'sho'::pdb.ngram(...)` cast, which overrides
+    even a field-level search_tokenizer — search_tokenizer.out)."""
     field: str
     value: str
     conjunction_mode: bool = False
     distance: int = 0
+    tokenizer: str | None = None
+    tokenizer_opts: dict | None = None
 
 
 @dataclass

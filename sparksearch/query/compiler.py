@@ -241,6 +241,15 @@ class _Compiler:
 
     def _c_match(self, node: ast.Match) -> DataFrame:
         cfg = self.index.schema.value_analyzer(node.field)
+        if node.tokenizer is not None:
+            # explicit per-query tokenizer cast: overrides both the
+            # index tokenizer and a field-level search_tokenizer
+            # (search_tokenizer.out)
+            from sparksearch.schema import FieldConfig
+            cfg = FieldConfig(name=cfg.name, tokenizer=node.tokenizer,
+                              tokenizer_opts=dict(node.tokenizer_opts
+                                                  or {}),
+                              lowercase=cfg.lowercase)
         # full analyzer chain incl. filters (Tantivy match tokenizes the
         # needle with the field's token stream — folded/stemmed indexes
         # are queried with folded/stemmed terms)

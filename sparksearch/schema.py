@@ -39,6 +39,13 @@ class FieldConfig:
     lowercase: bool = True               # normalizer for keyword/raw fields
     k1: float = 1.2                      # per-field BM25 params (reference
     b: float = 0.75                      # typmod tuning, bm25-params.out)
+    # QUERY-TIME tokenizer override (reference search_tokenizer option,
+    # search_tokenizer.out): the autocomplete pattern — index with
+    # prefix ngrams, analyze the query text with a word tokenizer so
+    # 'sho' stays ONE token instead of being re-ngrammed.  None =
+    # query text uses the index tokenizer.
+    search_tokenizer: str | None = None
+    search_tokenizer_opts: dict = dc_field(default_factory=dict)
 
     def analyzer_key(self) -> tuple:
         return (self.tokenizer, tuple(sorted(self.tokenizer_opts.items())),
@@ -169,12 +176,21 @@ class IndexSchema:
 
     def value_analyzer(self, fieldref: str) -> FieldConfig:
         """The tokenizer config that applies to a query VALUE for this
-        field reference (for JSON paths: the value tokenizer)."""
+        field reference (for JSON paths: the value tokenizer; when the
+        field declares a ``search_tokenizer``, query text analyzes with
+        THAT instead of the index tokenizer — search_tokenizer.out)."""
         cfg, prefix = self.resolve(fieldref)
         if prefix:
             return FieldConfig(name=fieldref,
                                tokenizer=cfg.tokenizer_opts.get(
                                    "value_tokenizer", "default"),
+                               lowercase=cfg.lowercase)
+        if cfg.search_tokenizer is not None:
+            return FieldConfig(name=cfg.name,
+                               tokenizer=cfg.search_tokenizer,
+                               tokenizer_opts=dict(
+                                   cfg.search_tokenizer_opts),
+                               filters=cfg.filters,
                                lowercase=cfg.lowercase)
         return cfg
 
