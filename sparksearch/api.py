@@ -19,13 +19,16 @@ from sparksearch.analysis import py_tokenize, tokenizers  # noqa: F401
 
 
 # token-filter options accepted by tokenize(), applied in the
-# reference's FIXED chain order (tokenizers/src/manager.rs:319-328:
+# reference's FIXED chain order (tokenizers/src/manager.rs:315-337:
 # token_length -> trim -> lower_caser -> stemmer -> stopwords ->
-# ascii_folding -> alpha_num_only) regardless of kwarg order — option
-# order never changes semantics, exactly like the reference.
+# ascii_folding -> alpha_num_only, then stopwords_language filters are
+# appended DYNAMICALLY after the static chain — i.e. LAST, so language
+# stopword lists are checked against the folded/alpha-num-filtered
+# token form) regardless of kwarg order — option order never changes
+# semantics, exactly like the reference.
 _FILTER_ORDER = ("remove_short", "remove_long", "trim", "lowercase",
-                 "stemmer", "stopwords", "stopwords_language",
-                 "ascii_folding", "alpha_num_only")
+                 "stemmer", "stopwords", "ascii_folding",
+                 "alpha_num_only", "stopwords_language")
 
 
 def tokenize(spark: SparkSession, tokenizer: str, text: str,
@@ -65,18 +68,14 @@ def aggregate(index, query, aggs: dict):
     index still return a real envelope (zero counts / null metrics),
     like an Elasticsearch response with hits=0.
     """
-    from sparksearch.aggs import run_aggs
-    from sparksearch.query.compiler import compile_query
+    from sparksearch.aggs import search_aggregate
     if index.docs.limit(1).count() == 0:
         return None
-    key = index.schema.key_field
-    matched = compile_query(index, query)
-    docs = index.docs.select(
-        F.col(key).alias("__agg_did"),
-        *[F.col(c) for c in index.docs.columns if c != key])
-    joined = matched.join(
-        docs, matched["doc_id"] == docs["__agg_did"]).drop("__agg_did")
-    return run_aggs(joined, aggs)
+    # left_semi join (via search_aggregate) keeps index.docs' columns
+    # intact — including the key field — so agg specs referencing the
+    # key (e.g. {"value_count": {"field": "id"}}, as datetime_stability
+    # section 9 runs) resolve instead of hitting an unresolved column.
+    return search_aggregate(index, query, aggs)
 
 
 def index_fields(index) -> list:

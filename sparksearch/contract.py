@@ -180,7 +180,7 @@ v AS (
   WHERE vec_id <> 0
 ), s AS (SELECT vec_id, e, {vb} FROM v)
 SELECT vec_id AS id,
-       round(CAST(list_cosine_similarity(e, qe) AS DOUBLE), 4) AS cos
+       round(1.0 - CAST(list_cosine_similarity(e, qe) AS DOUBLE), 4) AS dist
 FROM s, qs WHERE {match}
 ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT {k}"""
 
@@ -257,7 +257,7 @@ def _ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
   SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
 )
 SELECT vec_id AS id,
-       round(CAST(list_cosine_similarity(e, qe) AS DOUBLE), 4) AS cos
+       round(1.0 - CAST(list_cosine_similarity(e, qe) AS DOUBLE), 4) AS dist
 FROM a, q WHERE cluster IN ({",".join(str(p) for p in probe)})
 ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT {k}"""
 
@@ -408,6 +408,31 @@ def q_tpch_q1(spark, sf_dir):
                  .alias("sum_disc"),
                  F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
                  F.count("*").alias("cnt")))
+
+
+def q_numeric_decimal_agg(spark, sf_dir):
+    """NUMERIC(18,2) field semantics (numeric_pushdown.out part 1,
+    schema/mod.rs:298-319 Numeric64 route): prices as exact DecimalType,
+    a decimal range filter pushed to the scan, and SUM/MIN/MAX computed
+    in exact decimal arithmetic — no float drift, matching the
+    reference's heap-side numeric aggregation (mod.rs:503-511: numeric
+    fields never push aggregates into the index; results are identical,
+    the execution path just stays on the row store)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_returnflag").alias("rf"),
+                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  .alias("price"))
+    # aggregation runs in exact decimal; the contract surface casts to
+    # double only at the end (the driver's pandas compare lowers DuckDB
+    # decimals to float64, so the comparable type is double — the
+    # decimal->double conversion of an exact 2dp value is deterministic)
+    return (d.filter(F.col("price") > F.expr("CAST(30000.50 AS DECIMAL(18,2))"))
+            .groupBy("rf")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum("price").cast("decimal(38,2)").cast("double")
+                 .alias("sum_price"),
+                 F.min("price").cast("double").alias("min_price"),
+                 F.max("price").cast("double").alias("max_price")))
 
 
 def q_topk_order(spark, sf_dir):
@@ -682,10 +707,12 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    """ANN top-k over the PERSISTED LSH layout (rows-only; recall vs the
-    exact twin is pytest-checked): signatures/buckets are built once and
-    written partitioned by (band, value), so the query plan prunes the
-    bucket scan to the ≤bands matching partitions."""
+    """ANN top-k over the PERSISTED LSH layout (value-checked against a
+    full SQL oracle twin — seeded hyperplanes inlined as literals, band
+    probe + exact cosine rank recomputed in DuckDB): signatures/buckets
+    are built once and written partitioned by (band, value), so the
+    query plan prunes the bucket scan to the ≤bands matching
+    partitions."""
     import tempfile
     from sparksearch.pipeline.similarity import build_ann_index, load_ann_index
     emb = _t(spark, sf_dir, "embeddings")
@@ -698,7 +725,7 @@ def q_lsh_ann_topk(spark, sf_dir):
             emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", path)
     idx = _INDEX_CACHE[key]
     return (idx.topk(qv, k=10)
-            .select("id", F.round("cos", 4).alias("cos")))
+            .select("id", F.round("dist", 4).alias("dist")))
 
 
 def q_ivf_ann_topk(spark, sf_dir):
@@ -724,7 +751,7 @@ def q_ivf_ann_topk(spark, sf_dir):
             n_clusters=16, seed=7)
     idx = _INDEX_CACHE[key]
     return (idx.topk(qv, k=10, max_probe=0.25)
-            .select("id", F.round("cos", 4).alias("cos")))
+            .select("id", F.round("dist", 4).alias("dist")))
 
 
 def q_vector_l2_topk(spark, sf_dir):
@@ -1171,11 +1198,38 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 QUERIES = {
-    # The driver verifies the first 50 entries in dict order; round 2 covered
-    # the tail, so the 17 entries it never reached are listed first this round,
-    # followed by the 4 round-3 additions (which have no prior CORRECTNESS row
-    # either). The 29 remaining window slots and the tail are all r2-checked,
-    # so the union of CORRECTNESS_r02 + r03 covers all entries.
+    # The driver verifies the FIRST 50 entries in dict order. Window
+    # rotation (round-4 verdict ask #2): the 23 entries whose latest
+    # driver check is r1/r2 come FIRST (their r3 slot aged out), new
+    # round-4 entries follow (no prior CORRECTNESS row), then the 50
+    # r3-checked entries — so no entry's latest driver check ever ages
+    # more than one round and the r3+r4 union covers everything.
+    "sessionize_events": q_sessionize_events,
+    "hybrid_rrf": q_hybrid_rrf,
+    "lang_id": q_lang_id,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "snippet_topk": q_snippet_topk,
+    "fingerprint": q_fingerprint,
+    "rollup_agg": q_rollup_agg,
+    "window_total_count": q_window_total_count,
+    "json_field_agg": q_json_field_agg,
+    "boost": q_boost,
+    "const_score": q_const_score,
+    "dismax": q_dismax,
+    "score_filter": q_score_filter,
+    "termset": q_termset,
+    "phrase_prefix": q_phrase_prefix,
+    "slop_phrase": q_slop_phrase,
+    "proximity": q_proximity,
+    "more_like_this": q_more_like_this,
+    "parse_query": q_parse_query,
+    "range_term": q_range_term,
+    "range_contains": q_range_contains,
+    # --- new round-4 entries (no prior CORRECTNESS row) ---
+    "numeric_decimal_agg": q_numeric_decimal_agg,
+    # --- r3-checked below (remaining window slots, then tail) ---
     "cube_agg": q_cube_agg,
     "embedding_near_dup": q_embedding_near_dup,
     "filters_agg": q_filters_agg,
@@ -1226,29 +1280,6 @@ QUERIES = {
     "quality_score": q_quality_score,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "sessionize_events": q_sessionize_events,
-    "hybrid_rrf": q_hybrid_rrf,
-    "lang_id": q_lang_id,
-    "minhash_pairs": q_minhash_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    "snippet_topk": q_snippet_topk,
-    "fingerprint": q_fingerprint,
-    "rollup_agg": q_rollup_agg,
-    "window_total_count": q_window_total_count,
-    "json_field_agg": q_json_field_agg,
-    "boost": q_boost,
-    "const_score": q_const_score,
-    "dismax": q_dismax,
-    "score_filter": q_score_filter,
-    "termset": q_termset,
-    "phrase_prefix": q_phrase_prefix,
-    "slop_phrase": q_slop_phrase,
-    "proximity": q_proximity,
-    "more_like_this": q_more_like_this,
-    "parse_query": q_parse_query,
-    "range_term": q_range_term,
-    "range_contains": q_range_contains,
 }
 
 
@@ -1390,6 +1421,15 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
             "round(avg(l_quantity),4) AS avg_qty, count(*) AS cnt "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus"),
+        "numeric_decimal_agg": (
+            "WITH d AS (SELECT l_returnflag AS rf, "
+            "CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem) "
+            "SELECT rf, count(*) AS cnt, "
+            "CAST(CAST(sum(price) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price, "
+            "CAST(min(price) AS DOUBLE) AS min_price, "
+            "CAST(max(price) AS DOUBLE) AS max_price "
+            "FROM d WHERE price > CAST(30000.50 AS DECIMAL(18,2)) "
+            "GROUP BY rf"),
         "topk_order": (
             "SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS price "
             "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"),

@@ -547,6 +547,7 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
         out = docs
         part_cols = schema.partition_fields(docs.schema)
         sb = (schema.sort_by or "").strip().lower()
+        sort_expr = None
         if sb and sb != "none":
             # reference sort_by segment pre-sorting (sort_by.out):
             # range-partition + in-partition sort so every parquet
@@ -556,23 +557,31 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
             col = F.col(parts[0])
             desc = len(parts) > 1 and parts[1] == "desc"
             if "first" in parts:
-                expr = col.desc_nulls_first() if desc else col.asc_nulls_first()
+                sort_expr = (col.desc_nulls_first() if desc
+                             else col.asc_nulls_first())
             elif desc:
-                expr = col.desc_nulls_first()
+                sort_expr = col.desc_nulls_first()
             else:
-                expr = col.asc_nulls_last()
-            out = (docs.repartitionByRange(
-                max(docs.sparkSession.sparkContext.defaultParallelism, 1),
-                expr).sortWithinPartitions(expr))
+                sort_expr = col.asc_nulls_last()
+            if not part_cols:
+                out = (docs.repartitionByRange(
+                    max(docs.sparkSession.sparkContext.defaultParallelism, 1),
+                    sort_expr).sortWithinPartitions(sort_expr))
         w = out.write.mode("overwrite")
         if part_cols:
             # reference partition_by WITH option (partition_by.out):
             # segments split physically by these field values — the
             # Spark analog is hive-style parquet partitioning, so any
             # attribute filter on a partition column prunes whole
-            # directories (the reference's segment skip)
-            w = out.repartition(*[F.col(c) for c in part_cols]) \
-                .write.mode("overwrite").partitionBy(*part_cols)
+            # directories (the reference's segment skip).  When sort_by
+            # is ALSO set the two compose: repartition by the partition
+            # columns, then sort within each partition so every
+            # directory's row groups keep the promised sorted-segment
+            # property (min/max pruning inside each partition).
+            out = out.repartition(*[F.col(c) for c in part_cols])
+            if sort_expr is not None:
+                out = out.sortWithinPartitions(sort_expr)
+            w = out.write.mode("overwrite").partitionBy(*part_cols)
         w.parquet(f"{path}/docs")
     with open(f"{path}/meta.json", "w") as fh:
         json.dump({"meta": meta, "key_field": schema.key_field,

@@ -181,6 +181,14 @@ def vector_order_search(index, query, docs: DataFrame, query_vec,
                        tiebreak=keys, offset=offset)
 
 
+def _as_dist(cos_df: DataFrame) -> DataFrame:
+    """Normalize a (id, cos) cosine-similarity frame to the single
+    (id, dist) output contract AnnIndex.topk / IvfIndex.topk promise on
+    BOTH paths (matched-metric probe and metric-mismatch exact fallback):
+    dist = 1 - cos, the pgvector ``<=>`` convention, same row order."""
+    return cos_df.select("id", (F.lit(1.0) - F.col("cos")).alias("dist"))
+
+
 def cosine_topk(emb: DataFrame, key: str, vec_col: str, query_vec,
                 k: int = 10) -> DataFrame:
     """Exact cosine top-k: (key, cos), descending."""
@@ -262,7 +270,7 @@ class AnnIndex:
         cand_ids = buckets.filter(cond).select("id").distinct()
         vecs = self.spark.read.parquet(f"{self.path}/vectors")
         cands = vecs.join(cand_ids, "id", "left_semi")
-        return cosine_topk(cands, "id", "vec", query_vec, k)
+        return _as_dist(cosine_topk(cands, "id", "vec", query_vec, k))
 
 
 def build_ann_index(emb: DataFrame, key: str, vec_col: str, path: str,
@@ -481,7 +489,7 @@ class IvfIndex:
         probe = self.probe_clusters(query_vec, nprobe)
         vecs = self.spark.read.parquet(f"{self.path}/clusters")
         cands = self._live(vecs.filter(F.col("cluster").isin(probe)))
-        return cosine_topk(cands, "id", "vec", query_vec, k)
+        return _as_dist(cosine_topk(cands, "id", "vec", query_vec, k))
 
 
 def build_ivf_index(emb: DataFrame, key: str, vec_col: str, path: str,

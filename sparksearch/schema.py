@@ -47,6 +47,23 @@ class FieldConfig:
     search_tokenizer: str | None = None
     search_tokenizer_opts: dict = dc_field(default_factory=dict)
 
+    def __post_init__(self):
+        # The reference applies token filters in a FIXED order regardless
+        # of how options were written (tokenizers/src/manager.rs:315-337:
+        # token_length -> trim -> lower_caser -> stemmer -> stopwords ->
+        # ascii_folding -> alpha_num_only, with stopwords_language
+        # appended dynamically LAST).  Canonicalize here (stable sort) so
+        # filter-list order never changes semantics.
+        if self.filters:
+            rank = {"remove_short": 0, "remove_long": 0, "trim": 1,
+                    "lowercase": 2, "stemmer_light": 3, "stemmer": 3,
+                    "stopwords": 4, "ascii_folding": 5,
+                    "alpha_num_only": 6, "stopwords_language": 7}
+            self.filters = sorted(
+                self.filters,
+                key=lambda f: rank.get(
+                    f[0] if isinstance(f, tuple) else f, 4))
+
     def analyzer_key(self) -> tuple:
         return (self.tokenizer, tuple(sorted(self.tokenizer_opts.items())),
                 tuple(self.filters or ()), self.lowercase)

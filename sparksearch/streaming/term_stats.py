@@ -57,21 +57,25 @@ def _make_update(dedup_docs: str):
             # cross-batch doc REPLAY dedup: a doc that re-arrives in a
             # later micro-batch contributes neither df nor tf — both
             # counters admit each doc exactly once, so (df, tf) stay
-            # mutually consistent under replays.  (A doc whose tokens are
-            # re-CHUNKED across batches consequently counts only its
-            # first chunk's tf — replay-safety is chosen over
-            # chunk-summing; upstreams that split docs should use
-            # dedup_docs="batch" after a watermarked re-assembly.)
+            # mutually consistent under replays.  Replay-safety requires
+            # dedup across BATCHES only, so a doc's tf is first summed
+            # across every arrow chunk of THIS batch (pdfs is an iterator
+            # of chunked frames; one group's rows may straddle chunks)
+            # and the bloom membership test runs once per doc — a chunk
+            # boundary can never split a doc's contribution.
             bloom = int(bloom_hex or "0", 16)
             new = 0
+            batch_tf: dict = {}
             for pdf in pdfs:
                 for d, t_ in pdf.groupby("doc_id")["tf"].sum().items():
-                    pos = list(_bloom_positions(d))
-                    if not all((bloom >> p) & 1 for p in pos):
-                        new += 1
-                        tf += int(t_)
-                        for p in pos:
-                            bloom |= 1 << p
+                    batch_tf[d] = batch_tf.get(d, 0) + int(t_)
+            for d, t_ in batch_tf.items():
+                pos = list(_bloom_positions(d))
+                if not all((bloom >> p) & 1 for p in pos):
+                    new += 1
+                    tf += t_
+                    for p in pos:
+                        bloom |= 1 << p
             df0, tf0 = df0 + new, tf0 + tf
             state.update((df0, tf0, f"{bloom:x}"))
         else:
