@@ -69,6 +69,34 @@ def py_canon_datetime(s: str) -> str | None:
     return d.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def py_canon_inet(s: str) -> str:
+    """Postgres's canonical inet text rendering (reference
+    SearchFieldType::Inet, schema/mod.rs:288): leading octet zeros
+    dropped, IPv6 compressed + lowercased, a full-length netmask
+    (/32, /128) suppressed, shorter masks kept.  Invalid input raises —
+    the analog of Postgres's type-input error (a bm25 inet field can
+    never contain an unparseable address)."""
+    import ipaddress
+    s = s.strip()
+    # PG reads leading-zero IPv4 octets as DECIMAL ('010' == 10);
+    # python's ipaddress rejects them outright — strip them first
+    m = re.match(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})"
+                 r"(/\d{1,3})?$", s)
+    if m:
+        s = ".".join(str(int(o)) for o in m.groups()[:4]) \
+            + (m.group(5) or "")
+    try:
+        if "/" in s:
+            iface = ipaddress.ip_interface(s)
+            if iface.network.prefixlen == iface.ip.max_prefixlen:
+                return str(iface.ip)
+            return f"{iface.ip}/{iface.network.prefixlen}"
+        return str(ipaddress.ip_address(s))
+    except ValueError:
+        raise ValueError(
+            f'invalid input syntax for type inet: "{s}"') from None
+
+
 def canon_datetime_expr(v: Column) -> Column:
     """JVM twin of :func:`py_canon_datetime`: NULL unless RFC3339-ish."""
     is_dt = v.rlike("^" + _RFC3339_RE + "$")
@@ -181,6 +209,16 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
             return []
         d = py_canon_datetime(s)
         return [d if d is not None else s]
+    if tokenizer == "inet":
+        # typed inet field (reference SearchFieldType::Inet,
+        # schema/mod.rs:288 + inet.out): ONE term per value in
+        # Postgres's canonical inet text form, so '192.168.000.001',
+        # '192.168.0.1' and '2001:0DB8::1' vs '2001:db8::1' all hit the
+        # same dictionary entry — never lowercase-word-mangled.
+        s = text.strip()
+        if not s:
+            return []
+        return [py_canon_inet(s)]
     if lowercase and tokenizer not in ("keyword", "literal", "source_code"):
         # source_code must see the original case (camelCase boundaries);
         # it lowercases its own output tokens

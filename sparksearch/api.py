@@ -78,6 +78,17 @@ def aggregate(index, query, aggs: dict):
     return search_aggregate(index, query, aggs)
 
 
+def rel_get_bm25_index(indexes: list):
+    """``rel_get_bm25_index`` analog (multi_bm25_index.out): a relation
+    normally has ONE bm25 index, but during the build-new/swap/drop-old
+    workflow (CREATE INDEX CONCURRENTLY) two coexist — queries resolve
+    against the HIGHEST-OID (newest) index, so a field that only the new
+    index knows about works mid-swap."""
+    if not indexes:
+        raise ValueError("relation has no bm25 index")
+    return max(indexes, key=lambda i: i.oid)
+
+
 def index_fields(index) -> list:
     """Per-field config of an index (paradedb.index_fields analog)."""
     return [{

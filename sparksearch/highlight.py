@@ -123,6 +123,16 @@ def _best_fragment(text, spans, terms, start_tag, end_tag, max_chars,
     return max(frags, key=lambda f: (f[0], -f[1]))[2]
 
 
+def _check_occ_paging(occ_limit, occ_offset) -> None:
+    """Reference argument validation (snippet_limit_offset.out):
+    ``limit => -1`` errors with this exact message; offsets past the
+    last occurrence are fine (NULL rows, no error)."""
+    if occ_limit is not None and occ_limit < 0:
+        raise ValueError("limit must not be negative")
+    if occ_offset and occ_offset < 0:
+        raise ValueError("offset must not be negative")
+
+
 def _occurrence_slice(spans, tset, occ_limit, occ_offset):
     """Doc-order occurrence paging (the deprecated pdb.snippet
     limit/offset surface, snippet_limit_offset.out): select matched
@@ -144,6 +154,7 @@ def snippet_udf(terms: list, tokenizer: str = "default", opts: dict | None = Non
     highlighted, and a doc whose selection is empty yields NULL."""
     tset = set(terms)
     o = dict(opts or {})
+    _check_occ_paging(occ_limit, occ_offset)
     paged = occ_limit is not None or occ_offset
 
     @F.pandas_udf(T.StringType())
@@ -212,6 +223,7 @@ def snippet_positions_udf(terms: list, tokenizer: str = "default",
     an empty selection yields NULL, like the reference."""
     tset = set(terms)
     o = dict(opts or {})
+    _check_occ_paging(occ_limit, occ_offset)
 
     @F.pandas_udf(T.ArrayType(T.StructType([
         T.StructField("start", T.IntegerType()),

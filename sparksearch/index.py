@@ -73,6 +73,11 @@ def adaptive_buckets(n_docs: int) -> int:
     return int(min(CONFIG.n_term_buckets, max(8, n_docs // CONFIG.docs_per_bucket)))
 
 
+import itertools
+
+_OID_SEQ = itertools.count(1)
+
+
 class SearchIndex:
     """An in-memory handle on the index tables + corpus stats."""
 
@@ -88,6 +93,11 @@ class SearchIndex:
         self.n_buckets = n_buckets
         # set by expand_terms when a dictionary expansion hit its cap
         self.last_expansion_truncated = False
+        # creation-order id — the analog of the reference's index OID;
+        # when several bm25 indexes coexist over one relation the NEWEST
+        # wins (rel_get_bm25_index picks the highest OID,
+        # multi_bm25_index.out CREATE INDEX CONCURRENTLY swap workflow)
+        self.oid = next(_OID_SEQ)
 
     # -- stats ------------------------------------------------------------
     def num_docs(self, field: str) -> int:

@@ -2,11 +2,13 @@
 with typed metadata, processed by Arrow-batched pandas stages.
 
 Decode is REAL for the formats a pure-python/numpy stack can handle —
-PNG (zlib inflate + unfilter), BMP, and WAV PCM (see pipeline.codecs),
-with real features (block-mean image embeddings, numpy MFCCs).  Formats
-that require external codec libraries (JPEG, MP3/AAC, video containers)
-fall back to a clearly-marked DETERMINISTIC FAKE so arbitrary bytes still
-flow through the same Spark plumbing; swap a PIL/av-backed decoder into
+PNG (zlib inflate + unfilter), BMP, baseline JPEG (full ITU-T T.81
+decoder in pipeline.codecs), and WAV PCM — with real features
+(block-mean image embeddings, numpy MFCCs).  Compressed audio (MP3/AAC)
+and video-container decode are DECLARED NON-GOALS (like CJK dictionary
+tokenizers; COVERAGE.md "Known gaps"): they fall back to a
+clearly-marked DETERMINISTIC FAKE so arbitrary bytes still flow through
+the same Spark plumbing; swap a PIL/av-backed decoder into
 ``_decode_any_image`` / ``_decode_any_audio`` when those libs exist.
 """
 

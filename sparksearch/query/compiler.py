@@ -169,8 +169,21 @@ class _Compiler:
                 dt = py_canon_datetime(value.strip())
                 return dt if dt is not None else value.strip()
             return value
-        if isinstance(value, str) and cfg.lowercase and cfg.tokenizer not in ("keyword", "literal"):
-            value = value.lower()
+        if cfg.tokenizer == "inet":
+            # typed inet field (inet.out): the query value canonicalizes
+            # exactly like the indexed value (PG canonical text form) —
+            # never lowercase-word-mangled
+            if isinstance(value, str):
+                from sparksearch.analysis import py_canon_inet
+                return py_canon_inet(value)
+            return value
+        # NO case normalization: the reference's builder-fn needles are
+        # raw — value_to_term is Term::from_field_text verbatim
+        # (query/mod.rs:1660, pdb_query.rs:846-871), so '=== QUICK'
+        # misses a lowercased index while '=== quick' hits (citext.out
+        # test 5 pins this for citext AND plain text fields alike).
+        # Case-insensitive matching belongs to Match/Parse, which run
+        # the field's analyzer chain over the needle.
         if isinstance(value, str) and prefix:
             value = prefix + value
         return value

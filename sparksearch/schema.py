@@ -46,8 +46,22 @@ class FieldConfig:
     # query text uses the index tokenizer.
     search_tokenizer: str | None = None
     search_tokenizer_opts: dict = dc_field(default_factory=dict)
+    # SQL-level column type (reference SearchFieldType routing,
+    # schema/mod.rs:282-319): "text" (default), "citext" (forces the
+    # lowercase normalizer regardless of config — mod.rs:87-95,
+    # citext.out), "inet" (canonical IP terms — mod.rs:288, inet.out).
+    field_type: str = "text"
 
     def __post_init__(self):
+        if self.field_type == "citext":
+            # citext ALWAYS lowercases — the reference overrides even an
+            # explicit raw normalizer (default_config Text+is_citext_oid)
+            self.lowercase = True
+        elif self.field_type == "inet":
+            # inet fields use the typed inet tokenizer (one canonical
+            # term per value) unless the user picked something custom
+            if self.tokenizer == "default":
+                self.tokenizer = "inet"
         # The reference applies token filters in a FIXED order regardless
         # of how options were written (tokenizers/src/manager.rs:315-337:
         # token_length -> trim -> lower_caser -> stemmer -> stopwords ->

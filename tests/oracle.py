@@ -38,9 +38,10 @@ class PyIndex:
         self.n = len(rows)
 
     def norm(self, field, v):
+        # raw needles — the reference's value_to_term is
+        # Term::from_field_text verbatim (query/mod.rs:1660); case
+        # normalization happens only in Match/Parse analysis
         cfg, prefix = self.schema.resolve(field)
-        if isinstance(v, str) and cfg.lowercase and cfg.tokenizer not in ("keyword", "literal"):
-            v = v.lower()
         if isinstance(v, str) and prefix:
             v = prefix + v
         return v

@@ -18,7 +18,8 @@ def pidx():
 
 QUERIES = [
     ast.Term("description", "shoes"),
-    ast.Term("description", "SHOES"),          # normalizer lowercases
+    ast.Term("description", "SHOES"),   # raw needle misses lowercased index
+                                        # (citext.out test 5 '=== QUICK')
     ast.Term("description", "nonexistent"),
     ast.TermSet("description", ["keyboard", "shoes", "novel"]),
     ast.Match("description", "running shoes"),
@@ -147,10 +148,16 @@ def test_heap_filter(mock_index):
 def test_json_field_search(mock_index):
     # reference json_fields: metadata.color / metadata.location paths
     # (e.g. regress queries over the topk_scores index config)
-    q = ast.Term("metadata.color", "Silver")   # raw+lowercase normalizer
+    # raw needles verbatim — json_aggregate.out:243-261 pins that
+    # paradedb.term('metadata.brand', 'Apple') MISSES the lowercased
+    # index tokens (NULL avg over zero rows); only the token-cased
+    # needle hits
+    q_raw = ast.Term("metadata.color", "Silver")
+    assert compile_query(mock_index, q_raw).count() == 0
+    q = ast.Term("metadata.color", "silver")
     got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
     assert got == {1, 9}
-    q2 = ast.Term("metadata.location", "United States")
+    q2 = ast.Term("metadata.location", "united states")
     got2 = {r["doc_id"] for r in compile_query(mock_index, q2).collect()}
     assert len(got2) == 14  # every 3rd row starting at id 1
     # parse syntax with json path
@@ -162,7 +169,7 @@ def test_json_field_search(mock_index):
     assert got3 == {1, 9}
     # boolean combination with a text field
     combo = ast.Boolean(must=[ast.Term("description", "keyboard"),
-                              ast.Term("metadata.location", "Canada")])
+                              ast.Term("metadata.location", "canada")])
     got4 = {r["doc_id"] for r in compile_query(mock_index, combo).collect()}
     assert got4 == {2}
 
@@ -206,27 +213,27 @@ def test_aliased_multi_source_fields(spark):
 def test_boolean_batched_jsonpath_terms(mock_index):
     """Regression: JSON-path terms inside should/must must not be batched
     through the plain term-dictionary scan (they need the path prefix)."""
-    q = ast.Boolean(should=[ast.Term("metadata.color", "Silver"),
-                            ast.Term("metadata.color", "White")])
+    q = ast.Boolean(should=[ast.Term("metadata.color", "silver"),
+                            ast.Term("metadata.color", "white")])
     got = {r["doc_id"] for r in compile_query(mock_index, q).collect()}
     silver = {r["doc_id"] for r in
-              compile_query(mock_index, ast.Term("metadata.color", "Silver")).collect()}
+              compile_query(mock_index, ast.Term("metadata.color", "silver")).collect()}
     white = {r["doc_id"] for r in
-             compile_query(mock_index, ast.Term("metadata.color", "White")).collect()}
+             compile_query(mock_index, ast.Term("metadata.color", "white")).collect()}
     assert silver and white and got == silver | white
     # mixed should: plain text term + json-path term keeps both clauses
     mixed = ast.Boolean(should=[ast.Term("description", "keyboard"),
-                                ast.Term("metadata.color", "Silver")])
+                                ast.Term("metadata.color", "silver")])
     gm = {r["doc_id"] for r in compile_query(mock_index, mixed).collect()}
     kb = {r["doc_id"] for r in
           compile_query(mock_index, ast.Term("description", "keyboard")).collect()}
     assert gm == kb | silver
     # must over two json-path terms of the same field ref
-    m = ast.Boolean(must=[ast.Term("metadata.color", "Silver"),
-                          ast.Term("metadata.location", "United States")])
+    m = ast.Boolean(must=[ast.Term("metadata.color", "silver"),
+                          ast.Term("metadata.location", "united states")])
     gmu = {r["doc_id"] for r in compile_query(mock_index, m).collect()}
     us = {r["doc_id"] for r in compile_query(
-        mock_index, ast.Term("metadata.location", "United States")).collect()}
+        mock_index, ast.Term("metadata.location", "united states")).collect()}
     assert gmu == silver & us and gmu
 
 

@@ -200,3 +200,30 @@ def test_snippet_occurrence_limit_offset_golden(spark):
     # limit=0 → everything NULL
     assert set(snippets(occ_limit=0).values()) == {None}
     assert set(positions(occ_limit=0).values()) == {None}
+
+    # limit=-1 → the reference's exact error (snippet_limit_offset.out)
+    with pytest.raises(ValueError, match="limit must not be negative"):
+        snippets(occ_limit=-1)
+    with pytest.raises(ValueError, match="limit must not be negative"):
+        positions(occ_limit=-1)
+
+    # offset past every occurrence → all NULL, no error
+    assert set(snippets(occ_offset=1000).values()) == {None}
+    assert set(positions(occ_offset=1000).values()) == {None}
+
+    # limit=None (the golden's "limit" => null) → unpaged, all highlighted
+    assert snippets(occ_limit=None)[1] == snippets()[1]
+    assert positions(occ_limit=None) == positions()
+
+    # max_num_chars=20 with offset=2: the fragment is chosen around the
+    # PAGED occurrence and only it highlights
+    s20 = snippets(max_chars=20, occ_offset=2)
+    assert s20[1] == 'multiple <b>test</b> words'
+    assert s20[2] is None and s20[4] is None
+    assert s20[3] == 'test <b>test</b> of the'
+
+    # max_num_chars=0: the lone token IS the fragment
+    s0 = snippets(max_chars=0, occ_offset=2)
+    assert s0[1] == '<b>test</b>'
+    assert s0[3] == '<b>test</b>'
+    assert s0[2] is None and s0[4] is None
