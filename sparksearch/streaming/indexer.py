@@ -192,6 +192,14 @@ def _committed_segments(index_path: str) -> list:
         return []
     marker_committed = []
     for d in sorted(os.listdir(base)):
+        # "__compacting" working dirs are never live even when they
+        # already carry a commit marker: the marker is written BEFORE
+        # the rename to the final path, so a crash inside that window
+        # leaves a marked working dir whose SOURCES are still
+        # manifest-live — surfacing it would double those postings
+        # (kill-mid-swap soak, round 4).  The restart path rmtree's it.
+        if d.endswith("__compacting"):
+            continue
         p = os.path.join(base, d)
         if os.path.exists(os.path.join(p, "_SEGMENT_COMMITTED")):
             marker_committed.append(d)
@@ -375,6 +383,15 @@ def vacuum_retired(index_path: str) -> int:
         if os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
             n += 1
+    # orphaned "__compacting" working dirs (a compactor crashed between
+    # marker write and rename) are invisible to readers but hold space —
+    # reclaim them here too
+    base = os.path.join(index_path, "segments")
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d.endswith("__compacting"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                n += 1
     return n
 
 

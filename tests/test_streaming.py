@@ -640,3 +640,98 @@ def test_force_merge_admin(spark, tdir):
     assert after == before
     vi = version_info()
     assert vi["backend"] == "pyspark" and vi["pyspark"]
+
+
+_CRASH_CHILD = '''
+import os, signal, sys
+sys.path.insert(0, "/root/repo")
+crash_at, idx_path = sys.argv[1], sys.argv[2]
+
+import sparksearch.streaming.indexer as ind
+
+if crash_at == "after_phase1":
+    # die right after the phase-1 manifest write + commit marker, BEFORE
+    # the rename — the new dir never reaches its final path
+    _orig = ind._atomic_success
+    def _boom(path):
+        _orig(path)
+        os.kill(os.getpid(), signal.SIGKILL)
+    ind._atomic_success = _boom
+elif crash_at == "after_rename":
+    # die right after the rename, BEFORE the phase-2 (commit-point)
+    # manifest flip — new dir at final path but manifest-retired
+    _orig_rename = os.rename
+    def _boom_rename(src, dst):
+        _orig_rename(src, dst)
+        if "epoch=c" in os.path.basename(dst):
+            os.kill(os.getpid(), signal.SIGKILL)
+    os.rename = _boom_rename
+
+from sparksearch.session import get_spark
+from sparksearch.schema import IndexSchema, FieldConfig
+spark = get_spark(app_name="crash-child", cores=4, shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+schema = IndexSchema(key_field="doc_id", text_fields=[FieldConfig(name="text")])
+segs = ind._committed_segments(idx_path)
+layer = int(sum(ind._segment_bytes(s) for s in segs) * 0.7)
+ind.compact_layered(spark, idx_path, schema, layer_sizes=[layer])
+print("NO_CRASH")  # reaching here means the kill hook never fired
+'''
+
+
+@pytest.mark.parametrize("crash_at", ["after_phase1", "after_rename"])
+def test_soak_kill_mid_manifest_swap_then_restart(spark, tdir, crash_at):
+    """Round-4 verdict ask #8: SIGKILL the compactor INSIDE the manifest
+    swap (both crash windows of the two-phase commit), then assert
+
+    (a) a reader opening the crashed index sees EXACTLY the pre-merge
+        postings — never partial state, never old+new together;
+    (b) a restarted compaction converges, after which postings equal the
+        batch build exactly (the crash left nothing poisoned behind).
+    """
+    import subprocess
+    import sys as _sys
+    from sparksearch.streaming.indexer import (compact_layered,
+                                               vacuum_retired,
+                                               _segment_bytes,
+                                               _committed_segments)
+    flat, full_df = _write_stream_files(spark, tdir, n_convs=12, parts=6)
+    idx_path, ckpt = f"{tdir}/idx_{crash_at}", f"{tdir}/ckpt_{crash_at}"
+    ix = StreamingIndexer(_turn_schema(), idx_path, ckpt,
+                          watermark="10 minutes")
+    q = ix.start(_read_stream(spark, flat))
+    q.processAllAvailable()
+    q.stop()
+    assert len(_committed_segments(idx_path)) >= 3
+    before = _postings_set(
+        open_segmented_index(spark, idx_path, _turn_schema()).postings)
+
+    child = subprocess.run(
+        [_sys.executable, "-c", _CRASH_CHILD, crash_at, idx_path],
+        capture_output=True, text=True, timeout=300)
+    # SIGKILL mid-swap: the child must NOT have finished cleanly
+    assert child.returncode != 0, child.stdout
+    assert "NO_CRASH" not in child.stdout
+
+    # (a) reader invariants across the crash: exactly the pre-merge set
+    ridx = open_segmented_index(spark, idx_path, _turn_schema())
+    crashed = _postings_set(ridx.postings)
+    assert crashed == before, "reader saw partial state across the crash"
+    dups = (ridx.postings.groupBy("field", "term", "doc_id").count()
+            .filter(F.col("count") > 1).count())
+    assert dups == 0
+
+    # (b) restart: compaction retries to completion and the index
+    # converges on the batch-build postings
+    segs = _committed_segments(idx_path)
+    layer = int(sum(_segment_bytes(s) for s in segs) * 0.7)
+    assert compact_layered(spark, idx_path, _turn_schema(),
+                           layer_sizes=[layer])
+    vacuum_retired(idx_path)
+    sidx = open_segmented_index(spark, idx_path, _turn_schema())
+    batch_docs = full_df.withColumn(
+        "doc_id", F.concat_ws("#", "conv_id",
+                              F.col("turn_idx").cast("string")))
+    bidx = build_index(batch_docs, _turn_schema())
+    assert _postings_set(sidx.postings) == _postings_set(bidx.postings)
+    assert sidx.meta == bidx.meta
