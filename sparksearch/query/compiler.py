@@ -512,7 +512,23 @@ class _Compiler:
 
     def _c_phrase(self, node: ast.Phrase) -> DataFrame:
         field = self._real_field(node.field)
-        terms = [self._norm(node.field, t) for t in node.phrases]
+        implicit = getattr(node, "implicit", False)
+        if implicit:
+            # parser-generated phrases carry ALREADY-ANALYZED tokens
+            # (re-analysis would re-gram ngram tokens)
+            terms = [self._norm(node.field, t) for t in node.phrases]
+        else:
+            # explicit pdb.phrase operands run through the field's
+            # analyzer at query time — pdb_query.rs:1727-1760 streams
+            # each phrase through the resolved tokenizer, so 'BANANA'
+            # matches 'banana' and one operand may yield several slots
+            # (phrase_tokenization.out) — unlike raw Term needles
+            from sparksearch.analysis import py_analyze
+            cfg = self.index.schema.value_analyzer(node.field)
+            terms = []
+            for ph in node.phrases:
+                terms += [self._norm(node.field, t)
+                          for t, _ in py_analyze(ph, cfg)]
         if not terms:
             return self._empty()
         # the positions guard runs even for the single-term shortcut —
