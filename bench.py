@@ -246,6 +246,15 @@ HEADLINE = ["bm25_topk", "term_count", "conjunction", "phrase",
 
 Q_WARMUPS = int(os.environ.get("SPARKSEARCH_BENCH_Q_WARMUPS", "2"))
 Q_ROUNDS = int(os.environ.get("SPARKSEARCH_BENCH_Q_ROUNDS", "3"))
+# headline (full-width) measurement rounds and the idle gap between
+# rounds.  The box's noise bursts last minutes: three consecutive timed
+# builds span <1 min, so a single burst can cover every run and sink the
+# headline 2-3× below the quiet number (observed round 3: 264.7k → 158.5k
+# on unchanged code).  Spreading H_ROUNDS timed builds across several
+# minutes — interleaved with the query-latency rounds, with H_GAP_S of
+# idle between rounds — means min-of-rounds only needs ONE quiet window.
+H_ROUNDS = int(os.environ.get("SPARKSEARCH_BENCH_H_ROUNDS", "5"))
+H_GAP_S = float(os.environ.get("SPARKSEARCH_BENCH_H_GAP_S", "60"))
 
 
 def _query_latencies(spark, sf_dir: str) -> dict:
@@ -272,6 +281,68 @@ def _query_latencies(spark, sf_dir: str) -> dict:
     return {name: round(v, 3) for name, v in best.items()}
 
 
+def _headline_and_queries(spark, src: str, sf_dir: str) -> dict:
+    """Full-width headline throughput + per-query latencies, interleaved.
+
+    One full-width session runs both measurements round-robin: each round
+    times ONE index build and ONE pass over the query set, then idles
+    ``H_GAP_S`` before the next round.  Minimum per metric over all rounds
+    is reported, so a noise burst has to outlast the WHOLE measurement
+    window (~5-10 min) to corrupt the headline — versus <1 min for
+    consecutive runs.  Per-round build times and 1-min load averages are
+    returned so the recorded JSON itself evidences machine variance.
+    """
+    from pyspark.sql import functions as F
+    from sparksearch.index import build_and_save
+    from sparksearch.schema import IndexSchema, FieldConfig
+    from sparksearch import contract
+
+    df = spark.read.parquet(src)
+    n_turns = df.count()
+    docs = df.withColumn(
+        "doc_id", F.concat_ws("#", F.col("conv_id"),
+                              F.col("turn_idx").cast("string")))
+    schema = IndexSchema(key_field="doc_id",
+                         text_fields=[FieldConfig(name="text")])
+    os.makedirs(BENCH_SINK, exist_ok=True)
+    sink = f"{BENCH_SINK}/index_full"
+    warm = docs.sample(0.1, seed=1)
+    for _ in range(2):  # build codegen/JIT warmup on a 10% sample
+        shutil.rmtree(f"{sink}_warm", ignore_errors=True)
+        build_and_save(warm, schema, f"{sink}_warm")
+    contract.get_documents_index(spark, sf_dir).postings.count()
+    for _ in range(Q_WARMUPS):  # index caches + codegen/JIT, every query
+        for name in HEADLINE:
+            contract.QUERIES[name](spark, sf_dir).collect()
+
+    build_times: list = []
+    qbest = {name: float("inf") for name in HEADLINE}
+    loads: list = []
+    for rnd in range(max(H_ROUNDS, Q_ROUNDS)):
+        if rnd:
+            time.sleep(H_GAP_S)
+        loads.append(round(os.getloadavg()[0], 1))
+        if rnd < H_ROUNDS:
+            shutil.rmtree(sink, ignore_errors=True)
+            t0 = time.time()
+            build_and_save(docs, schema, sink)
+            build_times.append(round(time.time() - t0, 2))
+        if rnd < Q_ROUNDS:
+            for name in HEADLINE:
+                t0 = time.time()
+                contract.QUERIES[name](spark, sf_dir).collect()
+                qbest[name] = min(qbest[name], time.time() - t0)
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(f"{sink}_warm", ignore_errors=True)
+    return {
+        "tp": n_turns / min(build_times),
+        "turns": n_turns,
+        "build_times": build_times,
+        "queries": {name: round(v, 3) for name, v in qbest.items()},
+        "loadavg_1m": loads,
+    }
+
+
 def main():
     # throughput-stable JVM: ParallelGC with a large fixed young gen — the
     # analyzer plans are allocation-heavy and adaptive GC sizing thrashes
@@ -287,29 +358,29 @@ def main():
     boot.stop()
 
     scaling = _scaling_measurement(src)
-    n_turns = scaling.pop("turns")
-    # headline throughput: full-width run at SPARK_GRAFT_CPUS.  Best of 3
-    # timed runs after 2 warmups: the box has bursty noisy neighbors
-    # (BASELINE.md) and a single 2-run window after the long scaling
-    # phase has been observed 2× below the quiet-machine number.
-    tp_full, _ = _index_throughput(cpus, src, runs=max(N_RUNS, 3),
-                                   warmups=2)
+    scaling.pop("turns")
 
+    # headline throughput (full width) + per-query latencies, interleaved
+    # over several minutes with idle gaps — see _headline_and_queries
     spark = _new_spark(cpus)
     try:
-        queries = _query_latencies(spark, sf_dir)
+        hq = _headline_and_queries(spark, src, sf_dir)
     finally:
         spark.stop()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "indexed_turns_per_sec",
-        "value": round(tp_full, 1),
+        "value": round(hq["tp"], 1),
         "unit": "turns/sec",
-        "queries": queries,
+        "queries": hq["queries"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "turns": n_turns,
+        "turns": hq["turns"],
         "scaling": scaling,
+        "value_method": {"rounds": H_ROUNDS, "gap_s": H_GAP_S,
+                         "stat": "min build time over time-spread rounds",
+                         "build_times_sec": hq["build_times"],
+                         "loadavg_1m": hq["loadavg_1m"]},
         "query_method": {"warmups": Q_WARMUPS, "rounds": Q_ROUNDS,
                          "stat": "min-of-rounds, interleaved round-robin"},
     }))
