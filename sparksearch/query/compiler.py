@@ -252,8 +252,23 @@ class _Compiler:
         scan = reduce(lambda a, b: a.unionByName(b), parts)
         return scan.distinct().withColumn("score", F.lit(1.0))
 
+    def _raise_incompatible(self, field: str, op: str):
+        """Reference operator LHS validation (expected/operators.out): the
+        text-query operators error on a non-text left-hand side — e.g.
+        ``type `int4` is not compatible with the `&&&` operator`` — they
+        never silently coerce or fall back to an attribute filter."""
+        dtype = dict(self.index.docs.dtypes).get(field)
+        if dtype is not None:
+            raise TypeError(f"type `{dtype}` is not compatible with the "
+                            f"`{op}` operator")
+        raise KeyError(f"field {field!r} not in index schema")
+
     def _c_match(self, node: ast.Match) -> DataFrame:
-        cfg = self.index.schema.value_analyzer(node.field)
+        try:
+            cfg = self.index.schema.value_analyzer(node.field)
+        except KeyError:
+            self._raise_incompatible(
+                node.field, "&&&" if node.conjunction_mode else "|||")
         if node.tokenizer is not None:
             # explicit per-query tokenizer cast: overrides both the
             # index tokenizer and a field-level search_tokenizer
@@ -511,7 +526,10 @@ class _Compiler:
         return g.withColumn("ptf", _sloppy(pos_arrays)).filter(F.col("ptf") > 0)
 
     def _c_phrase(self, node: ast.Phrase) -> DataFrame:
-        field = self._real_field(node.field)
+        try:
+            field = self._real_field(node.field)
+        except KeyError:
+            self._raise_incompatible(node.field, "###")
         implicit = getattr(node, "implicit", False)
         if implicit:
             # parser-generated phrases carry ALREADY-ANALYZED tokens
@@ -925,7 +943,12 @@ class _Compiler:
         error when the field was indexed without positions (the reference
         errors likewise instead of returning empty, record option in
         pg_search/src/schema/config.rs)."""
-        cfg, _ = self.index.schema.resolve(fieldref)
+        try:
+            cfg, _ = self.index.schema.resolve(fieldref)
+        except KeyError:
+            # non-text LHS for a positional operator (###, ##) — the
+            # reference's operator type validation (operators.out)
+            self._raise_incompatible(fieldref, "###")
         from sparksearch.schema import RECORD_POSITION
         if cfg.record != RECORD_POSITION:
             raise ValueError(
