@@ -38,6 +38,40 @@ class Query:
         return ConstScore(self, score)
 
 
+# pdb.boost / pdb.const typmod bounds (api/operator/boost.rs:157-175,
+# const_score.rs:164-167): the score-adjust value is stored round-tripped
+# through a 16-bit float, clamped to avoid precision-loss confusion.
+TYPMOD_BOUNDS = (-2048.0, 2048.0)
+
+
+def _f16_typmod(value, what: str) -> float:
+    """Parse + encode a pdb.boost/pdb.const typmod value exactly like the
+    reference (boost.out / const_score.out): f32 parse ('invalid {what}
+    value: X' on failure), NaN rejected, clamp to [-2048..2048] (Inf
+    clamps), then quantize through half precision (3.14159 → 3.140625)."""
+    import math
+    import struct
+    try:
+        f = float(value)
+    except (TypeError, ValueError):
+        raise ValueError(f"invalid {what} value: {value}")
+    if math.isnan(f):
+        raise ValueError(
+            "only 16 bit floats in the range [-2048..2048] are supported")
+    f = min(max(f, TYPMOD_BOUNDS[0]), TYPMOD_BOUNDS[1])
+    return struct.unpack("<e", struct.pack("<e", f))[0]
+
+
+def boost_typmod(query: "Query", value) -> "Boost":
+    """The ``query::pdb.boost(value)`` cast surface (boost.out)."""
+    return Boost(query, _f16_typmod(value, "boost"))
+
+
+def const_typmod(query: "Query", value) -> "ConstScore":
+    """The ``query::pdb.const(value)`` cast surface (const_score.out)."""
+    return ConstScore(query, _f16_typmod(value, "const"))
+
+
 @dataclass
 class All(Query):
     """Match every document, score 1.0 (query/mod.rs:68)."""
