@@ -231,10 +231,11 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
         return _PY_UAX29_EMOJI.findall(text)
     if tokenizer == "whitespace":
         return [t for t in re.split(r"\s+", text) if t]
-    if tokenizer in ("keyword", "raw", "literal"):
-        return [text] if text else []
-    if tokenizer == "literal_normalized":
-        return [text] if text else []
+    if tokenizer in ("keyword", "raw", "literal", "literal_normalized"):
+        # \x00 marks TEXT[] element boundaries (index.field_text_col):
+        # each array element is its own raw term
+        # (pushdown_array_field.out)
+        return [t for t in text.split("\x00") if t] if text else []
     if tokenizer == "regex":
         return re.findall(opts.get("pattern", r"\w+"), text)
     if tokenizer == "ngram":
@@ -433,8 +434,10 @@ def _jvm_token_array(col: Column, cfg) -> Column:
     elif tok == "regex":
         arr = F.regexp_extract_all(base, F.lit(opts.get("pattern", r"\w+")), 0)
     elif tok in ("keyword", "raw", "literal", "literal_normalized"):
+        # split on \x00 TEXT[] element boundaries (no-op for plain text;
+        # one raw term per array element — pushdown_array_field.out)
         arr = F.when(col.isNull() | (F.length(col) == 0), F.array().cast("array<string>")) \
-               .otherwise(F.array(base))
+               .otherwise(F.filter(F.split(base, "\x00"), lambda x: x != ""))
     elif tok == "datetime":
         # typed date field: canonical UTC term for RFC3339-ish values
         # (timestamp/date columns auto-cast to their ISO string under

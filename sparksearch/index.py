@@ -253,8 +253,14 @@ def field_text_col(docs: DataFrame, cfg) -> Column:
         # included), so a space join would fabricate grams spanning two
         # elements (Tantivy grams each array value separately,
         # ngram-text-array.out) — join with \x00, which the ngram
-        # tokenizers treat as a segment boundary.
-        sep = "\x00" if cfg.tokenizer in ("ngram", "edge_ngram") else " "
+        # tokenizers treat as a segment boundary.  Keyword-family
+        # tokenizers emit ONE term per array ELEMENT in the reference
+        # ('dog' = ANY(description) over description::pdb.literal pushes
+        # down to term value "dog", pushdown_array_field.out) — \x00-join
+        # and the keyword tokenizers split back on the boundary.
+        sep = (" " if cfg.tokenizer not in
+               ("ngram", "edge_ngram", "keyword", "raw", "literal",
+                "literal_normalized") else "\x00")
         return F.concat_ws(sep, F.col(src))
     return F.col(src)
 
