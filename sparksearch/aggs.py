@@ -65,7 +65,7 @@ def _resolve_field(name: str, df=None, numeric: bool = False):
     return F.col(name)
 
 
-def _bucket_expr(spec: dict, df=None):
+def _bucket_expr(spec: dict, df=None, schema=None):
     """(bucket kind, key Column, post-filter) for one bucket agg spec."""
     if "terms" in spec:
         t = spec["terms"]
@@ -112,15 +112,43 @@ def _bucket_expr(spec: dict, df=None):
         return "range", expr, r
     if "filters" in spec:
         fl = spec["filters"]["filters"]
-        expr = F.lit(None).cast("string")
-        for name, cond in reversed(list(fl.items())):
-            expr = F.when(_filter_cond(cond), F.lit(name)).otherwise(expr)
-        return "filters", expr, spec["filters"]
+        # ES filters semantics: buckets are NOT mutually exclusive — a
+        # doc counts in EVERY filter it matches (the reference's twelve
+        # overlapping FILTER(WHERE ...) counts sum to far more than the
+        # row count, groupby_filter_mixed_buckets.out).  The key column
+        # is the ARRAY of matching bucket names; _bucket_level explodes.
+        arms = [F.when(_filter_cond(cond, df=df, schema=schema),
+                       F.lit(name))
+                for name, cond in fl.items()]
+        return "filters", F.array_compact(F.array(*arms)), spec["filters"]
     raise AggError(f"unknown bucket agg: {list(spec)}")
 
 
-def _filter_cond(cond: dict):
-    """ES filter sub-DSL → Column (term / range / match_all)."""
+def _filter_cond(cond: dict, df=None, schema=None):
+    """ES filter sub-DSL → Column (term / range / match_all / match).
+
+    ``match`` is the reference's ``COUNT(*) FILTER (WHERE field @@@
+    'needle')`` form (groupby_filter_mixed_buckets.out): the needle runs
+    through the FIELD's analyzer chain and the condition is true when any
+    analyzed needle token appears in the doc's analyzed token stream —
+    so ``brand @@@ 'Apple'`` matches the lowercased index token."""
+    if "match" in cond:
+        ((f, needle),) = cond["match"].items()
+        if schema is None:
+            raise AggError(
+                "match filter requires index context — use "
+                "search_aggregate/aggregate or pass schema= to run_aggs")
+        from sparksearch.analysis import py_analyze, analyzer_expr
+        toks = [t for t, _ in py_analyze(str(needle),
+                                         schema.value_analyzer(f))]
+        if not toks:
+            return F.lit(False)
+        cfg, _ = schema.resolve(f)
+        from sparksearch.index import field_text_col
+        text = field_text_col(df, cfg) if df is not None else F.col(cfg.name)
+        stream = F.transform(analyzer_expr(text, cfg), lambda x: x["t"])
+        return F.arrays_overlap(stream,
+                                F.array(*[F.lit(t) for t in toks]))
     if "term" in cond:
         ((f, v),) = cond["term"].items()
         if isinstance(v, dict):
@@ -183,7 +211,7 @@ class AggBucketLimitError(RuntimeError):
     Tantivy aborts with "too many buckets" instead of exhausting memory)."""
 
 
-def run_aggs(df: DataFrame, aggs, query_filter=None) -> dict:
+def run_aggs(df: DataFrame, aggs, query_filter=None, schema=None) -> dict:
     """Execute an ES-style aggs dict over ``df``; returns the ES-shaped
     result dict. ``aggs`` may be a JSON string (pdb.agg('{...}'))."""
     if isinstance(aggs, str):
@@ -192,11 +220,12 @@ def run_aggs(df: DataFrame, aggs, query_filter=None) -> dict:
         df = df.filter(query_filter)
     out = {}
     for name, spec in aggs.items():
-        out[name] = _run_one(df, name, spec, parent_keys=[])
+        out[name] = _run_one(df, name, spec, parent_keys=[], schema=schema)
     return {"aggregations": out}
 
 
-def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list) -> dict:
+def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list,
+             schema=None) -> dict:
     if _is_metric(spec):
         pairs = _metric_exprs("v", spec, df)
         row = df.agg(*[e.alias(a) for a, e in pairs]).collect()[0]
@@ -207,7 +236,7 @@ def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list) -> dict:
     if _is_top_hits(spec):
         hits_by_key = _top_hits_level(df, spec, [])
         return {"hits": hits_by_key.get((), [])}
-    by_parent = _bucket_level(df, spec, [])
+    by_parent = _bucket_level(df, spec, [], schema=schema)
     return by_parent.get((), _empty_envelope(spec))
 
 
@@ -256,7 +285,8 @@ def _empty_envelope(spec: dict) -> dict:
     return {"buckets": []}
 
 
-def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
+def _bucket_level(df: DataFrame, spec: dict, pcols: list,
+                  schema=None) -> dict:
     """Compile one bucket level for ALL parent buckets at once.
 
     ``df`` carries the parent key columns ``__k0..__k{d-1}`` already
@@ -273,7 +303,7 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
     unlike ES's sharded approximation; matches the reference's
     agg-bool-terms.out which also reports 0).
     """
-    kind, key_col, opts = _bucket_expr(spec, df)
+    kind, key_col, opts = _bucket_expr(spec, df, schema=schema)
     kd = f"__k{len(pcols)}"
     sub = spec.get("aggs", {})
     metric_exprs, sub_buckets, top_hits = [], {}, {}
@@ -285,9 +315,14 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
         else:
             sub_buckets[sname] = sspec
 
-    keyed = df.withColumn(kd, key_col)
-    if kind in ("range", "filters"):
-        keyed = keyed.filter(F.col(kd).isNotNull())
+    if kind == "filters":
+        # one row per (doc, matching bucket): docs in several buckets
+        # count in each; docs matching none drop out with the explode
+        keyed = df.withColumn(kd, F.explode(key_col))
+    else:
+        keyed = df.withColumn(kd, key_col)
+        if kind == "range":
+            keyed = keyed.filter(F.col(kd).isNotNull())
     agg_exprs = [F.count("*").alias("doc_count")]
     for alias, e in metric_exprs:
         agg_exprs.append(e.alias(alias))
@@ -346,7 +381,9 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list) -> dict:
             kdf = spark.createDataFrame(kept, keyed.select(*pcols, kd).schema)
             child = keyed.join(F.broadcast(kdf), on=pcols + [kd], how="left_semi")
         for sname, sspec in sub_buckets.items():
-            child_by_parent[sname] = _bucket_level(child, sspec, pcols + [kd])
+            child_by_parent[sname] = _bucket_level(child, sspec,
+                                                    pcols + [kd],
+                                                    schema=schema)
         for sname, sspec in top_hits.items():
             th_by_parent[sname] = _top_hits_level(child, sspec, pcols + [kd])
 
@@ -423,4 +460,4 @@ def search_aggregate(index, query, aggs) -> dict:
     key = index.schema.key_field
     docs = index.docs.join(matches, index.docs[key] == matches["doc_id"],
                            "left_semi")
-    return run_aggs(docs, aggs)
+    return run_aggs(docs, aggs, schema=index.schema)

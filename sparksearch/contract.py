@@ -447,8 +447,9 @@ def q_topk_order(spark, sf_dir):
 def q_filters_agg(spark, sf_dir):
     """ES `filters` named-bucket aggregation (reference
     docs/documentation/aggregates/buckets — named sub-filters) through
-    the JSON agg DSL, flattened for the oracle.  First-match-wins bucket
-    assignment (short before long)."""
+    the JSON agg DSL, flattened for the oracle.  Buckets are NOT
+    mutually exclusive: each doc counts in every filter it matches
+    (groupby_filter_mixed_buckets.out's overlapping FILTER counts)."""
     from sparksearch.aggs import run_aggs
     docs = _t(spark, sf_dir, "documents")
     res = run_aggs(docs, {"f": {"filters": {"filters": {
@@ -1312,12 +1313,12 @@ def oracle_sql() -> dict:
             " FROM events GROUP BY 1"),
         "snippet_topk": _snippet_oracle_sql("vector", topk=5),
         "filters_agg": (
-            "WITH k AS (SELECT CASE WHEN n_chars < 200 THEN 'short' "
-            "WHEN lang = 'en' THEN 'en' END AS bucket, n_chars "
-            "FROM documents) "
-            "SELECT bucket, count(*) AS cnt, "
-            "round(avg(n_chars), 4) AS avg_chars FROM k "
-            "WHERE bucket IS NOT NULL GROUP BY bucket"),
+            "SELECT 'short' AS bucket, count(*) AS cnt, "
+            "round(avg(n_chars), 4) AS avg_chars FROM documents "
+            "WHERE n_chars < 200 "
+            "UNION ALL "
+            "SELECT 'en', count(*), round(avg(n_chars), 4) "
+            "FROM documents WHERE lang = 'en'"),
         "paging_keyset": (
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_name >= 'Customer#000000700' "

@@ -160,7 +160,8 @@ def search_with_facets(index, query, limit: int = 10, offset: int = 0,
                "aggregates": {n: agg_row[n] for n in aggs_exprs}}
         if facets:
             from sparksearch.aggs import run_aggs
-            out["facets"] = run_aggs(base, facets)["aggregations"]
+            out["facets"] = run_aggs(base, facets,
+                                     schema=index.schema)["aggregations"]
         return out
     finally:
         matched.unpersist()
