@@ -267,6 +267,15 @@ def open_segmented_index(spark: SparkSession, index_path: str,
             for f_, t in totals.items()}
     if docs is None:
         docs = (postings.select("doc_id").distinct())
+    elif deletes is not None:
+        # a caller-provided doc table must see tombstones too, or
+        # aggregates over it count deleted rows the search path already
+        # filters (reference: COUNT/value_count/stats return 1 after
+        # deleting 4 of 5 rows, aggregate_edgecases.out section 2)
+        key = schema.key_field
+        docs = docs.join(
+            deletes.select(F.col("doc_id").alias("__del_id")),
+            docs[key].cast("string") == F.col("__del_id"), "left_anti")
     # bucket pruning only when every segment shares one modulus
     nb = buckets.pop() if len(buckets) == 1 else None
     return SearchIndex(spark, schema, docs, postings, corpus_stats, meta,
