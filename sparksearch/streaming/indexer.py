@@ -212,20 +212,75 @@ def _committed_segments(index_path: str) -> list:
     return [os.path.join(base, d) for d in sorted(set(live))]
 
 
+def insert_docs(spark: SparkSession, index_path: str, docs: DataFrame,
+                schema: IndexSchema, n_buckets: int = N_TERM_BUCKETS) -> str:
+    """Batch insert (reference aminsert outside the stream): write one
+    new marker-committed segment from ``docs`` (keyed rows, schema's
+    key_field present).  Re-inserting an existing key adds a NEW VERSION
+    in a newer segment; together with :func:`delete_docs` on the old key
+    this is the reference's UPDATE flow (mutable-toast.out: the new row
+    version is visible, the tombstoned old one is not).  Returns the new
+    segment path."""
+    existing = {os.path.basename(s) for s in _committed_segments(index_path)}
+    n = 0
+    while f"epoch=i{n}" in existing:
+        n += 1
+    seg = f"{index_path}/segments/epoch=i{n}"
+    n_docs = docs.count()
+    from sparksearch.index import bucketed_repartition
+    p = (postings_df(docs, schema)
+         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))))
+    (bucketed_repartition(p, n_buckets)
+     .write.mode("overwrite").partitionBy("field", "tb")
+     .parquet(f"{seg}/postings"))
+    postings = spark.read.parquet(f"{seg}/postings")
+    stats = (postings.groupBy("field")
+             .agg(F.sum("tf").alias("total_len")).collect())
+    with open(f"{seg}/stats.json", "w") as fh:
+        json.dump({"n_docs": n_docs, "epoch": f"i{n}",
+                   "n_buckets": n_buckets,
+                   "content_hash": segment_content_hash(postings),
+                   "fields": {r["field"]: {"total_len": r["total_len"]}
+                              for r in stats}}, fh)
+    _atomic_success(seg)
+    return seg
+
+
 def delete_docs(spark: SparkSession, index_path: str, doc_ids: list) -> int:
     """Logical delete (reference ambulkdelete, postgres/delete.rs):
     tombstones are appended under ``_deletes/`` and filtered out of every
-    read; compaction applies them physically (vacuum analog)."""
-    df = spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
+    read; compaction applies them physically (vacuum analog).
+
+    Tombstones are SCOPED to the segments alive at delete time (one
+    (doc_id, seg) row per victim × live segment) — Lucene/Tantivy
+    deletes hide the doc VERSIONS that exist when the delete lands, so a
+    later re-ingest of the same key (the reference's UPDATE flow: new
+    row version + dead old version, mutable-toast.out) stays visible."""
+    segs = [os.path.basename(s) for s in _committed_segments(index_path)]
+    if not segs:
+        return 0
+    df = spark.createDataFrame([(d, s) for d in doc_ids for s in segs],
+                               "doc_id string, seg string")
     df.coalesce(1).write.mode("append").parquet(f"{index_path}/_deletes")
     return len(doc_ids)
 
 
 def _deletes_df(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """(doc_id, seg) tombstone pairs, or None when no deletes exist."""
     p = f"{index_path}/_deletes"
     if os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p)):
-        return spark.read.parquet(p).select("doc_id").distinct()
+        return spark.read.parquet(p).select("doc_id", "seg").distinct()
     return None
+
+
+def _scoped_anti_join(postings: DataFrame, deletes: DataFrame) -> DataFrame:
+    """Drop postings rows whose (doc_id, origin segment) is tombstoned.
+    ``postings`` must carry a ``__seg`` column (origin segment name)."""
+    d = deletes.select(F.col("doc_id").alias("__del_doc"),
+                       F.col("seg").alias("__del_seg"))
+    return postings.join(
+        d, (postings["doc_id"] == F.col("__del_doc"))
+        & (postings["__seg"] == F.col("__del_seg")), "left_anti")
 
 
 def open_segmented_index(spark: SparkSession, index_path: str,
@@ -244,12 +299,14 @@ def open_segmented_index(spark: SparkSession, index_path: str,
         raise FileNotFoundError(f"no committed segments under {index_path}")
     postings = reduce(
         lambda a, b: a.unionByName(b),
-        [spark.read.parquet(f"{s}/postings") for s in segs])
+        [spark.read.parquet(f"{s}/postings")
+         .withColumn("__seg", F.lit(os.path.basename(s))) for s in segs])
     deletes = _deletes_df(spark, index_path)
     n_deleted = 0
     if deletes is not None:
-        postings = postings.join(deletes, "doc_id", "left_anti")
-        n_deleted = deletes.count()
+        postings = _scoped_anti_join(postings, deletes)
+        n_deleted = deletes.select("doc_id").distinct().count()
+    postings = postings.drop("__seg")
     from sparksearch.index import corpus_stats_df
     corpus_stats = corpus_stats_df(postings)
     n_docs, totals, buckets = 0, {}, set()
@@ -271,10 +328,15 @@ def open_segmented_index(spark: SparkSession, index_path: str,
         # a caller-provided doc table must see tombstones too, or
         # aggregates over it count deleted rows the search path already
         # filters (reference: COUNT/value_count/stats return 1 after
-        # deleting 4 of 5 rows, aggregate_edgecases.out section 2)
+        # deleting 4 of 5 rows, aggregate_edgecases.out section 2).
+        # Only keys with NO surviving version are hidden — an updated
+        # key (tombstoned old version + live re-ingest) stays visible.
         key = schema.key_field
+        dead = (deletes.select("doc_id").distinct()
+                .join(postings.select("doc_id").distinct(),
+                      "doc_id", "left_anti"))
         docs = docs.join(
-            deletes.select(F.col("doc_id").alias("__del_id")),
+            dead.select(F.col("doc_id").alias("__del_id")),
             docs[key].cast("string") == F.col("__del_id"), "left_anti")
     # bucket pruning only when every segment shares one modulus
     nb = buckets.pop() if len(buckets) == 1 else None
@@ -308,10 +370,24 @@ def _merge_into_segment(spark: SparkSession, index_path: str, segs: list,
     shutil.rmtree(final, ignore_errors=True)
 
     postings = reduce(lambda a, b: a.unionByName(b),
-                      [spark.read.parquet(f"{s}/postings") for s in segs])
-    deletes = _deletes_df(spark, index_path) if apply_deletes else None
+                      [spark.read.parquet(f"{s}/postings")
+                       .withColumn("__seg", F.lit(os.path.basename(s)))
+                       for s in segs])
+    # a merge ALWAYS drops its sources' tombstoned rows physically
+    # (Lucene/Tantivy merge semantics): once old and new VERSIONS of a
+    # re-ingested key share one merged segment, a (doc_id, seg)-scoped
+    # tombstone could no longer tell them apart, so the dead version
+    # must not survive the rewrite.  Tombstones scoped to segments
+    # outside this merge stay behind and keep working.
+    deletes = _deletes_df(spark, index_path)
+    applied_deletes = False
     if deletes is not None:
-        postings = postings.join(deletes, "doc_id", "left_anti")
+        src_names = [os.path.basename(s) for s in segs]
+        scoped = deletes.filter(F.col("seg").isin(src_names))
+        if scoped.limit(1).count():
+            postings = _scoped_anti_join(postings, scoped)
+            applied_deletes = True
+    postings = postings.drop("__seg")
     from sparksearch.index import bucketed_repartition
     (bucketed_repartition(postings, 16)
      .write.mode("overwrite").partitionBy("field", "tb")
@@ -321,7 +397,7 @@ def _merge_into_segment(spark: SparkSession, index_path: str, segs: list,
         with open(f"{s}/stats.json") as fh:
             seg_buckets.add(json.load(fh).get("n_buckets"))
     nb = seg_buckets.pop() if len(seg_buckets) == 1 else None
-    if deletes is not None:
+    if applied_deletes:
         # vacuum: recompute exact stats from the surviving postings
         written = spark.read.parquet(f"{merged}/postings")
         n_docs = written.select("doc_id").distinct().count()
@@ -371,7 +447,9 @@ def _merge_into_segment(spark: SparkSession, index_path: str, segs: list,
     if remove_sources:
         for s in segs:
             shutil.rmtree(s, ignore_errors=True)
-    if deletes is not None:
+    if apply_deletes:
+        # full compaction merged every committed segment, so no
+        # tombstone can reference a surviving source — clear them all
         shutil.rmtree(f"{index_path}/_deletes", ignore_errors=True)
     return final
 
