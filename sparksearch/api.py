@@ -124,13 +124,30 @@ def schema(index) -> list:
     """``paradedb.schema(index)`` analog: one row per indexed field with
     its type, storage flags, tokenizer descriptor, record level, and
     normalizer (tokenize-uuid.out column set)."""
-    out = [{"name": index.schema.key_field, "field_type": "I64",
-            "stored": False, "indexed": True, "fast": True,
-            "tokenizer": None, "record": None, "normalizer": None}]
+    key = index.schema.key_field
+    cfg_names = {f.name for f in index.schema.text_fields}
+    out = []
+    if key not in cfg_names:
+        # untokenized key: typed by the doc column (a TEXT key defaults
+        # to the keyword tokenizer + raw normalizer and shows as Str —
+        # key-field-text-as-keyword.out)
+        dt = dict(index.docs.dtypes).get(key, "bigint")
+        ft = ("Str" if dt in ("string", "varchar") else
+              "F64" if dt in ("double", "float") else
+              "Bool" if dt == "boolean" else
+              "Date" if dt in ("date", "timestamp") else "I64")
+        out.append({"name": key, "field_type": ft,
+                    "stored": False, "indexed": True, "fast": True,
+                    "tokenizer": ("keyword[lowercase=false]"
+                                  if ft == "Str" else None),
+                    "record": "position" if ft == "Str" else None,
+                    "normalizer": "raw" if ft == "Str" else None})
     for f in index.schema.text_fields:
         out.append({
             "name": f.name, "field_type": "Str", "stored": False,
-            "indexed": f.indexed, "fast": f.fast,
+            "indexed": f.indexed,
+            # the key field is ALWAYS fast (every scan resolves it)
+            "fast": f.fast or f.name == key,
             "tokenizer": _tokenizer_descriptor(f), "record": f.record,
             "normalizer": ("raw" if f.tokenizer in
                            ("keyword", "raw", "literal") else

@@ -217,6 +217,13 @@ class _Compiler:
         return self._empty()
 
     def _c_term(self, node: ast.Term) -> DataFrame:
+        cfg = self._field_cfg(node.field)
+        if cfg is not None and cfg.field_type == "ltree":
+            # Facet term semantics (ltree.out value_to_term branch +
+            # the @@@-on-ltree NOTE): matching is hierarchical
+            # descendant-or-self, never exact-only
+            return self._c_ltreedescendant(
+                ast.LtreeDescendant(node.field, str(node.value)))
         try:
             t = self._norm(node.field, node.value)
         except KeyError:
@@ -263,7 +270,22 @@ class _Compiler:
                             f"`{op}` operator")
         raise KeyError(f"field {field!r} not in index schema")
 
+    def _field_cfg(self, field: str):
+        """FieldConfig for ``field`` or None (no schema entry)."""
+        try:
+            return self.index.schema.field(field)
+        except KeyError:
+            return None
+
     def _c_match(self, node: ast.Match) -> DataFrame:
+        lcfg = self._field_cfg(node.field)
+        if lcfg is not None and lcfg.field_type == "ltree":
+            if node.conjunction_mode:
+                # ltree is intentionally incompatible with &&& (ltree.out)
+                raise TypeError("type `ltree` is not compatible with "
+                                "the `&&&` operator")
+            return self._c_ltreedescendant(
+                ast.LtreeDescendant(node.field, node.value))
         try:
             cfg = self.index.schema.value_analyzer(node.field)
         except KeyError:

@@ -35,6 +35,62 @@ def _dir(col, direction: str):
     return col.asc_nulls_first() if "first" in d else col.asc_nulls_last()
 
 
+def _warn_unpushable_order(index, order_by, limit) -> None:
+    """The reference planner's check_topk_scan WARNING, text-for-text
+    (topk-lower-text.out): emitted when a LIMIT query's ORDER BY
+    columns cannot ride the TopK scan — a string sort key with no
+    keyword-family fast index field whose name or source expression
+    matches it.  Numeric / date / timestamp / boolean doc columns are
+    fast by default (they sort by value, not by token), so they never
+    trigger it.  Gated on the check_topk_scan GUC analog."""
+    from sparksearch import config as _cfg
+    if limit is None or not _cfg.get().check_topk_scan:
+        return
+    from sparksearch.query.pushdown import (KEYWORD_FAMILY,
+                                            TYPED_SINGLE_TERM)
+    key = index.schema.key_field
+    dtypes = dict(index.docs.dtypes)
+    for c, _ in order_by:
+        if c in ("score", "doc_id", key):
+            continue
+        dt = dtypes.get(c)
+        if dt is not None and dt != "string":
+            continue
+        norm = c.replace(" ", "").lower()
+        pushable = False
+        for f in index.schema.text_fields:
+            if not (f.fast and (f.tokenizer in KEYWORD_FAMILY
+                                or f.tokenizer in TYPED_SINGLE_TERM)):
+                continue
+            # the fast column stores the field's SOURCE expression value
+            # (post-normalizer): ORDER BY can ride it only when the sort
+            # expression IS that stored value — a field indexed as
+            # lower(description) serves ORDER BY lower(description), not
+            # ORDER BY description (topk-lower-text.out's Normal+Sort)
+            if f.source is not None:
+                stored = f.source.replace(" ", "").lower()
+            elif f.lowercase and f.tokenizer in KEYWORD_FAMILY:
+                stored = f"lower({f.name.lower()})"
+            else:
+                stored = f.name.lower()
+            if norm == stored:
+                pushable = True
+                break
+        if not pushable:
+            import warnings
+            tname = getattr(index, "table_name", "") or "?"
+            warnings.warn(
+                f"Query has LIMIT {limit} but is not using Top K scan "
+                "(using Normal instead). Reason: ORDER BY columns cannot "
+                "be pushed down to the index. This may cause poor "
+                "performance on large datasets. Remedies: Ensure ORDER "
+                "BY columns are indexed. Numeric columns are fast by "
+                "default. For string columns, use pdb.literal tokenizer. "
+                "To disable this warning: SET paradedb.check_topk_scan = "
+                f"false (table: {tname})", stacklevel=3)
+            return
+
+
 def search(index, query, limit: int | None = None, offset: int = 0,
            order_by=None, columns=None, with_score: bool = True,
            score_alias: str = "score") -> DataFrame:
@@ -51,6 +107,7 @@ def search(index, query, limit: int | None = None, offset: int = 0,
     scores = compile_query(index, _as_query(index, query))
 
     order_by = order_by or [("score", "desc"), ("doc_id", "asc")]
+    _warn_unpushable_order(index, order_by, limit)
     doc_sort_cols = [c for c, _ in order_by if c not in ("score", "doc_id", key)]
 
     narrow = scores

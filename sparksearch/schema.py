@@ -62,6 +62,13 @@ class FieldConfig:
             # term per value) unless the user picked something custom
             if self.tokenizer == "default":
                 self.tokenizer = "inet"
+        elif self.field_type == "ltree":
+            # ltree columns index as Tantivy Facet fields (ltree.out):
+            # case-sensitive raw path terms; @@@ / term() over them is
+            # hierarchical descendant-or-self matching (compiler gates)
+            if self.tokenizer == "default":
+                self.tokenizer = "keyword"
+            self.lowercase = False
         # The reference applies token filters in a FIXED order regardless
         # of how options were written (tokenizers/src/manager.rs:315-337:
         # token_length -> trim -> lower_caser -> stemmer -> stopwords ->
