@@ -460,6 +460,7 @@ def _apply_predicate(docs: DataFrame, schema: IndexSchema) -> DataFrame:
 def build_index(docs: DataFrame, schema: IndexSchema,
                 cache: bool = True, strategy: str = "local") -> SearchIndex:
     """Build the inverted index in memory (reference: ambuild / build.rs)."""
+    schema.validate(docs.schema)  # index_config_errors.out messages
     schema.partition_fields(docs.schema)  # validate (partition_by.out)
     docs = _apply_predicate(docs, schema)
     spark = docs.sparkSession
@@ -528,6 +529,7 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
     doc-salted writer (fewest, largest files per bucket) for one-shot
     bulk loads where no compactor will ever run."""
     from pyspark.sql import Observation
+    schema.validate(docs.schema)  # index_config_errors.out messages
     docs = _apply_predicate(docs, schema)
     spark = docs.sparkSession
     n_total = docs.count()

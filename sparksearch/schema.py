@@ -62,6 +62,14 @@ class FieldConfig:
             # term per value) unless the user picked something custom
             if self.tokenizer == "default":
                 self.tokenizer = "inet"
+        elif self.field_type == "uuid":
+            # UUID columns default to the keyword tokenizer, no
+            # lowercasing, raw normalizer, fast (reference
+            # SearchFieldType::Uuid — keyword_defaults_fast.out,
+            # tokenize-uuid.out)
+            if self.tokenizer == "default":
+                self.tokenizer = "keyword"
+            self.lowercase = False
         elif self.field_type == "ltree":
             # ltree columns index as Tantivy Facet fields (ltree.out):
             # case-sensitive raw path terms; @@@ / term() over them is
@@ -122,6 +130,46 @@ class IndexSchema:
     # pruning is the segment skip.  Comma-separated column list; empty
     # string disables (reference Test 2.2).
     partition_by: str | None = None
+
+    def validate(self, docs_schema=None) -> None:
+        """Index-configuration validation with the reference's error
+        strings (index_config_errors.out):
+
+        - a key_field is mandatory,
+        - configured field names must exist in the doc table (aliased
+          fields reference their column via ``source`` instead),
+        - the tokenizer type must be known,
+        - the key field's BM25 configuration cannot be overridden —
+          except a TEXT key under a keyword-family tokenizer, which IS
+          the AM's forced key config (key-field-text-as-keyword.out).
+        """
+        if not self.key_field:
+            raise ValueError(
+                "index should have a `WITH (key_field='...')` option")
+        from sparksearch.analysis import tokenizers
+        known = set(tokenizers()) | {"inet"}
+        names = list(docs_schema.names) if docs_schema is not None else None
+        key_dt = (docs_schema[self.key_field].dataType.simpleString()
+                  if names is not None and self.key_field in names else None)
+        for f in self.text_fields:
+            if f.tokenizer not in known:
+                raise ValueError(
+                    f"field config should be valid for SearchFieldConfig"
+                    f"::{f.name}: unknown tokenizer type: {f.tokenizer}")
+            if (names is not None and f.source is None
+                    and f.name not in names):
+                raise ValueError(f"the column `{f.name}` does not exist "
+                                 "in the USING clause")
+            if f.name == self.key_field and f.source is None:
+                text_key_raw = (key_dt in (None, "string")
+                                and f.tokenizer in ("keyword", "raw",
+                                                    "literal",
+                                                    "literal_normalized"))
+                if not text_key_raw:
+                    raise ValueError(
+                        "cannot override BM25 configuration for key_field "
+                        f"'{self.key_field}', you must use an aliased "
+                        "field name and 'column' configuration key")
 
     def partition_fields(self, docs_schema=None) -> list:
         """Parse + validate partition_by against the doc schema
