@@ -46,37 +46,38 @@ def _warn_unpushable_order(index, order_by, limit) -> None:
     from sparksearch import config as _cfg
     if limit is None or not _cfg.get().check_topk_scan:
         return
-    from sparksearch.query.pushdown import (KEYWORD_FAMILY,
-                                            TYPED_SINGLE_TERM)
     key = index.schema.key_field
     dtypes = dict(index.docs.dtypes)
-    for c, _ in order_by:
+
+    def _pushable(c: str) -> bool:
+        c = c.strip()
         if c in ("score", "doc_id", key):
-            continue
+            return True
+        # IS [NOT] NULL expressions ride the base column's fast data
+        # (issue #4751 / join_order_by_is_null.out)
+        low = c.lower()
+        for suffix in (" is not null", " is null"):
+            if low.endswith(suffix):
+                return _pushable(c[: -len(suffix)])
         dt = dtypes.get(c)
         if dt is not None and dt != "string":
-            continue
+            return True  # numeric/date/timestamp/bool: fast by default
         norm = c.replace(" ", "").lower()
-        pushable = False
         for f in index.schema.text_fields:
-            if not (f.fast and (f.tokenizer in KEYWORD_FAMILY
-                                or f.tokenizer in TYPED_SINGLE_TERM)):
+            if not f.fast:
                 continue
-            # the fast column stores the field's SOURCE expression value
-            # (post-normalizer): ORDER BY can ride it only when the sort
-            # expression IS that stored value — a field indexed as
+            # a fast text field's column stores its SOURCE expression's
+            # raw value: ORDER BY rides it only when the sort expression
+            # IS that stored value — a field indexed as
             # lower(description) serves ORDER BY lower(description), not
             # ORDER BY description (topk-lower-text.out's Normal+Sort)
-            if f.source is not None:
-                stored = f.source.replace(" ", "").lower()
-            elif f.lowercase and f.tokenizer in KEYWORD_FAMILY:
-                stored = f"lower({f.name.lower()})"
-            else:
-                stored = f.name.lower()
+            stored = (f.source or f.name).replace(" ", "").lower()
             if norm == stored:
-                pushable = True
-                break
-        if not pushable:
+                return True
+        return False
+
+    for c, _ in order_by:
+        if not _pushable(c):
             import warnings
             tname = getattr(index, "table_name", "") or "?"
             warnings.warn(
