@@ -435,6 +435,24 @@ def q_numeric_decimal_agg(spark, sf_dir):
                  F.max("price").cast("double").alias("max_price")))
 
 
+def q_in_list_pushdown(spark, sf_dir):
+    """ScalarArrayOpExpr planning (pushdown_scalar_array_opexr.out,
+    customscan/pushdown.rs): ``lang IN ('en','de')`` compiles to a
+    term_set and ``source NOT IN ('src0','src1')`` to its null-safe
+    complement (Exists AND NOT term_set) — both through
+    query.pushdown.compile_scalar_array, composed and grouped."""
+    from sparksearch.query.pushdown import compile_scalar_array
+    idx = get_documents_index(spark, sf_dir)
+    m_in = compile_scalar_array(idx, "lang", ["en", "de"])
+    m_not = compile_scalar_array(idx, "source", ["src0", "src1"],
+                                 negated=True)
+    both = m_in.select("doc_id").join(m_not.select("doc_id"), "doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    return (both.join(docs.withColumnRenamed("doc_id", "did"),
+                      both["doc_id"] == F.col("did"))
+            .groupBy("lang").agg(F.count("*").alias("cnt")))
+
+
 def q_topk_order(spark, sf_dir):
     """ORDER BY fast field + LIMIT (TopKScanExecState analog)."""
     o = _t(spark, sf_dir, "orders")
@@ -1230,6 +1248,7 @@ QUERIES = {
     "range_contains": q_range_contains,
     # --- new round-4 entries (no prior CORRECTNESS row) ---
     "numeric_decimal_agg": q_numeric_decimal_agg,
+    "in_list_pushdown": q_in_list_pushdown,
     # --- r3-checked below (remaining window slots, then tail) ---
     "cube_agg": q_cube_agg,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1431,6 +1450,11 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
             "CAST(max(price) AS DOUBLE) AS max_price "
             "FROM d WHERE price > CAST(30000.50 AS DECIMAL(18,2)) "
             "GROUP BY rf"),
+        "in_list_pushdown": (
+            "SELECT lang, count(*) AS cnt FROM documents "
+            "WHERE lang IN ('en','de') "
+            "AND source IS NOT NULL AND source NOT IN ('src0','src1') "
+            "GROUP BY lang"),
         "topk_order": (
             "SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS price "
             "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"),
