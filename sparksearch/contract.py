@@ -66,9 +66,9 @@ WITH toks AS (
   FROM lens
 ), scored AS (
   SELECT doc_id, n_chars,
-         round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 2.2 * tf
+         round(ln(CAST(1 AS FLOAT) + CAST(CAST(n - df + 0.5 AS FLOAT) / CAST(df + 0.5 AS FLOAT) AS FLOAT)) * 2.2 * tf
                / (tf + 1.2 * (0.25 + 0.75 * ({_DD_QUANT}) / avgdl)), 4) AS score,
-         ln(1 + (n - df + 0.5) / (df + 0.5)) * 2.2 * tf
+         ln(CAST(1 AS FLOAT) + CAST(CAST(n - df + 0.5 AS FLOAT) / CAST(df + 0.5 AS FLOAT) AS FLOAT)) * 2.2 * tf
                / (tf + 1.2 * (0.25 + 0.75 * ({_DD_QUANT}) / avgdl)) AS exact_score
   FROM lens, stats WHERE tf > 0
 )"""
@@ -273,7 +273,7 @@ def _bm25_multi_cte(terms: list) -> str:
         f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
         for i in range(len(terms)))
     s_cols = ", ".join(
-        f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * 2.2 * tf{i}"
+        f"ln(CAST(1 AS FLOAT) + CAST(CAST(n - df{i} + 0.5 AS FLOAT) / CAST(df{i} + 0.5 AS FLOAT) AS FLOAT)) * 2.2 * tf{i}"
         f" / (tf{i} + 1.2 * (0.25 + 0.75 * ({_DD_QUANT}) / avgdl)) AS s{i}"
         for i in range(len(terms)))
     return f"""
@@ -1358,7 +1358,7 @@ def oracle_sql() -> dict:
   SELECT count(*) AS n, sum(tf) AS df FROM ev
 ), escored AS (
   SELECT event_id, user_id,
-         ln(1 + (n - df + 0.5) / (df + 0.5)) * 2.2 * tf
+         ln(CAST(1 AS FLOAT) + CAST(CAST(n - df + 0.5 AS FLOAT) / CAST(df + 0.5 AS FLOAT) AS FLOAT)) * 2.2 * tf
          / (tf + 1.2 * (0.25 + 0.75 * 1.0 / 1.0)) AS escore
   FROM ev, est WHERE tf > 0
 )
@@ -1544,7 +1544,7 @@ WITH toks AS (
   SELECT count(*) AS n, avg(l) AS avgdl,
          sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df FROM lens
 ), bm AS (
-  SELECT doc_id, ln(1 + (n - df + 0.5) / (df + 0.5)) * 2.2 * tf
+  SELECT doc_id, ln(CAST(1 AS FLOAT) + CAST(CAST(n - df + 0.5 AS FLOAT) / CAST(df + 0.5 AS FLOAT) AS FLOAT)) * 2.2 * tf
          / (tf + 1.2 * (0.25 + 0.75 * ({_DD_QUANT}) / avgdl)) AS score
   FROM lens, stats WHERE tf > 0
 ), bm100 AS (
@@ -1649,7 +1649,7 @@ stats AS (SELECT count(*) AS n FROM toks),
 dfs AS (SELECT tf.t, tf.tf, count(*) AS df
         FROM tf JOIN toks ON list_contains(toks.ts, tf.t) GROUP BY 1, 2),
 top AS (SELECT t FROM dfs, stats
-        ORDER BY tf * ln(1 + (n - df + 0.5) / (df + 0.5)) ASC, t ASC
+        ORDER BY tf * ln(CAST(1 AS FLOAT) + CAST(CAST(n - df + 0.5 AS FLOAT) / CAST(df + 0.5 AS FLOAT) AS FLOAT)) ASC, t ASC
         LIMIT 5),
 tl AS (SELECT list(t) AS tl FROM top)
 SELECT doc_id FROM toks, tl

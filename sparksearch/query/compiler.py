@@ -125,7 +125,18 @@ class _Compiler:
         meth = getattr(self, f"_c_{type(node).__name__.lower()}", None)
         if meth is None:
             raise NotImplementedError(f"no compile rule for {type(node).__name__}")
-        return meth(node)
+        out = meth(node)
+        # Tantivy's Score type is f32 at EVERY node boundary — each
+        # scorer emits a float32, so a parent combining f32 children
+        # sees already-quantized inputs.  Quantize each node's score to
+        # f32 (keeping the double dtype for a stable schema): without
+        # this, an all-f64 pipeline double-rounds combined scores —
+        # score_anti_join.out's 2.0000873 (2.0 boosted-fuzzy +
+        # tie_breaker·s + s with s≈5e-5) lands on 2.0000875 in f64.
+        if "score" in out.columns:
+            out = out.withColumn(
+                "score", F.col("score").cast("float").cast("double"))
+        return out
 
     # -- helpers --------------------------------------------------------
     def _docs_all(self, score: float = 1.0) -> DataFrame:
@@ -486,9 +497,14 @@ class _Compiler:
             matched = [(t, df_) for t, df_ in matched if ok(t)][:_max_expansions()]
         if not matched:
             return self._empty()
-        # union-of-term-queries semantics: doc score = Σ matched-term BM25
-        out = self._terms_scan(self._real_field(node.field), [t for t, _ in matched])
-        return out.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        # Tantivy FuzzyTermQuery scores a CONSTANT 1.0 per matching doc
+        # (AutomatonWeight → ConstScorer, like Regex), NOT the matched
+        # terms' BM25 — score_anti_join.out pins the boosted fuzzy arm
+        # at exactly boost × 1.0 (2.0 of its 2.0000873 total)
+        return (self.index.postings_for_terms(
+                    self._real_field(node.field), [t for t, _ in matched])
+                .select("doc_id").distinct()
+                .withColumn("score", F.lit(1.0)))
 
     def _c_regex(self, node: ast.Regex) -> DataFrame:
         # Tantivy regex must match the whole term; constant score 1.0

@@ -160,6 +160,10 @@ class _Parser:
             return ast.Regex(field, val[1:-1])
         if kind == "lbrack":
             return self._range(field, val)
+        if kind == "word" and val == "IN" and self.peek() == ("lbrack", "["):
+            # Tantivy set syntax ``IN [a b c]`` → term_set
+            # (mixed_fast_fields_bug.out 'IN [alpha beta gamma]')
+            return self._in_set(field)
         if kind == "word":
             return self._word(field, val)
         if (kind, val) == ("op", "NOT"):
@@ -191,6 +195,28 @@ class _Parser:
             q = ast.Phrase(field, toks, slop=int(slop or 0),
                            implicit=True)
         return ast.Boost(q, float(boost)) if boost else q
+
+    def _in_set(self, field):
+        """``IN [v1 v2 ...]`` — whitespace-separated raw set values;
+        each normalizes through the field config at compile time."""
+        self.next()  # consume the [
+        vals = []
+        while True:
+            kind, val = self.next()
+            if kind is None:
+                raise QueryParseError("unterminated IN set")
+            if kind == "rbrack":
+                if val != "]":
+                    raise QueryParseError("IN set must close with ]")
+                break
+            if kind == "word":
+                vals.append(val)
+            elif kind == "quoted":
+                vals.append(val.split('"')[1])
+            else:
+                raise QueryParseError(
+                    f"unexpected token in IN set: {val!r}")
+        return ast.TermSet(field, vals)
 
     def _range(self, field, open_br):
         lo_inc = open_br == "["

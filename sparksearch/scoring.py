@@ -68,7 +68,20 @@ def quantize_len_expr(len_col: Column) -> Column:
 
 
 def idf(n_docs: int, doc_freq: int) -> float:
-    return math.log(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+    """Tantivy computes idf in f32 (``Score = f32``, bm25.rs:
+    ``let x = ((doc_count - doc_freq) as Score + 0.5) / (doc_freq as
+    Score + 0.5); (1f32 + x).ln()``): the ratio and the 1+x sum round
+    to float32 BEFORE the log.  At tiny ratios the difference is a
+    whole float32 ulp of the final score — score_anti_join.out pins
+    4.9947444e-05 over a df=N=10000 corpus where the all-f64 value
+    is a visibly different 4.9996250e-05.  The log itself evaluates in
+    double (glibc's correctly-rounded logf ≡ f64 ln of the f32 input
+    here), and downstream arithmetic stays f64 — final scores round to
+    f32 at the comparison surface like every other golden."""
+    import numpy as np
+    x = (np.float32(np.float32(n_docs - doc_freq) + np.float32(0.5))
+         / np.float32(np.float32(doc_freq) + np.float32(0.5)))
+    return math.log(float(np.float32(1.0) + x))
 
 
 def bm25_expr(tf: Column, len_q: Column, idf_value, avgdl: float,

@@ -113,18 +113,16 @@ def evaluate(pidx: PyIndex, node) -> dict:
     if isinstance(node, ast.Exists):
         return {r[key]: 1.0 for r in rows if r.get(node.field) is not None}
     if isinstance(node, ast.Fuzzy):
+        # constant score 1.0 per matching doc (Tantivy FuzzyTermQuery
+        # is an AutomatonWeight/ConstScorer — score_anti_join.out)
         v = pidx.norm(node.field, node.value)
         matched = [t for t in pidx.dictionary(node.field)
                    if _lev_ok(t, v, node.distance, node.prefix)]
         out = {}
         for r in rows:
-            s = 0.0
-            for t in matched:
-                ts = pidx.term_score(r[key], node.field, t)
-                if ts:
-                    s += ts
-            if s:
-                out[r[key]] = s
+            if any(pidx.term_score(r[key], node.field, t)
+                   for t in matched):
+                out[r[key]] = 1.0
         return out
     if isinstance(node, ast.Regex):
         pat = re.compile(f"^(?:{node.pattern})$")
