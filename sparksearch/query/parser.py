@@ -315,6 +315,20 @@ def _literal(s: str):
     return s
 
 
+def _all_clauses_empty(node) -> bool:
+    """True when every leaf of the parsed tree analyzed away to Empty —
+    e.g. a query made ONLY of stopwords under a stopwords_language
+    filter (tokenizer-stopwords-language.out)."""
+    if isinstance(node, ast.Empty):
+        return True
+    if isinstance(node, ast.Boolean):
+        kids = list(node.must) + list(node.should) + list(node.must_not)
+        return bool(kids) and all(_all_clauses_empty(k) for k in kids)
+    if isinstance(node, (ast.Boost, ast.ConstScore)):
+        return _all_clauses_empty(node.query)
+    return False
+
+
 def parse_query(q: str, default_field: str, index_schema, lenient: bool = False,
                 conjunction_mode: bool = False):
     """Parse a query string into an AST rooted at the default field."""
@@ -328,6 +342,14 @@ def parse_query(q: str, default_field: str, index_schema, lenient: bool = False,
             raise QueryParseError(f"trailing tokens: {p.toks[p.i:]}")
         if isinstance(out, _Neg):
             out = ast.Boolean(must=[ast.All()], must_not=[out.q])
+        if _all_clauses_empty(out):
+            # every word analyzed away (all stopwords): Tantivy's query
+            # parser rejects the clause-less rewrite, error text-for-text
+            # (tokenizer-stopwords-language.out)
+            raise QueryParseError(
+                f"could not parse query string '{default_field}:({q})'. "
+                "make sure to use column:term pairs, and to capitalize "
+                "AND/OR.")
         return out
     except QueryParseError:
         if lenient:
