@@ -202,6 +202,14 @@ class _Compiler:
     def _real_field(self, field: str) -> str:
         return self.index.schema.resolve(field)[0].name
 
+    @staticmethod
+    def _norm_len(cfg):
+        """Per-doc length column for BM25 normalization: the quantized
+        fieldnorm, or constant 1 for fieldnorms-disabled fields (json —
+        Tantivy reads fieldnorm 1 while average_fieldnorm remains the
+        segment statistic; snippet_json_02_advanced.out scores)."""
+        return F.col("len_q") if cfg.fieldnorms else F.lit(1.0)
+
     def _terms_scan(self, field: str, terms: list, boost: float = 1.0) -> DataFrame:
         """One bucket-pruned postings scan scoring several terms:
         (doc_id, term, score)."""
@@ -215,7 +223,7 @@ class _Compiler:
         idf_map = F.create_map(*kv)
         scan = self.index.postings_for_terms(field, present, meta)
         cfg = self.index.schema.field(field)
-        score = bm25_expr(F.col("tf"), F.col("len_q"),
+        score = bm25_expr(F.col("tf"), self._norm_len(cfg),
                           F.element_at(idf_map, F.col("term")),
                           self.index.avg_len(field), k1=cfg.k1, b=cfg.b)
         return scan.select("doc_id", "term", score.alias("score"))
@@ -605,7 +613,7 @@ class _Compiler:
         # phrase idf = Σ per-term idf (duplicates counted), Lucene-style
         idf_sum = sum(self.index.idf(field, dfs[t]) for t in terms)
         cfg = self.index.schema.field(field)
-        score = bm25_expr(F.col("ptf"), F.col("len_q"), idf_sum,
+        score = bm25_expr(F.col("ptf"), self._norm_len(cfg), idf_sum,
                           self.index.avg_len(field), k1=cfg.k1, b=cfg.b)
         return g.select("doc_id", score.alias("score"))
 
@@ -665,7 +673,7 @@ class _Compiler:
         g = self._phrase_tf(g, len(terms), 0)
         idf_sum = sum(self.index.idf(field, dfs[t]) for t in head)
         cfg = self.index.schema.field(field)
-        score = bm25_expr(F.col("ptf"), F.col("len_q"), idf_sum,
+        score = bm25_expr(F.col("ptf"), self._norm_len(cfg), idf_sum,
                           self.index.avg_len(field), k1=cfg.k1, b=cfg.b)
         return g.select("doc_id", score.alias("score"))
 

@@ -46,6 +46,10 @@ class FieldConfig:
     # query text uses the index tokenizer.
     search_tokenizer: str | None = None
     search_tokenizer_opts: dict = dc_field(default_factory=dict)
+    # store per-doc field lengths for BM25 length normalization
+    # (reference fieldnorms flag; forced OFF for json fields — see
+    # __post_init__)
+    fieldnorms: bool = True
     # SQL-level column type (reference SearchFieldType routing,
     # schema/mod.rs:282-319): "text" (default), "citext" (forces the
     # lowercase normalizer regardless of config — mod.rs:87-95,
@@ -53,6 +57,14 @@ class FieldConfig:
     field_type: str = "text"
 
     def __post_init__(self):
+        # JSON object fields do not store fieldnorms (reference
+        # paradedb.schema shows JsonObject | fieldnorms=f): BM25 over
+        # json-path terms reads a per-doc fieldnorm of 1 while the
+        # average fieldnorm stays the segment statistic — the asymmetry
+        # snippet_json_02_advanced.out's scores pin (1.3175524, not the
+        # length-normalized 0.8327621)
+        if self.tokenizer == "json":
+            self.fieldnorms = False
         if self.field_type == "citext":
             # citext ALWAYS lowercases — the reference overrides even an
             # explicit raw normalizer (default_config Text+is_citext_oid)

@@ -87,16 +87,40 @@ def idf(n_docs: int, doc_freq: int) -> float:
 def bm25_expr(tf: Column, len_q: Column, idf_value, avgdl: float,
               k1: float = K1, b: float = B) -> Column:
     """Per-(term, doc) BM25 contribution. ``idf_value`` may be a float
-    literal (single term) or a Column (term-joined idf)."""
-    idf_col = idf_value if isinstance(idf_value, Column) else F.lit(float(idf_value))
-    norm = F.lit(1.0 - b) + F.lit(b / avgdl) * len_q.cast("double")
-    tf_d = tf.cast("double")
-    return idf_col * F.lit(k1 + 1.0) * tf_d / (tf_d + F.lit(k1) * norm)
+    literal (single term) or a Column (term-joined idf).
+
+    Computed in FloatType end-to-end — Tantivy's ``Score`` is f32 and
+    its Bm25Weight evaluates ``weight = idf * (1 + k1)``,
+    ``cache = k1 * ((1 - b) + b * fieldnorm / average_fieldnorm)`` and
+    ``weight * tf / (tf + cache)`` entirely in f32; an f64 chain
+    rounded once at the end lands a ulp off on some (tf, len) combos
+    (snippet_json_02_advanced.out pins 0.21010332 where f64 gives
+    0.21010333).  Returned as double for a stable surface schema."""
+    import numpy as np
+
+    def f32(c):
+        # Spark coerces `/` (and mixed arithmetic) to double — force the
+        # f32 rounding Tantivy's native f32 ops perform at every step
+        return c.cast("float")
+
+    idf_col = (idf_value if isinstance(idf_value, Column)
+               else F.lit(float(idf_value)))
+    lit32 = lambda v: F.lit(float(np.float32(v))).cast("float")  # noqa: E731
+    w = f32(f32(idf_col) * lit32(k1 + 1.0))
+    ratio = f32(f32(f32(lit32(b) * f32(len_q))) / lit32(avgdl))
+    cache = f32(lit32(k1) * f32(lit32(1.0 - b) + ratio))
+    tf_f = f32(tf)
+    tfactor = f32(tf_f / f32(tf_f + cache))
+    return f32(w * tfactor).cast("double")
 
 
 def bm25_py(tf: int, length: int, n_docs: int, doc_freq: int, avgdl: float,
             k1: float = K1, b: float = B) -> float:
-    """Pure-python oracle used by differential tests."""
-    w = idf(n_docs, doc_freq) * (k1 + 1.0)
+    """Pure-python oracle used by differential tests — same f32 chain
+    as bm25_expr."""
+    import numpy as np
+    f = np.float32
+    w = f(f(idf(n_docs, doc_freq)) * f(k1 + 1.0))
     lq = quantize_len(length)
-    return w * tf / (tf + k1 * (1 - b + b * lq / avgdl))
+    cache = f(f(k1) * (f(1.0 - b) + f(b) * f(lq) / f(avgdl)))
+    return float(f(w * f(f(tf) / (f(tf) + cache))))
