@@ -336,7 +336,11 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list,
         ((ofield, odir),) = order.items()
         oc = (F.col("doc_count") if ofield == "_count"
               else F.col(kd) if ofield == "_key" else F.col(ofield))
-        oc = oc.desc() if odir == "desc" else oc.asc()
+        # PG ORDER BY null placement (ASC→NULLS LAST, DESC→NULLS FIRST):
+        # a size-truncated ordered prefix must cut the same groups the
+        # reference's pushdown cuts, so a NULL group may not jump the
+        # queue (groupby_aggregate_highcard.out LIMIT 5 OFFSET 5 = 6..10)
+        oc = oc.desc_nulls_first() if odir == "desc" else oc.asc_nulls_last()
         from sparksearch.config import CONFIG
         size = int(opts.get("size", CONFIG.terms_agg_default_size))
         # per-parent doc total over the grouped frame (cardinality =
@@ -345,12 +349,12 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list,
                          F.sum("doc_count").over(W.partitionBy(*pcols)))
         if pcols:
             # per-parent top-size buckets in one ranking window
-            w = W.partitionBy(*pcols).orderBy(oc, F.col(kd).asc())
+            w = W.partitionBy(*pcols).orderBy(oc, F.col(kd).asc_nulls_last())
             g = (g.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") <= size).drop("__rn"))
-            g = g.orderBy(*pcols, oc, F.col(kd).asc())
+            g = g.orderBy(*pcols, oc, F.col(kd).asc_nulls_last())
         else:
-            g = g.orderBy(oc, F.col(kd).asc()).limit(size)
+            g = g.orderBy(oc, F.col(kd).asc_nulls_last()).limit(size)
     else:
         g = g.orderBy(*pcols, F.col(kd).asc())
 
