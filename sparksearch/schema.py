@@ -255,6 +255,27 @@ class IndexSchema:
         for f in self.text_fields:
             if f.name == name:
                 return f
+        # aliased-expression resolution (reference
+        # aliased_text_expression_resolution.out): a query referencing a
+        # COLUMN with no same-named index field resolves to the single
+        # aliased expression field sourced from it; several candidates
+        # are ambiguous and error with the reference message.  (A
+        # direct/un-aliased field, handled above, always wins.)
+        if "." not in name:
+            import re
+            pat = re.compile(rf"\b{re.escape(name)}\b")
+            cands = [f for f in self.text_fields
+                     if f.source and pat.search(f.source)]
+            if len(cands) == 1:
+                return cands[0]
+            if len(cands) > 1:
+                names = ", ".join(f"`{f.name}`"
+                                  for f in sorted(cands,
+                                                  key=lambda f: f.name))
+                raise ValueError(
+                    f"Query is ambiguous: column `{name}` matches "
+                    f"multiple indexed fields: {names}. Use "
+                    f"`{name}::pdb.alias(...)` to choose one")
         raise KeyError(f"field {name!r} not in index schema")
 
     def resolve(self, fieldref: str) -> tuple:
