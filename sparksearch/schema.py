@@ -163,11 +163,37 @@ class IndexSchema:
         names = list(docs_schema.names) if docs_schema is not None else None
         key_dt = (docs_schema[self.key_field].dataType.simpleString()
                   if names is not None and self.key_field in names else None)
+        # per-tokenizer option surface (test_tokenizer_params.out:
+        # tokenizer-specific params are rejected by the wrong tokenizer
+        # with "Invalid option: 'X'. Allowed options: ...")
+        tok_opts = {
+            "ngram": {"min_gram", "max_gram", "prefix_only", "positions"},
+            "edge_ngram": {"min_gram", "max_gram"},
+            "regex": {"pattern"},
+            "unicode_words": {"remove_emojis"},
+            "json": {"value_tokenizer", "max_depth", "expand_dots"},
+        }
+        filter_names = {"remove_short", "remove_long", "trim",
+                        "lowercase", "stemmer", "stemmer_light",
+                        "stopwords", "ascii_folding", "alpha_num_only",
+                        "stopwords_language"}
         for f in self.text_fields:
             if f.tokenizer not in known:
                 raise ValueError(
                     f"field config should be valid for SearchFieldConfig"
                     f"::{f.name}: unknown tokenizer type: {f.tokenizer}")
+            allowed = tok_opts.get(f.tokenizer, set())
+            for k in f.tokenizer_opts:
+                if k not in allowed:
+                    raise ValueError(
+                        f"Invalid option: '{k}'. Allowed options: "
+                        f"{', '.join(sorted(allowed | filter_names))}.")
+            for flt in (f.filters or []):
+                fname = flt[0] if isinstance(flt, tuple) else flt
+                if fname not in filter_names:
+                    raise ValueError(
+                        f"Invalid option: '{fname}'. Allowed options: "
+                        f"{', '.join(sorted(allowed | filter_names))}.")
             if (names is not None and f.source is None
                     and f.name not in names):
                 raise ValueError(f"the column `{f.name}` does not exist "
