@@ -218,15 +218,66 @@ def run_aggs(df: DataFrame, aggs, query_filter=None, schema=None) -> dict:
         aggs = json.loads(aggs)
     if query_filter is not None:
         df = df.filter(query_filter)
+    _validate_agg_fields(aggs, df)
     out = {}
     for name, spec in aggs.items():
         out[name] = _run_one(df, name, spec, parent_keys=[], schema=schema)
     return {"aggregations": out}
 
 
+def _validate_agg_fields(aggs: dict, df: DataFrame) -> None:
+    """Recursive field validation (agg-validate.out): every ``field``
+    reference — top level or nested — must name an indexed field (a JSON
+    path validates its root column); the error string and the sorted
+    available-fields list match the reference exactly."""
+    # only engine-internal (__-prefixed) columns are hidden — a user
+    # column named 'score' or 'doc_id' is a legitimate agg target
+    available = sorted(c for c in df.columns if not c.startswith("__"))
+    avail_set = set(available)
+
+    def walk(node: dict) -> None:
+        for kind, body in node.items():
+            if kind == "aggs" and isinstance(body, dict):
+                for sub in body.values():
+                    walk(sub)
+                continue
+            if isinstance(body, dict) and "field" in body:
+                f = body["field"]
+                if f not in avail_set and \
+                        f.split(".", 1)[0] not in avail_set:
+                    raise AggError(
+                        f"Aggregation references invalid field '{f}'. "
+                        "Available indexed fields are: "
+                        f"[{', '.join(available)}]")
+
+    for spec in aggs.values():
+        walk(spec)
+
+
 def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list,
              schema=None) -> dict:
     if _is_metric(spec):
+        kind = next(iter(spec))
+        field = (spec[kind].get("field")
+                 if isinstance(spec[kind], dict) else None)
+        if (kind in ("min", "max", "avg", "sum") and field
+                and field in df.columns
+                and df.schema[field].dataType.typeName()
+                in ("timestamp", "date")):
+            # single-value metrics on datetime fields: PG-epoch-µs value
+            # + a key_as_string ISO timestamp, the same convention as
+            # date_histogram bucket keys (agg-validate.out Tests 16-19:
+            # the rewriter applies uniformly, sum included)
+            import datetime as _dt
+            us = (F.unix_micros(F.col(field).cast("timestamp"))
+                  - F.lit(946684800 * 1_000_000)).cast("double")
+            v = df.agg(getattr(F, kind)(us).alias("v")).collect()[0]["v"]
+            if v is None:
+                return {"value": None}
+            ts = _dt.datetime.fromtimestamp(v / 1e6 + 946684800.0,
+                                            tz=_dt.timezone.utc)
+            return {"value": float(v),
+                    "key_as_string": ts.strftime("%Y-%m-%dT%H:%M:%SZ")}
         pairs = _metric_exprs("v", spec, df)
         row = df.agg(*[e.alias(a) for a, e in pairs]).collect()[0]
         vals = row.asDict()

@@ -41,7 +41,23 @@ _JAVA_WORD = r"[\p{L}\p{N}]+"
 _PY_WORD = re.compile(r"[^\W_]+", re.UNICODE)  # \w minus underscore
 # unicode_words (UAX#29 approximation): words may contain interior
 # apostrophes (MidLetter) and interior . , in numbers (MidNum).
-_JAVA_UAX29 = r"[\p{L}\p{N}](?:[\p{L}\p{N}]|['’.](?=[\p{L}])|[.,](?=[\p{N}]))*"
+# STRUCTURE MATTERS: each repetition of the outer group consumes a
+# joiner + a whole alphanumeric RUN (iterative CharProperty loop), so
+# java.util.regex recursion depth = number of interior joiners, not
+# number of characters — a per-char alternation form StackOverflowed
+# executors on multi-KB tokens.  The {,256} joiner cap bounds the
+# recursion (≳256 interior punctuation joiners in ONE word is beyond
+# any natural text; such a token splits at the cap).
+# '_' is UAX29 ExtendNumLet: it joins words ("project_alpha", "_foo",
+# "foo_" are each ONE word-bound segment; unicode-segmentation
+# split_word_bounds, used by the reference's UnicodeWordsTokenizer,
+# keeps the raw segment text underscores included).  The width-1
+# lookbehinds enforce WB6/7 + WB11/12 exactly: a '.'/',' joins only
+# letter×letter / digit×digit — "foo_.bar" breaks at the dot because
+# '_' is not ALetter.
+_JAVA_UAX29 = (r"_{0,64}[\p{L}\p{N}][\p{L}\p{N}_]*"
+               r"(?:(?:(?<=[\p{L}])['’.][\p{L}]|(?<=[\p{N}])[.,][\p{N}])"
+               r"[\p{L}\p{N}_]*){0,256}")
 
 # RFC3339-ish datetime detection for JSON string values.  Tantivy types
 # such values as DATE terms (one typed token, second precision) instead
@@ -105,8 +121,12 @@ def canon_datetime_expr(v: Column) -> Column:
                   F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
 
 
+# token-identical twin of _JAVA_UAX29 (same run-consuming structure and
+# joiner cap, so long-token behavior matches the JVM path exactly)
 _PY_UAX29 = re.compile(
-    r"[^\W_](?:[^\W_]|['’.](?=[^\W\d_])|[.,](?=\d))*", re.UNICODE)
+    r"_{0,64}[^\W_]\w*"
+    r"(?:(?:(?<=[^\W\d_])['’.][^\W\d_]|(?<=\d)[.,]\d)\w*){0,256}",
+    re.UNICODE)
 
 # unicode_words emits emoji as standalone tokens (tantivy's
 # unicode-segmentation word iterator; expected/unicode_words.out:
@@ -121,7 +141,9 @@ _PY_EMOJI_SRC = ("(?:[\U0001F1E6-\U0001F1FF]{2})|"
                  f"(?:{_EMOJI_BASE_PY}\ufe0f?"
                  f"(?:\u200d{_EMOJI_BASE_PY}\ufe0f?)*)")
 _PY_UAX29_EMOJI = re.compile(
-    r"[^\W_](?:[^\W_]|['’.](?=[^\W\d_])|[.,](?=\d))*|" + _PY_EMOJI_SRC,
+    r"_{0,64}[^\W_]\w*"
+    r"(?:(?:(?<=[^\W\d_])['’.][^\W\d_]|(?<=\d)[.,]\d)\w*){0,256}|"
+    + _PY_EMOJI_SRC,
     re.UNICODE)
 _EMOJI_BASE_JAVA = (r"[\x{00a9}\x{00ae}\x{203c}\x{2049}\x{2122}"
                     r"\x{2600}-\x{27bf}\x{2b00}-\x{2bff}"
@@ -162,7 +184,7 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
             return []
         if not isinstance(obj, dict):
             return []
-        vt = opts.get("value_tokenizer", "default")
+        vt = opts.get("value_tokenizer", "unicode_words")
         max_depth = int(opts.get("max_depth", 4))
         out = []
 
@@ -173,14 +195,16 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
                 v = "true" if v else "false"
             elif not isinstance(v, str):
                 v = _json.dumps(v, separators=(",", ":"))
-            elif vt in ("default", "simple"):
+            elif vt in ("default", "simple", "unicode_words"):
                 # RFC3339-ish strings index as ONE typed date token
                 # (Tantivy json date detection, json_term_set.out)
                 dt = py_canon_datetime(v)
                 if dt is not None:
                     out.append(f"{prefix}:{dt}")
                     return
-            for t in py_tokenize(v, vt, None, lowercase):
+            for t in py_tokenize(v, vt, opts if vt in
+                                 ("ngram", "edge_ngram", "regex")
+                                 else None, lowercase):
                 out.append(f"{prefix}:{t}")
 
         def walk(prefix, v, depth):
@@ -390,12 +414,28 @@ _JVM_TOKENIZERS = {"default", "simple", "whitespace", "regex", "keyword",
                    "json", "datetime"}
 
 
+_JSON_JVM_VALUE_TOKS = {"default", "simple", "unicode_words",
+                        "whitespace", "keyword", "raw", "literal"}
+
+
+def _jvm_capable(cfg) -> bool:
+    """True when this field's analyzer has a JVM expression twin.  A
+    JSON field is JVM-side only while its VALUE tokenizer is (e.g. a
+    j::pdb.ngram(2,3) cast grams every value → pandas path)."""
+    if cfg.tokenizer not in _JVM_TOKENIZERS:
+        return False
+    if cfg.tokenizer == "json":
+        vt = cfg.tokenizer_opts.get("value_tokenizer", "unicode_words")
+        return vt in _JSON_JVM_VALUE_TOKS
+    return True
+
+
 def flat_token_array_expr(col: Column, cfg) -> Column | None:
     """Fast path: plain ``array<string>`` token array whose ordinal position
     IS the token position. Available when the tokenizer is JVM-side and no
     removal filter disturbs positions; the indexer pairs it with
     ``posexplode`` and skips the struct stream entirely."""
-    if cfg.tokenizer in _JVM_TOKENIZERS and not cfg.filters:
+    if _jvm_capable(cfg) and not cfg.filters:
         return _jvm_token_array(col, cfg)
     return None
 
@@ -407,7 +447,7 @@ def analyzer_expr(col: Column, cfg) -> Column:
     shape-heavy ones. ``cfg`` is a schema.FieldConfig.
     """
     tok = cfg.tokenizer
-    if tok in _JVM_TOKENIZERS:
+    if _jvm_capable(cfg):
         arr = _jvm_token_array(col, cfg)
         stream = F.transform(
             arr, lambda x, i: F.struct(x.alias("t"), i.cast("int").alias("p")))
@@ -463,14 +503,16 @@ def _jvm_token_array(col: Column, cfg) -> Column:
         # matching py_tokenize's isinstance(dict/list) walk.  Rendering
         # still uses the string map (Jackson preserves key order, like
         # json.dumps; variant to_json would sort keys).
-        vt = opts.get("value_tokenizer", "default")
+        vt = opts.get("value_tokenizer", "unicode_words")
         max_depth = int(opts.get("max_depth", 4))
         empty = F.array().cast("array<string>")
 
         def _value_tokens(v):
             s = F.lower(v) if cfg.lowercase else v
-            if vt in ("default", "simple"):
-                toks = F.regexp_extract_all(s, F.lit(_JAVA_WORD), 0)
+            if vt in ("default", "simple", "unicode_words"):
+                pat = (_JAVA_UAX29_EMOJI if vt == "unicode_words"
+                       else _JAVA_WORD)
+                toks = F.regexp_extract_all(s, F.lit(pat), 0)
                 # RFC3339-ish string values → ONE typed date token
                 # (mirrors py_tokenize's scalar(); json_term_set.out)
                 dt = canon_datetime_expr(v)

@@ -1001,15 +1001,21 @@ class _Compiler:
                 f"{what} query on field {fieldref!r} requires record="
                 f"'position' but the field was indexed with record="
                 f"{cfg.record!r}")
-        if (not allow_ngram and cfg.tokenizer in ("ngram", "edge_ngram")
-                and not cfg.tokenizer_opts.get("positions")):
+        eff_tok, eff_opts = cfg.tokenizer, cfg.tokenizer_opts
+        if eff_tok == "json":
+            # a JSON field's positional capability is its VALUE
+            # tokenizer's (tokenizer-json.out: ### over j::pdb.ngram(2,3)
+            # errors with the ngram descriptor)
+            eff_tok = eff_opts.get("value_tokenizer", "unicode_words")
+        if (not allow_ngram and eff_tok in ("ngram", "edge_ngram")
+                and not eff_opts.get("positions")):
             # reference require_positions.out: the ngram tokenizer does
             # not record usable positions unless its `positions` option
             # is set — every positional query type errors, it never
             # silently returns empty/garbled matches (gram index != word
             # position, so a "phrase" over grams is meaningless)
-            opts = cfg.tokenizer_opts
-            desc = (f"{cfg.tokenizer}_mingram:{opts.get('min_gram', 2)}"
+            opts = eff_opts
+            desc = (f"{eff_tok}_mingram:{opts.get('min_gram', 2)}"
                     f"_maxgram:{opts.get('max_gram', 3)}"
                     f"_prefixonly:{str(bool(opts.get('prefix_only'))).lower()}")
             raise ValueError(

@@ -28,7 +28,15 @@ class FieldConfig:
     """Per-field indexing configuration (reference: SearchFieldConfig)."""
 
     name: str
-    tokenizer: str = "default"          # key into analysis.TOKENIZERS
+    # key into analysis.TOKENIZERS.  An UNCONFIGURED text field tokenizes
+    # with unicode_words — the reference's `SearchTokenizer::default()` is
+    # UnicodeWords{remove_emojis: false} (tokenizers/src/manager.rs:436-443)
+    # and field configs deserialize tokenizer with #[serde(default)]
+    # (pg_search/src/schema/config.rs:41-42), so every bare bm25-indexed
+    # TEXT column gets UAX29 word segmentation ("J.K." is ONE token).
+    # The NAME "default" stays the simple tokenizer, as in the reference's
+    # explicit `tokenizer: {"type": "default"}` (manager.rs:459).
+    tokenizer: str = "unicode_words"
     source: str | None = None           # source column (alias fields: several
     # index fields from one column — reference schema/mod.rs:527-561)
     tokenizer_opts: dict = dc_field(default_factory=dict)
@@ -72,21 +80,26 @@ class FieldConfig:
         elif self.field_type == "inet":
             # inet fields use the typed inet tokenizer (one canonical
             # term per value) unless the user picked something custom
-            if self.tokenizer == "default":
+            # (a bare unicode_words is the unset marker — the dataclass
+            # default, like the reference's serde default)
+            if self.tokenizer == "unicode_words" \
+                    and not self.tokenizer_opts:
                 self.tokenizer = "inet"
         elif self.field_type == "uuid":
             # UUID columns default to the keyword tokenizer, no
             # lowercasing, raw normalizer, fast (reference
             # SearchFieldType::Uuid — keyword_defaults_fast.out,
             # tokenize-uuid.out)
-            if self.tokenizer == "default":
+            if self.tokenizer == "unicode_words" \
+                    and not self.tokenizer_opts:
                 self.tokenizer = "keyword"
             self.lowercase = False
         elif self.field_type == "ltree":
             # ltree columns index as Tantivy Facet fields (ltree.out):
             # case-sensitive raw path terms; @@@ / term() over them is
             # hierarchical descendant-or-self matching (compiler gates)
-            if self.tokenizer == "default":
+            if self.tokenizer == "unicode_words" \
+                    and not self.tokenizer_opts:
                 self.tokenizer = "keyword"
             self.lowercase = False
         # The reference applies token filters in a FIXED order regardless
@@ -108,6 +121,39 @@ class FieldConfig:
     def analyzer_key(self) -> tuple:
         return (self.tokenizer, tuple(sorted(self.tokenizer_opts.items())),
                 tuple(self.filters or ()), self.lowercase)
+
+
+def parse_tokenizer_expr(expr: str) -> tuple[str, dict, bool]:
+    """Parse a tokenizer expression from a WITH option — a bare name
+    ('unicode_words') or a parameterized form ('simple(lowercase=false)',
+    'ngram(min_gram=1, max_gram=10, prefix_only=true)') — into
+    (name, opts, lowercase)."""
+    expr = expr.strip()
+    lc = True
+    if "(" not in expr:
+        return expr, {}, lc
+    if not expr.endswith(")"):
+        raise ValueError(f"malformed tokenizer expression: {expr!r}")
+    name, _, rest = expr.partition("(")
+    opts: dict = {}
+    for part in rest[:-1].split(","):
+        part = part.strip()
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        k, v = k.strip(), v.strip().strip("'\"")
+        if v.lower() in ("true", "false"):
+            val: Any = v.lower() == "true"
+        else:
+            try:
+                val = int(v)
+            except ValueError:
+                val = v
+        if k == "lowercase":
+            lc = bool(val)
+        else:
+            opts[k] = val
+    return name.strip(), opts, lc
 
 
 @dataclass
@@ -134,6 +180,12 @@ class IndexSchema:
     # indexed — BM25 stats, counts, and search results all reflect the
     # partial corpus.  Any Spark SQL boolean expression over the doc row.
     predicate: str | None = None
+    # index-level default search-time tokenizer (reference
+    # ``WITH (search_tokenizer = '...')``,
+    # search_tokenizer_index_level.out): applies to every text/JSON
+    # field without its own per-field override.  Accepts a bare name or
+    # a parameterized form like 'simple(lowercase=false)'.
+    search_tokenizer: str | None = None
     # segment partitioning (reference ``partition_by='tenant_id,
     # created_at'`` WITH option, partition_by.out): segments are
     # physically split by these field values so attribute-filtered
@@ -183,6 +235,11 @@ class IndexSchema:
                     f"field config should be valid for SearchFieldConfig"
                     f"::{f.name}: unknown tokenizer type: {f.tokenizer}")
             allowed = tok_opts.get(f.tokenizer, set())
+            if f.tokenizer == "json":
+                # a JSON field's value tokenizer brings its own option
+                # surface (tokenizer-json.out: j::pdb.ngram(2,3))
+                vt = f.tokenizer_opts.get("value_tokenizer")
+                allowed = allowed | tok_opts.get(vt, set())
             for k in f.tokenizer_opts:
                 if k not in allowed:
                     raise ValueError(
@@ -326,9 +383,13 @@ class IndexSchema:
         THAT instead of the index tokenizer — search_tokenizer.out)."""
         cfg, prefix = self.resolve(fieldref)
         if prefix:
+            vt_opts = {k: v for k, v in cfg.tokenizer_opts.items()
+                       if k not in ("value_tokenizer", "max_depth",
+                                    "expand_dots")}
             return FieldConfig(name=fieldref,
                                tokenizer=cfg.tokenizer_opts.get(
-                                   "value_tokenizer", "default"),
+                                   "value_tokenizer", "unicode_words"),
+                               tokenizer_opts=vt_opts,
                                lowercase=cfg.lowercase)
         if cfg.search_tokenizer is not None:
             return FieldConfig(name=cfg.name,
@@ -337,6 +398,15 @@ class IndexSchema:
                                    cfg.search_tokenizer_opts),
                                filters=cfg.filters,
                                lowercase=cfg.lowercase)
+        if self.search_tokenizer:
+            # index-LEVEL search_tokenizer WITH option: a default
+            # search-time analyzer for every text field that doesn't
+            # declare its own (search_tokenizer_index_level.out);
+            # parameterized forms like 'simple(lowercase=false)' parse
+            # name + params
+            name, opts, lc = parse_tokenizer_expr(self.search_tokenizer)
+            return FieldConfig(name=cfg.name, tokenizer=name,
+                               tokenizer_opts=opts, lowercase=lc)
         return cfg
 
     @property
@@ -355,8 +425,20 @@ class IndexSchema:
         """
         fields = []
         for name, cfg in (text_fields or {}).items():
-            tok = cfg.get("tokenizer", {})
-            tok_type = tok.get("type", "default") if isinstance(tok, dict) else str(tok)
+            if "tokenizer" not in cfg:
+                # serde default → SearchTokenizer::default() = UnicodeWords
+                tok: dict | str = {"type": "unicode_words"}
+            else:
+                tok = cfg["tokenizer"]
+            if isinstance(tok, dict):
+                if "type" not in tok:
+                    # manager.rs:453-455 error string
+                    raise ValueError(
+                        "a 'type' must be passed in pg_search tokenizer "
+                        f"configuration, not found in: {tok!r}")
+                tok_type = tok["type"]
+            else:
+                tok_type = str(tok)
             opts = {k: v for k, v in tok.items() if k != "type"} if isinstance(tok, dict) else {}
             fields.append(FieldConfig(
                 name=name, tokenizer=tok_type, tokenizer_opts=opts,

@@ -74,16 +74,17 @@ BOOKS = [
     ("4#3", 4, 3, LOREM),
 ]
 
-# (book_id, author_name, author_score, book_score).  Book scores and the
-# const-1.0 range-only author scores are the reference's printed float32
-# values (ours match to the last printed digit).  DOCUMENTED DIVERGENCE:
-# the reference prints author_score 2.540445 for Rowling = idf + 1 — its
-# split-predicate join score path evaluates the name term WITHOUT
-# fieldnorms (the file is the regression test for issue #2530, "BM25
-# scores return null when not all predicates are indexed", i.e. it pins
-# degraded behavior).  This engine scores the same term with the full
-# length-normalized BM25 it uses everywhere else: 1.4239408 + 1.0.
-ROWLING = 1.0 + 1.4239408
+# (book_id, author_name, author_score, book_score) — ALL values are the
+# reference's printed float32 output, matched to the last digit.
+# Rowling = 1 (range const) + 1.5404451 (name:rowling BM25): under the
+# true UnicodeWords default tokenizer every author name is exactly two
+# tokens ("J.K. Rowling" → [j.k, rowling]), so dl == avgdl and the tf
+# norm is exactly 1 → score = idf.  (Rounds 2-3 documented a divergence
+# here — 2.4239408 vs the reference's 2.540445 — and attributed it to
+# the reference's issue #2530; the real cause was this engine's default
+# tokenizer splitting "J.K." into three tokens.  Fixed in round 4; the
+# golden is now reference-exact.)
+ROWLING = 1.0 + 1.5404451
 WANT = [
     (1, "J.K. Rowling", ROWLING, 0.0),
     (1, "Stephen King", 1.0, 0.45681813),
