@@ -104,6 +104,15 @@ def _tokenizer_descriptor(cfg) -> str:
     ``keyword[lowercase=false]``, ``unicode_words_removeemojis:false``,
     ``ngram_mingram:3_maxgram:3_prefixonly:false``."""
     t, o = cfg.tokenizer, cfg.tokenizer_opts
+    if t == "json":
+        # JSON fields display their VALUE tokenizer (tokenizer-json.out:
+        # bare json columns show unicode_words_removeemojis:false, a
+        # pdb.ngram(2,3) cast shows ngram_mingram:2_...)
+        from dataclasses import replace
+        vt = o.get("value_tokenizer", "unicode_words")
+        vo = {k: v for k, v in o.items() if k != "value_tokenizer"}
+        return _tokenizer_descriptor(
+            replace(cfg, tokenizer=vt, tokenizer_opts=vo))
     if t in ("keyword", "raw", "literal"):
         return f"keyword[lowercase={str(bool(cfg.lowercase)).lower()}]"
     if t == "literal_normalized":
@@ -143,11 +152,18 @@ def schema(index) -> list:
                     "record": "position" if ft == "Str" else None,
                     "normalizer": "raw" if ft == "Str" else None})
     for f in index.schema.text_fields:
+        is_json = f.tokenizer == "json"
         out.append({
-            "name": f.name, "field_type": "Str", "stored": False,
+            "name": f.name,
+            # JSON columns type as JsonObject with expand_dots
+            # (tokenizer-json.out schema dump)
+            "field_type": "JsonObject" if is_json else "Str",
+            "stored": False,
             "indexed": f.indexed,
-            # the key field is ALWAYS fast (every scan resolves it)
-            "fast": f.fast or f.name == key,
+            # the key field is ALWAYS fast (every scan resolves it);
+            # JsonObject fields are not fast in the reference dump
+            "fast": (f.fast or f.name == key) and not is_json,
+            "expand_dots": True if is_json else None,
             "tokenizer": _tokenizer_descriptor(f), "record": f.record,
             "normalizer": ("raw" if f.tokenizer in
                            ("keyword", "raw", "literal") else
@@ -190,6 +206,14 @@ def index_segments(index_path: str) -> list:
             st["live"] = p in live
             st["path"] = p
             out.append(st)
+    # ordinal ids for manual parallel verification (pdb.index_segments
+    # segment_idx, verify_bm25_index.out Tests 9-10): sequential from 0
+    # over the LIVE segments, in listing order
+    idx = 0
+    for st in out:
+        if st["live"]:
+            st["segment_idx"] = idx
+            idx += 1
     return out
 
 
@@ -307,6 +331,178 @@ def force_merge(spark: SparkSession, index_path: str, schema,
     return {"segments_before": before,
             "segments_after": len(_committed_segments(index_path)),
             "new_segments": [os.path.basename(w) for w in written if w]}
+
+
+def verify_index_report(spark: SparkSession, index_path: str,
+                        index_name: str | None = None, *,
+                        heapallindexed: bool = False,
+                        sample_rate: float | None = None,
+                        segment_ids: list | None = None,
+                        on_error_stop: bool = False,
+                        heap=None, key_field: str = "doc_id") -> list:
+    """amcheck-style verification rows (paradedb.verify_index analog,
+    verify_bm25_index.out): one row per check, in the reference's
+    natural check order — schema_valid, index_readable, checksums_valid,
+    segment_metadata_valid, then (with ``heapallindexed``)
+    ctid_field_valid and heap_references_valid.
+
+    - ``segment_ids`` filters segment_metadata_valid to the given
+      segment ordinals; details read "K of N segments validated" when
+      filtered and "N segments validated" when not (the reference's
+      partial-verification indicator).
+    - ``heapallindexed`` adds the heap cross-checks: the key column is
+      the ctid analog (ctid_field_valid = every posting carries a
+      well-formed key) and heap_references_valid anti-joins the index's
+      live keys against ``heap`` — an indexed key missing from the heap
+      is the reference's dangling-entry corruption ("X of Y" details).
+    - ``sample_rate`` verifies a deterministic sample of the keys and
+      marks the details "sampled".
+    - ``on_error_stop`` stops after the first failed check.
+    """
+    from sparksearch.streaming.indexer import _committed_segments
+    name = index_name or os.path.basename(index_path.rstrip("/"))
+    segs = _committed_segments(index_path)
+    rows: list = []
+
+    def emit(check: str, passed: bool, details: str = "") -> bool:
+        rows.append({"check_name": f"{name}: {check}",
+                     "passed": bool(passed), "details": details})
+        return not passed and on_error_stop
+
+    # 1. schema_valid: every live segment's stats.json is well-formed
+    bad = []
+    for s in segs:
+        try:
+            with open(f"{s}/stats.json") as fh:
+                st = json.load(fh)
+            if not isinstance(st.get("n_docs"), int) or "fields" not in st:
+                bad.append(os.path.basename(s))
+        except (OSError, ValueError):
+            bad.append(os.path.basename(s))
+    if emit("schema_valid", not bad,
+            f"malformed segment metadata: {bad}" if bad
+            else f"{len(segs)} segments"):
+        return rows
+
+    # 2. index_readable: every live segment's postings parquet opens
+    unreadable = []
+    for s in segs:
+        try:
+            spark.read.parquet(f"{s}/postings").limit(1).count()
+        except Exception:
+            unreadable.append(os.path.basename(s))
+    if emit("index_readable", not unreadable,
+            f"unreadable segments: {unreadable}" if unreadable else ""):
+        return rows
+
+    # 3. checksums_valid: stored vs recomputed segment content hashes
+    ck = validate_checksum(spark, index_path)
+    bad_ck = [k for k, v in ck.items()
+              if isinstance(v, dict) and not v["ok"]]
+    if emit("checksums_valid", not bad_ck,
+            f"checksum mismatch: {bad_ck}" if bad_ck else ""):
+        return rows
+
+    # 4. segment_metadata_valid (segment_ids filtering semantics)
+    meta = index_segments(index_path)
+    live = [m for m in meta if m.get("live")]
+    if segment_ids is None:
+        checked = live
+        details = f"{len(checked)} segments validated"
+    else:
+        wanted = set(segment_ids)
+        checked = [m for i, m in enumerate(live) if i in wanted]
+        details = f"{len(checked)} of {len(live)} segments validated"
+    ok = all(m.get("committed") and isinstance(m.get("n_docs"), int)
+             for m in checked)
+    if emit("segment_metadata_valid", ok, details):
+        return rows
+
+    if not heapallindexed:
+        return rows
+
+    from functools import reduce
+    from pyspark.sql import functions as F
+    keys = None
+    if segs:
+        parts = [spark.read.parquet(f"{s}/postings").select("doc_id")
+                 for s in segs]
+        keys = reduce(lambda a, b: a.unionByName(b), parts)
+
+    # 5. ctid_field_valid: the key column (ctid analog) is well-formed
+    bad_keys = 0 if keys is None else keys.filter(
+        F.col("doc_id").isNull()
+        | (F.length(F.col("doc_id").cast("string")) == 0)).count()
+    if emit("ctid_field_valid", bad_keys == 0,
+            f"{bad_keys} postings with malformed keys" if bad_keys
+            else ""):
+        return rows
+
+    # 6. heap_references_valid: indexed keys must exist in the heap
+    if heap is None:
+        emit("heap_references_valid", False, "no heap provided")
+        return rows
+    live_keys = (keys.select(F.col("doc_id").cast("string").alias("k"))
+                 .distinct() if keys is not None else None)
+    # tombstoned keys are not dangling references
+    from sparksearch.streaming.indexer import _deletes_df
+    dels = _deletes_df(spark, index_path)
+    if live_keys is not None and dels is not None:
+        live_keys = live_keys.join(
+            dels.select(F.col("doc_id").cast("string").alias("k"))
+            .distinct(), "k", "left_anti")
+    total = live_keys.count() if live_keys is not None else 0
+    sampled = ""
+    if sample_rate is not None and live_keys is not None:
+        live_keys = live_keys.sample(fraction=float(sample_rate), seed=42)
+        sampled = ", sampled"
+    hk = heap.select(F.col(key_field).cast("string").alias("__hk"))
+    missing = 0 if live_keys is None else live_keys.join(
+        hk, live_keys["k"] == F.col("__hk"), "left_anti").count()
+    emit("heap_references_valid", missing == 0,
+         f"{missing} of {total} indexed documents missing from heap"
+         f"{sampled}")
+    return rows
+
+
+def indexes(spark: SparkSession, root: str) -> list:
+    """List every streaming index under ``root`` with segment/doc counts
+    (paradedb ``pdb.indexes()`` analog, verify_bm25_index.out Test 11)."""
+    from sparksearch.streaming.indexer import _committed_segments
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for d in sorted(os.listdir(root)):
+        p = os.path.join(root, d)
+        if not os.path.isdir(os.path.join(p, "segments")):
+            continue
+        segs = _committed_segments(p)
+        docs = 0
+        for s in segs:
+            try:
+                with open(f"{s}/stats.json") as fh:
+                    docs += json.load(fh).get("n_docs", 0)
+            except (OSError, ValueError):
+                pass
+        out.append({"indexname": d, "num_segments": len(segs),
+                    "total_docs": docs, "path": p})
+    return out
+
+
+def verify_all_indexes(spark: SparkSession, root: str,
+                       index_pattern: str = "%", **kw) -> list:
+    """Verify every index under ``root`` whose name matches the SQL LIKE
+    ``index_pattern`` (paradedb ``pdb.verify_all_indexes()`` analog)."""
+    import fnmatch
+    glob_pat = index_pattern.replace("%", "*").replace("_", "?")
+    rows = []
+    for ix in indexes(spark, root):
+        if not fnmatch.fnmatch(ix["indexname"], glob_pat):
+            continue
+        for r in verify_index_report(spark, ix["path"],
+                                     ix["indexname"], **kw):
+            rows.append({"indexname": ix["indexname"], **r})
+    return rows
 
 
 def parse_layer_sizes(raw: str) -> list:
