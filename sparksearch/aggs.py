@@ -235,12 +235,38 @@ def _validate_agg_fields(aggs: dict, df: DataFrame) -> None:
     available = sorted(c for c in df.columns if not c.startswith("__"))
     avail_set = set(available)
 
-    def walk(node: dict) -> None:
+    known = {"range", "histogram", "date_histogram", "terms", "filter",
+             "filters", "composite", "avg", "value_count", "max", "min",
+             "stats", "extended_stats", "sum", "percentiles", "top_hits",
+             "cardinality"}
+
+    def walk(node) -> None:
+        # fail-fast structural errors, reference strings (custom-agg.out
+        # Tests 9-11)
+        if not isinstance(node, dict):
+            raise AggError(
+                "pdb.agg() expects a JSON object representing a Tantivy "
+                'aggregation. Example: {"terms": {"field": "country"}}')
+        if "buckets" in node:
+            raise AggError(
+                "pdb.agg() received JSON with 'buckets' key. Remove the "
+                "'buckets' wrapper - pdb.agg() expects a single "
+                "aggregation definition. Example: "
+                '{"terms": {"field": "country"}} instead of '
+                '{"buckets": {"terms": {"field": "country"}}}')
         for kind, body in node.items():
             if kind == "aggs" and isinstance(body, dict):
                 for sub in body.values():
                     walk(sub)
                 continue
+            if kind not in known:
+                raise AggError(
+                    "Failed to deserialize custom aggregate: unknown "
+                    f"variant `{kind}`, expected one of `range`, "
+                    "`histogram`, `date_histogram`, `terms`, `filter`, "
+                    "`composite`, `avg`, `value_count`, `max`, `min`, "
+                    "`stats`, `extended_stats`, `sum`, `percentiles`, "
+                    "`top_hits`, `cardinality`")
             if isinstance(body, dict) and "field" in body:
                 f = body["field"]
                 if f not in avail_set and \
@@ -336,6 +362,63 @@ def _empty_envelope(spec: dict) -> dict:
     return {"buckets": []}
 
 
+def _fill_histogram_gaps(g: DataFrame, kind: str, opts: dict,
+                         pcols: list, kd: str) -> DataFrame:
+    """Insert zero-count buckets between each parent's min and max keys
+    (tantivy histogram min_doc_count=0 semantics).  Works per parent in
+    one pass: span agg → key sequence explode → left join counts.  The
+    bucket-count guardrail raises distributed (no driver collect)."""
+    from sparksearch.config import CONFIG
+    maxb = F.lit(int(CONFIG.max_agg_buckets))
+    span = g.groupBy(*pcols).agg(F.min(kd).alias("__lo"),
+                                 F.max(kd).alias("__hi"))
+    if kind == "histogram":
+        interval = float(opts["interval"])
+        off = float(opts.get("offset", 0))
+        lo = ((F.col("__lo") - off) / interval).cast("long")
+        hi = ((F.col("__hi") - off) / interval).cast("long")
+        key_of = lambda o: (o * interval + off).cast("double")  # noqa: E731
+    elif "calendar_interval" in opts:
+        unit = _CAL.get(opts["calendar_interval"], "day")
+        step = F.expr(f"interval 1 {unit}")
+        seq = F.sequence(F.col("__lo"), F.col("__hi"), step)
+        seq = F.when(F.size(seq) > maxb, F.raise_error(F.concat(
+            F.lit("max_agg_buckets exceeded while gap-filling: "),
+            F.size(seq).cast("string")))).otherwise(seq)
+        full = span.select(*pcols, F.explode(seq).alias(kd))
+        return full.join(g, pcols + [kd], "left").fillna({"doc_count": 0})
+    else:
+        ms = _fixed_interval_ms(opts["fixed_interval"])
+        lo = (F.unix_millis(F.col("__lo")) / ms).cast("long")
+        hi = (F.unix_millis(F.col("__hi")) / ms).cast("long")
+        key_of = lambda o: F.timestamp_millis(o * ms)  # noqa: E731
+    n = hi - lo + F.lit(1)
+    seq = F.when(n > maxb, F.raise_error(F.concat(
+        F.lit("max_agg_buckets exceeded while gap-filling: "),
+        n.cast("string")))).otherwise(F.sequence(lo, hi))
+    full = (span.select(*pcols, F.explode(seq).alias("__o"))
+            .select(*pcols, key_of(F.col("__o")).alias(kd)))
+    return full.join(g, pcols + [kd], "left").fillna({"doc_count": 0})
+
+
+def _fill_range_buckets(g: DataFrame, opts: dict, pcols: list,
+                        kd: str) -> DataFrame:
+    """Left-join the DEFINED range bucket list so zero-count ranges
+    appear, carrying a definition ordinal for output order."""
+    keys = []
+    for i, b in enumerate(opts["ranges"]):
+        frm, to = b.get("from"), b.get("to")
+        key = b.get("key") or (f"{frm if frm is not None else '*'}"
+                               f"-{to if to is not None else '*'}")
+        keys.append((i, key))
+    spark = g.sparkSession
+    defined = spark.createDataFrame(keys, f"__rord int, {kd} string")
+    parents = g.select(*pcols).distinct() if pcols else None
+    full = (parents.crossJoin(defined) if parents is not None
+            else defined)
+    return full.join(g, pcols + [kd], "left").fillna({"doc_count": 0})
+
+
 def _bucket_level(df: DataFrame, spec: dict, pcols: list,
                   schema=None) -> dict:
     """Compile one bucket level for ALL parent buckets at once.
@@ -382,6 +465,16 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list,
     min_dc = opts.get("min_doc_count", 0 if kind != "terms" else 1)
     if min_dc:
         g = g.filter(F.col("doc_count") >= min_dc)
+    elif kind in ("histogram", "date_histogram"):
+        # tantivy emits EVERY bucket between the min and max keys with
+        # doc_count 0 when min_doc_count is 0 — its histogram default
+        # (custom-agg.out Test 14: interval-100 histogram over values
+        # 0..10000 prints 101 buckets, 96 of them empty)
+        g = _fill_histogram_gaps(g, kind, opts, pcols, kd)
+    elif kind == "range":
+        # tantivy/ES range aggs return every DEFINED bucket, zero-count
+        # included, in definition order (custom-agg.out Test 13)
+        g = _fill_range_buckets(g, opts, pcols, kd)
     if kind == "terms":
         order = opts.get("order", {"_count": "desc"})
         ((ofield, odir),) = order.items()
@@ -407,7 +500,9 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list,
         else:
             g = g.orderBy(oc, F.col(kd).asc_nulls_last()).limit(size)
     else:
-        g = g.orderBy(*pcols, F.col(kd).asc())
+        ordc = (F.col("__rord") if "__rord" in g.columns
+                else F.col(kd).asc())
+        g = g.orderBy(*pcols, ordc)
 
     # driver-OOM guardrail: the envelope is assembled driver-side, so a
     # bucket level may never collect unboundedly — abort loudly past the
@@ -416,7 +511,16 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list,
     # "Aborting aggregation because too many buckets were created").
     from sparksearch.config import CONFIG
     cap = CONFIG.max_agg_buckets
-    rows = g.limit(cap + 1).collect() if cap else g.collect()
+    try:
+        rows = g.limit(cap + 1).collect() if cap else g.collect()
+    except Exception as exc:  # executor-side gap-fill guardrail marker
+        if "max_agg_buckets exceeded" in str(exc):
+            raise AggBucketLimitError(
+                f"aggregation level {kind!r} produced more than "
+                f"max_agg_buckets={cap} buckets; raise "
+                "sparksearch.config.set(max_agg_buckets=...) or narrow "
+                "the aggregation (size / ranges / interval)") from None
+        raise
     if cap and len(rows) > cap:
         raise AggBucketLimitError(
             f"aggregation level {kind!r} produced more than "
