@@ -46,15 +46,25 @@ def _fixed_interval_ms(s: str) -> int:
     return int(m.group(1)) * _FIXED_MS[m.group(2)]
 
 
-def _resolve_field(name: str, df=None, numeric: bool = False):
+def _resolve_field(name: str, df=None, numeric: bool = False, schema=None):
     """Agg field reference → Column.  Reference agg definitions address
     nested JSON paths directly ('metadata_json.value' — json_fields with
     expand_dots, json_agg.out / json_groupby_orderby_limit.out); when the
     path head is a plain JSON STRING column, extract with
     get_json_object (codegen'd JSON path — the Spark analog of the
     tantivy json fast field), cast to double in numeric (metric /
-    histogram) contexts.  Anything else resolves as a normal (possibly
-    struct) column reference."""
+    histogram) contexts.  An EXPRESSION index field (reference
+    aggregate_scan_expressions.out: ``(lower(record_type)::pdb.literal)``
+    grouped by its fast field) resolves through its schema ``source``
+    expression when the name is not a physical column.  Anything else
+    resolves as a normal (possibly struct) column reference."""
+    if (schema is not None and df is not None and name not in df.columns
+            and "." not in name):
+        cfg = next((f for f in schema.text_fields
+                    if f.name == name and f.source), None)
+        if cfg is not None:
+            c = F.expr(cfg.source)
+            return c.cast("double") if numeric else c
     if df is not None and "." in name:
         head = name.split(".", 1)[0]
         from pyspark.sql.types import StringType
@@ -69,7 +79,7 @@ def _bucket_expr(spec: dict, df=None, schema=None):
     """(bucket kind, key Column, post-filter) for one bucket agg spec."""
     if "terms" in spec:
         t = spec["terms"]
-        col = _resolve_field(t["field"], df)
+        col = _resolve_field(t["field"], df, schema=schema)
         if "missing" in t:
             col = F.coalesce(col, F.lit(t["missing"]))
         return "terms", col, t
@@ -77,7 +87,8 @@ def _bucket_expr(spec: dict, df=None, schema=None):
         h = spec["histogram"]
         interval = float(h["interval"])
         off = float(h.get("offset", 0))
-        key = (F.floor((_resolve_field(h["field"], df, numeric=True) - off)
+        key = (F.floor((_resolve_field(h["field"], df, numeric=True,
+                                        schema=schema) - off)
                        / interval) * interval + off)
         return "histogram", key, h
     if "date_histogram" in spec:
@@ -171,12 +182,13 @@ def _filter_cond(cond: dict, df=None, schema=None):
     raise AggError(f"unsupported filter {list(cond)}")
 
 
-def _metric_exprs(name: str, spec: dict, df=None) -> list:
+def _metric_exprs(name: str, spec: dict, df=None, schema=None) -> list:
     """One metric agg → list of (alias, Column expr) pairs."""
     kind = next(iter(spec))
     field = spec[kind].get("field") if isinstance(spec[kind], dict) else None
     numeric = kind not in ("value_count", "cardinality")
-    c = _resolve_field(field, df, numeric=numeric) if field else None
+    c = (_resolve_field(field, df, numeric=numeric, schema=schema)
+         if field else None)
     if kind == "value_count":
         # tantivy renders value_count as f64 — `{"value": 3.0}` in
         # expected/term_set_agg.out's aggregate envelope
@@ -218,21 +230,25 @@ def run_aggs(df: DataFrame, aggs, query_filter=None, schema=None) -> dict:
         aggs = json.loads(aggs)
     if query_filter is not None:
         df = df.filter(query_filter)
-    _validate_agg_fields(aggs, df)
+    _validate_agg_fields(aggs, df, schema=schema)
     out = {}
     for name, spec in aggs.items():
         out[name] = _run_one(df, name, spec, parent_keys=[], schema=schema)
     return {"aggregations": out}
 
 
-def _validate_agg_fields(aggs: dict, df: DataFrame) -> None:
+def _validate_agg_fields(aggs: dict, df: DataFrame, schema=None) -> None:
     """Recursive field validation (agg-validate.out): every ``field``
     reference — top level or nested — must name an indexed field (a JSON
     path validates its root column); the error string and the sorted
     available-fields list match the reference exactly."""
     # only engine-internal (__-prefixed) columns are hidden — a user
     # column named 'score' or 'doc_id' is a legitimate agg target
-    available = sorted(c for c in df.columns if not c.startswith("__"))
+    cols = [c for c in df.columns if not c.startswith("__")]
+    if schema is not None:
+        cols += [f.name for f in schema.text_fields
+                 if f.source and f.name not in cols]
+    available = sorted(cols)
     avail_set = set(available)
 
     known = {"range", "histogram", "date_histogram", "terms", "filter",
@@ -304,7 +320,7 @@ def _run_one(df: DataFrame, name: str, spec: dict, parent_keys: list,
                                             tz=_dt.timezone.utc)
             return {"value": float(v),
                     "key_as_string": ts.strftime("%Y-%m-%dT%H:%M:%SZ")}
-        pairs = _metric_exprs("v", spec, df)
+        pairs = _metric_exprs("v", spec, df, schema=schema)
         row = df.agg(*[e.alias(a) for a, e in pairs]).collect()[0]
         vals = row.asDict()
         if list(vals) == ["v"]:
@@ -443,7 +459,8 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list,
     metric_exprs, sub_buckets, top_hits = [], {}, {}
     for sname, sspec in sub.items():
         if _is_metric(sspec):
-            metric_exprs += _metric_exprs(sname, sspec, df)
+            metric_exprs += _metric_exprs(sname, sspec, df,
+                                          schema=schema)
         elif _is_top_hits(sspec):
             top_hits[sname] = sspec
         else:

@@ -341,7 +341,9 @@ def py_analyze(text: str, cfg) -> list[tuple[str, int]]:
     toks = list(enumerate(py_tokenize(text, cfg.tokenizer, cfg.tokenizer_opts,
                                       cfg.lowercase)))
     for f in cfg.filters or ():
-        name, arg = (f if isinstance(f, tuple) else (f, None))
+        # accept 'name', ('name',) or ('name', arg) filter specs
+        name, arg = ((f[0], f[1] if len(f) > 1 else None)
+                     if isinstance(f, tuple) else (f, None))
         if name == "remove_short":
             toks = [(p, t) for p, t in toks if len(t) >= arg]
         elif name == "remove_long":
@@ -571,7 +573,9 @@ def _pandas_token_stream(col: Column, cfg) -> Column:
 
 def _apply_filters(stream: Column, cfg) -> Column:
     for f in cfg.filters or ():
-        name, arg = (f if isinstance(f, tuple) else (f, None))
+        # accept 'name', ('name',) or ('name', arg) filter specs
+        name, arg = ((f[0], f[1] if len(f) > 1 else None)
+                     if isinstance(f, tuple) else (f, None))
         if name == "remove_short":
             stream = F.filter(stream, lambda s: F.length(s["t"]) >= arg)
         elif name == "remove_long":
