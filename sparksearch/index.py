@@ -201,6 +201,22 @@ class SearchIndex:
     def idf(self, field: str, doc_freq: int) -> float:
         return idf(self.num_docs(field), doc_freq)
 
+    def total_docs(self) -> int:
+        """Total docs in the index (the N of every field's BM25 stats —
+        partial-index aware, since meta is computed over the indexed
+        corpus)."""
+        if self.meta:
+            return next(iter(self.meta.values()))["num_docs"]
+        return self.docs.count()
+
+    def attr_df(self, field: str, value) -> int:
+        """Doc frequency of one exact value of an indexed non-text
+        (numeric/boolean) field.  Tantivy reads this from the term
+        dictionary; on Spark the column IS the index, so the lookup is
+        one column-pruned, predicate-pushdown parquet count — bounded by
+        query size (one count per equality leaf), never collected rows."""
+        return self.docs.filter(F.col(field) == F.lit(value)).count()
+
     # -- persistence ("segments") ----------------------------------------
     def save(self, path: str) -> None:
         nb = adaptive_buckets(next(iter(self.meta.values()))["num_docs"]
@@ -363,7 +379,14 @@ def postings_df(docs: DataFrame, schema: IndexSchema,
                             F.transform("e.occ", lambda s: s["p"]).alias("positions"),
                             "len_q"))
             parts.append(part)
-        postings = parts[0]
+        if not parts:
+            # an index with no text fields (reference: pure fast-field
+            # bm25 indexes, e.g. agg-max-pushdown.out `bm25 (id, d)`) —
+            # empty postings, docs themselves are the columnar index
+            postings = docs.sparkSession.createDataFrame(
+                [], _postings_schema_str(docs, schema.key_field))
+        else:
+            postings = parts[0]
         for p in parts[1:]:
             postings = postings.unionByName(p)
 

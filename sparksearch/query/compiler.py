@@ -246,12 +246,29 @@ class _Compiler:
         try:
             t = self._norm(node.field, node.value)
         except KeyError:
-            # unindexed column → constant-score attribute filter
-            return self._attr_filter(F.col(node.field) == F.lit(node.value))
+            # column not in the text schema → attribute term
+            return self._attr_term(node.field, node.value)
         if not isinstance(t, str):
-            # numeric/bool term over a doc attribute → constant-score filter
-            return self._attr_filter(F.col(node.field) == F.lit(t))
+            # numeric/bool term over a doc attribute
+            return self._attr_term(node.field, t)
         return self._terms_scan(self._real_field(node.field), [t]).drop("term")
+
+    def _attr_term(self, field: str, value) -> DataFrame:
+        """Equality over a non-text doc column.  A field DECLARED indexed
+        (schema numeric_fields/boolean_fields) is a real Tantivy term
+        query: fieldnorm=1 ⇒ tf-norm=1 ⇒ the BM25 contribution is exactly
+        idf (columnar_advanced_06_score_function.out Test 3 pins
+        is_featured=true at idf(N=103,df=17)=1.7821901).  An UNDECLARED
+        column is the reference's heap filter — constant score 1.0."""
+        cond = F.col(field) == F.lit(value)
+        if field in self.index.schema.indexed_attr_fields():
+            df_ = self.index.attr_df(field, value)
+            if df_ == 0:
+                return self._empty()
+            import numpy as np
+            score = float(np.float32(idf(self.index.total_docs(), df_)))
+            return self._attr_filter(cond, score=score)
+        return self._attr_filter(cond)
 
     def _c_termset(self, node: ast.TermSet) -> DataFrame:
         if not node.terms:
@@ -1072,8 +1089,35 @@ class _Compiler:
 
     def _c_parse(self, node: ast.Parse) -> DataFrame:
         from sparksearch.query.parser import parse_query
+        if node.field is None:
+            # fieldless pdb.parse(): the reference builds its
+            # QueryParser with EVERY schema field as a default
+            # (QueryParser::for_index(index, schema.fields()),
+            # pg_search/src/index/reader/index.rs:494), so a bare term
+            # expands to a SHOULD over all indexed fields — fields where
+            # the value doesn't parse are skipped under lenient.  A
+            # fully-qualified query string parses to the same tree for
+            # every default field and compiles once.
+            parsed = []
+            for f in self.index.schema.text_fields:
+                try:
+                    p = parse_query(node.query_string, default_field=f.name,
+                                    index_schema=self.index.schema,
+                                    lenient=node.lenient,
+                                    conjunction_mode=node.conjunction_mode)
+                except Exception:
+                    if node.lenient:
+                        continue
+                    raise
+                if p not in parsed:
+                    parsed.append(p)
+            if not parsed:
+                return self._empty()
+            if len(parsed) == 1:
+                return self.compile(parsed[0])
+            return self.compile(ast.Boolean(should=parsed))
         parsed = parse_query(node.query_string,
-                             default_field=node.field or self.index.schema.default_field,
+                             default_field=node.field,
                              index_schema=self.index.schema,
                              lenient=node.lenient,
                              conjunction_mode=node.conjunction_mode)

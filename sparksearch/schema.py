@@ -194,6 +194,21 @@ class IndexSchema:
     # pruning is the segment skip.  Comma-separated column list; empty
     # string disables (reference Test 2.2).
     partition_by: str | None = None
+    # non-text INDEXED fields (reference ``numeric_fields`` /
+    # ``boolean_fields`` WITH options, pg_search/src/schema/config.rs):
+    # on Spark every doc column is already a fast field, so membership
+    # here changes only TERM-QUERY SCORING — an equality over a declared
+    # indexed numeric/boolean field is a Tantivy term query scored
+    # idf-with-fieldnorm-1 (columnar_advanced_06_score_function.out
+    # Test 3: `is_featured = true` contributes idf=1.7821901), while an
+    # undeclared column stays a constant-score heap filter.  Lists of
+    # column names.
+    numeric_fields: list | None = None
+    boolean_fields: list | None = None
+
+    def indexed_attr_fields(self) -> set:
+        """Names of declared indexed non-text (numeric/boolean) fields."""
+        return set(self.numeric_fields or []) | set(self.boolean_fields or [])
 
     def validate(self, docs_schema=None) -> None:
         """Index-configuration validation with the reference's error
@@ -265,6 +280,11 @@ class IndexSchema:
                         "cannot override BM25 configuration for key_field "
                         f"'{self.key_field}', you must use an aliased "
                         "field name and 'column' configuration key")
+        if names is not None:
+            for col in self.indexed_attr_fields():
+                if col not in names:
+                    raise ValueError(f"the column `{col}` does not exist "
+                                     "in the USING clause")
 
     def partition_fields(self, docs_schema=None) -> list:
         """Parse + validate partition_by against the doc schema
