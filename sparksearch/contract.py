@@ -42,7 +42,12 @@ def get_documents_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     if key not in _INDEX_CACHE:
         docs = _t(spark, sf_dir, "documents")
         schema = IndexSchema(key_field="doc_id",
-                             text_fields=[FieldConfig(name="text")])
+                             text_fields=[FieldConfig(name="text")],
+                             # declared INDEXED numeric fast field:
+                             # ast.Term equality over it scores its
+                             # dictionary idf (reference numeric_fields,
+                             # columnar_advanced_06 Test 3)
+                             numeric_fields=["n_chars"])
         _INDEX_CACHE[key] = build_index(docs, schema)
     return _INDEX_CACHE[key]
 
@@ -451,6 +456,20 @@ def q_in_list_pushdown(spark, sf_dir):
     return (both.join(docs.withColumnRenamed("doc_id", "did"),
                       both["doc_id"] == F.col("did"))
             .groupBy("lang").agg(F.count("*").alias("cnt")))
+
+
+def q_attr_term_idf(spark, sf_dir):
+    """Scored disjunction of an indexed-text term and an indexed NUMERIC
+    attribute equality: ``n_chars = min(n_chars)`` over the declared
+    numeric_fields entry is a real term query whose BM25 contribution is
+    exactly its dictionary idf (fieldnorm=1 ⇒ tf-norm=1), the reference's
+    columnar_advanced_06_score_function.out Test 3 semantics
+    (pg_search/src/schema/config.rs numeric_fields)."""
+    idx = get_documents_index(spark, sf_dir)
+    x = int(idx.docs.agg(F.min("n_chars")).collect()[0][0])
+    q = ast.Boolean(should=[ast.Term("text", "spark"),
+                            ast.Term("n_chars", x)])
+    return _score4(compile_query(idx, q)).select("doc_id", "score")
 
 
 def q_topk_order(spark, sf_dir):
@@ -1249,6 +1268,7 @@ QUERIES = {
     # --- new round-4 entries (no prior CORRECTNESS row) ---
     "numeric_decimal_agg": q_numeric_decimal_agg,
     "in_list_pushdown": q_in_list_pushdown,
+    "attr_term_idf": q_attr_term_idf,
     # --- r3-checked below (remaining window slots, then tail) ---
     "cube_agg": q_cube_agg,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1455,6 +1475,18 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
             "WHERE lang IN ('en','de') "
             "AND source IS NOT NULL AND source NOT IN ('src0','src1') "
             "GROUP BY lang"),
+        "attr_term_idf": _bm25_base_cte("spark") + """,
+  xv AS (SELECT min(n_chars) AS x FROM documents),
+  nn AS (SELECT count(*) AS n FROM documents),
+  adf AS (SELECT count(*) AS df FROM documents, xv WHERE n_chars = x),
+  attr AS (
+    SELECT d.doc_id,
+           ln(CAST(1 AS FLOAT) + CAST(CAST(n - df + 0.5 AS FLOAT)
+              / CAST(df + 0.5 AS FLOAT) AS FLOAT)) AS a_score
+    FROM documents d, xv, nn, adf WHERE d.n_chars = xv.x)
+SELECT COALESCE(s.doc_id, a.doc_id) AS doc_id,
+       round(COALESCE(s.exact_score, 0) + COALESCE(a.a_score, 0), 4) AS score
+FROM scored s FULL JOIN attr a ON s.doc_id = a.doc_id""",
         "topk_order": (
             "SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS price "
             "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"),
