@@ -30,6 +30,21 @@ from sparksearch.query import ast
 from sparksearch.scoring import bm25_expr, idf
 from sparksearch.analysis import py_tokenize
 
+
+def _json_num(c: Column) -> Column:
+    """Full-precision numeric view of a JSON-path string value: exact
+    decimal parse first (keeps u64::MAX and 2^53±k distinct), double
+    re-parse as the fallback for scientific-notation renderings."""
+    return F.coalesce(c.try_cast("decimal(38,10)"),
+                      c.try_cast("double").try_cast("decimal(38,10)"))
+
+
+def _as_decimal(v):
+    """Python int/float needle → exact Decimal (str round-trip keeps the
+    typed literal, e.g. 3.14159, not its f64 expansion)."""
+    import decimal
+    return decimal.Decimal(str(v))
+
 MAX_EXPANSIONS = 50  # overridable via sparksearch.config
 
 
@@ -259,8 +274,15 @@ class _Compiler:
         query: fieldnorm=1 ⇒ tf-norm=1 ⇒ the BM25 contribution is exactly
         idf (columnar_advanced_06_score_function.out Test 3 pins
         is_featured=true at idf(N=103,df=17)=1.7821901).  An UNDECLARED
-        column is the reference's heap filter — constant score 1.0."""
-        cond = F.col(field) == F.lit(value)
+        column is the reference's heap filter — constant score 1.0.
+
+        JSON paths compare the extracted value with full numeric
+        precision (pushdown_numeric.out PART 2 multi-type expansion:
+        100 matches both the I64 and F64 storages of 100; u64::MAX and
+        the 2^53±k boundaries stay distinct — a double comparison would
+        collapse them), so the column and an integer needle compare as
+        DECIMAL(38,10), never as f64."""
+        cond = self._attr_in_cond(field, [value])
         if field in self.index.schema.indexed_attr_fields():
             df_ = self.index.attr_df(field, value)
             if df_ == 0:
@@ -269,6 +291,28 @@ class _Compiler:
             score = float(np.float32(idf(self.index.total_docs(), df_)))
             return self._attr_filter(cond, score=score)
         return self._attr_filter(cond)
+
+    def _attr_in_cond(self, field: str, values: list) -> Column:
+        """Equality / IN-list condition over an attribute column or JSON
+        path, numeric values at DECIMAL precision (see _attr_term)."""
+        c, is_json = self._attr_col(field)
+        if not is_json:
+            col = F.col(field)
+            return (col == F.lit(values[0]) if len(values) == 1
+                    else col.isin(list(values)))
+        def _is_num(v):
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+        nums = [v for v in values if _is_num(v)]
+        others = [v for v in values if not _is_num(v)]
+        conds = []
+        if nums:
+            conds.append(_json_num(c).isin([_as_decimal(v) for v in nums]))
+        for v in others:
+            if isinstance(v, bool):
+                conds.append(c == F.lit("true" if v else "false"))
+            else:
+                conds.append(c == F.lit(v))
+        return reduce(lambda a, b: a | b, conds)
 
     def _c_termset(self, node: ast.TermSet) -> DataFrame:
         if not node.terms:
@@ -280,7 +324,7 @@ class _Compiler:
             # (reference term_set over a numeric fast field,
             # expected/term_set_agg.out build-side CTE pattern)
             terms = list(node.terms)
-            return self._attr_filter(F.col(node.field).isin(terms))
+            return self._attr_filter(self._attr_in_cond(node.field, terms))
         str_terms = [t for t in terms if isinstance(t, str)]
         other = [t for t in terms if not isinstance(t, str)]
         parts = []
@@ -290,8 +334,9 @@ class _Compiler:
                                               str_terms)
                 .select("doc_id"))
         if other:
-            parts.append(self._attr_filter(F.col(node.field).isin(other))
-                         .select("doc_id"))
+            parts.append(
+                self._attr_filter(self._attr_in_cond(node.field, other))
+                .select("doc_id"))
         scan = reduce(lambda a, b: a.unionByName(b), parts)
         return scan.distinct().withColumn("score", F.lit(1.0))
 
@@ -377,8 +422,14 @@ class _Compiler:
             from sparksearch.analysis import py_canon_datetime
             b = lo if lo is not None else up
             if isinstance(b, (int, float)) and not isinstance(b, bool):
-                # json numeric paths compare numerically, not lexically
-                c = c.cast("double")
+                # json numeric paths compare numerically, not lexically —
+                # at DECIMAL precision, so 2^53-boundary integer bounds
+                # don't collapse adjacent values (pushdown_numeric.out
+                # PART 3); Decimal bounds keep Spark from demoting the
+                # comparison to double
+                c = _json_num(c)
+                lo = _as_decimal(lo) if lo is not None else None
+                up = _as_decimal(up) if up is not None else None
             elif isinstance(b, _dt.datetime) or (
                     isinstance(b, str) and py_canon_datetime(b) is not None):
                 # datetime subpath (json_range.out: tstzrange /
