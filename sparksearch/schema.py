@@ -205,6 +205,11 @@ class IndexSchema:
     # column names.
     numeric_fields: list | None = None
     boolean_fields: list | None = None
+    # DEPRECATED no-op (reference v0.24.1, datetime_fields_deprecated.out
+    # / issue #5824): pre-v0.24.1 DDL carrying ``datetime_fields`` must
+    # replay cleanly with a warning — datetimes are stored as i64
+    # unconditionally now.  Accepted and ignored.
+    datetime_fields: dict | None = None
 
     def indexed_attr_fields(self) -> set:
         """Names of declared indexed non-text (numeric/boolean) fields."""
@@ -225,6 +230,13 @@ class IndexSchema:
         if not self.key_field:
             raise ValueError(
                 "index should have a `WITH (key_field='...')` option")
+        if self.datetime_fields is not None:
+            import warnings
+            warnings.warn(
+                'As of v0.24.1, "datetime_fields" is deprecated and '
+                "should be removed. It no longer has any effect. The "
+                "performance improvement options it provided are now on "
+                "by default.", DeprecationWarning, stacklevel=2)
         from sparksearch.analysis import tokenizers
         known = set(tokenizers()) | {"inet"}
         names = list(docs_schema.names) if docs_schema is not None else None
