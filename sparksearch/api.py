@@ -531,6 +531,48 @@ def parse_layer_sizes(raw: str) -> list:
     return out
 
 
+def pg_size_pretty(n: int) -> str:
+    """PostgreSQL ``pg_size_pretty`` subset for layer boundaries: unit
+    advances (bytes → kB → MB → GB → TB) only once the value reaches
+    10240 of the current unit, with PG's half-up shift rounding."""
+    units = ["bytes", "kB", "MB", "GB", "TB"]
+    v = int(n)
+    i = 0
+    while i + 1 < len(units) and abs(v) >= 10240:
+        v = (v + 512) >> 10
+        i += 1
+    return f"{v} {units[i]}"
+
+
+def combined_layer_sizes(foreground: list | str | None,
+                         background: list | str | None = None) -> list:
+    """``paradedb.combined_layer_sizes`` analog (index_layer_info.out):
+    the sorted, deduplicated UNION of the foreground ``layer_sizes`` and
+    ``background_layer_sizes`` options — the boundaries every merge
+    policy (fg or bg) may produce, hence the buckets index_layer_info
+    reports.  '0' disables a list (parse drops zero entries)."""
+    def _parse(x):
+        if x is None:
+            return []
+        return parse_layer_sizes(x) if isinstance(x, str) else list(x)
+    return sorted(set(_parse(foreground)) | set(_parse(background)))
+
+
+def index_layer_info(relname: str, sizes: list) -> list:
+    """``pdb.index_layer_info`` bucket rows (index_layer_info.out): one
+    row per layer interval, largest first — '<top>..', then
+    '<lo>..<hi>' pairs, then '..<bottom>' — with pg_size_pretty
+    boundary rendering ('1024 kB..10 MB')."""
+    ss = sorted(sizes)
+    if not ss:
+        return []
+    rows = [f"{pg_size_pretty(ss[-1])}.."]
+    for hi, lo in zip(reversed(ss[1:]), reversed(ss[:-1])):
+        rows.append(f"{pg_size_pretty(lo)}..{pg_size_pretty(hi)}")
+    rows.append(f"..{pg_size_pretty(ss[0])}")
+    return [{"relname": relname, "layer_size": r} for r in rows]
+
+
 def layer_sizes(index_path: str, sizes: list | str | None = None) -> list:
     """Per-layer segment assignment (paradedb.layer_sizes analog): which
     layer each live segment currently belongs to by byte size."""
