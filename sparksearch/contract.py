@@ -870,12 +870,7 @@ def q_join_window_facet(spark, sf_dir):
                     F.round("value", 4).alias("value")))
 
 
-def q_multi_index_scored_join(spark, sf_dir):
-    """Hierarchical scored join (benchmarks/queries/
-    join_hierarchical_content-scores-*.sql): BM25 scores from TWO
-    independent indexes summed across a join — pdb.score(documents) +
-    pdb.score(events) ORDER BY combined DESC."""
-    idx = get_documents_index(spark, sf_dir)
+def _get_events_index(spark, sf_dir):
     key = ("events", id(spark), sf_dir)
     if key not in _INDEX_CACHE:
         from sparksearch.index import build_index
@@ -884,7 +879,36 @@ def q_multi_index_scored_join(spark, sf_dir):
             IndexSchema(key_field="event_id",
                         text_fields=[FieldConfig(name="props",
                                                  tokenizer="json")]))
-    eidx = _INDEX_CACHE[key]
+    return _INDEX_CACHE[key]
+
+
+def q_json_numeric_predicates(spark, sf_dir):
+    """JSON-path NUMERIC predicates at full decimal precision
+    (pushdown_numeric.out PART 2 multi-type semantics, compiler
+    `_json_num`/`_attr_in_cond`): typed int equality, an int range, and
+    their disjunction over events props.k — per-arm match counts."""
+    eidx = _get_events_index(spark, sf_dir)
+    eq = compile_query(eidx, ast.Term("props.k", 69)).select("doc_id")
+    rg = compile_query(eidx, ast.Range("props.k", lower=25, upper=50)) \
+        .select("doc_id")
+    both = compile_query(eidx, ast.Boolean(
+        should=[ast.Term("props.k", 69),
+                ast.Range("props.k", lower=25, upper=50)])) \
+        .select("doc_id")
+    u = (eq.withColumn("arm", F.lit("eq"))
+         .unionByName(rg.withColumn("arm", F.lit("range")))
+         .unionByName(both.withColumn("arm", F.lit("or"))))
+    return (u.groupBy("arm").agg(F.count("*").alias("cnt"))
+            .orderBy("arm"))
+
+
+def q_multi_index_scored_join(spark, sf_dir):
+    """Hierarchical scored join (benchmarks/queries/
+    join_hierarchical_content-scores-*.sql): BM25 scores from TWO
+    independent indexes summed across a join — pdb.score(documents) +
+    pdb.score(events) ORDER BY combined DESC."""
+    idx = get_documents_index(spark, sf_dir)
+    eidx = _get_events_index(spark, sf_dir)
     d = (compile_query(idx, ast.Term("text", "data"))
          .select("doc_id", F.col("score").alias("dscore")))
     es = (compile_query(eidx, ast.Term("props.k", "69"))
@@ -1269,6 +1293,7 @@ QUERIES = {
     "numeric_decimal_agg": q_numeric_decimal_agg,
     "in_list_pushdown": q_in_list_pushdown,
     "attr_term_idf": q_attr_term_idf,
+    "json_numeric_predicates": q_json_numeric_predicates,
     # --- r3-checked below (remaining window slots, then tail) ---
     "cube_agg": q_cube_agg,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1487,6 +1512,16 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
 SELECT COALESCE(s.doc_id, a.doc_id) AS doc_id,
        round(COALESCE(s.exact_score, 0) + COALESCE(a.a_score, 0), 4) AS score
 FROM scored s FULL JOIN attr a ON s.doc_id = a.doc_id""",
+        "json_numeric_predicates": (
+            "SELECT 'eq' AS arm, count(*) AS cnt FROM events "
+            "WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) = 69 "
+            "UNION ALL SELECT 'or', count(*) FROM events "
+            "WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) = 69 "
+            "OR CAST(json_extract_string(props,'$.k') AS BIGINT) "
+            "BETWEEN 25 AND 50 "
+            "UNION ALL SELECT 'range', count(*) FROM events "
+            "WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) "
+            "BETWEEN 25 AND 50 ORDER BY arm"),
         "topk_order": (
             "SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS price "
             "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"),
