@@ -85,9 +85,15 @@ class Empty(Query):
 @dataclass
 class Term(Query):
     """Exact term match; needle is normalized but not tokenized
-    (pdb_query.rs:321-323)."""
+    (pdb_query.rs:321-323).  ``tokenizer`` is the reference's RHS
+    tokenizer cast (``t === 'hello'::pdb.ngram(5, 6)``,
+    tokenizer-rhs-typmod.out): the needle is tokenized with THAT
+    tokenizer first — one resulting token keeps exact-term semantics,
+    several become a TermSet (eqeqeq.rs term_set_str branch)."""
     field: str
     value: object
+    tokenizer: str | None = None
+    tokenizer_opts: dict | None = None
 
 
 @dataclass
@@ -134,10 +140,16 @@ class Phrase(Query):
 class TokenizedPhrase(Query):
     """Phrase whose needle is tokenized with the field's analyzer at
     query time (pdb_query.rs:258-261; the ``### 'running shoes'`` and
-    ``::pdb.slop(n)`` surface compiles to this node — slop.out)."""
+    ``::pdb.slop(n)`` surface compiles to this node — slop.out).
+    ``tokenizer`` is the reference's RHS tokenizer cast
+    (``t ### 'hello'::pdb.ngram(5, 6)``, tokenizer-rhs-typmod.out):
+    the needle is tokenized with THAT tokenizer instead of the
+    field's analyzer."""
     field: str
     phrase: str
     slop: int = 0
+    tokenizer: str | None = None
+    tokenizer_opts: dict | None = None
 
 
 @dataclass

@@ -251,6 +251,25 @@ class _Compiler:
         return self._empty()
 
     def _c_term(self, node: ast.Term) -> DataFrame:
+        if node.tokenizer is not None:
+            # RHS tokenizer cast (tokenizer-rhs-typmod.out,
+            # eqeqeq.rs:133-135): tokenize the needle with the cast's
+            # tokenizer — one token keeps exact-term semantics, several
+            # become a TermSet (term_set_str), none matches nothing.
+            from sparksearch.analysis import py_analyze
+            from sparksearch.schema import FieldConfig
+            base = self._field_cfg(node.field)
+            cast = FieldConfig(name=node.field, tokenizer=node.tokenizer,
+                               tokenizer_opts=dict(node.tokenizer_opts
+                                                   or {}),
+                               lowercase=(base.lowercase if base
+                                          else True))
+            toks = [t for t, _ in py_analyze(str(node.value), cast)]
+            if not toks:
+                return self._empty()
+            if len(toks) == 1:
+                return self._c_term(ast.Term(node.field, toks[0]))
+            return self._c_termset(ast.TermSet(node.field, toks))
         cfg = self._field_cfg(node.field)
         if cfg is not None and cfg.field_type == "ltree":
             # Facet term semantics (ltree.out value_to_term branch +
@@ -690,6 +709,14 @@ class _Compiler:
         chain), then run it as a Phrase (pdb_query.rs:258-261)."""
         from sparksearch.analysis import py_analyze
         cfg = self.index.schema.value_analyzer(node.field)
+        if node.tokenizer is not None:
+            # RHS tokenizer cast (tokenizer-rhs-typmod.out): analyze the
+            # needle with the cast's tokenizer, not the field's
+            from sparksearch.schema import FieldConfig
+            cfg = FieldConfig(name=cfg.name, tokenizer=node.tokenizer,
+                              tokenizer_opts=dict(node.tokenizer_opts
+                                                  or {}),
+                              lowercase=cfg.lowercase)
         terms = [t for t, _ in py_analyze(node.phrase, cfg)]
         if not terms:
             return self._empty()

@@ -280,6 +280,15 @@ class IndexSchema:
                         f"{', '.join(sorted(allowed | filter_names))}.")
             if (names is not None and f.source is None
                     and f.name not in names):
+                if not f.name.replace("_", "a").isalnum():
+                    # an expression used directly as the field name with
+                    # no alias to address it by (tokenizer-alias.out:
+                    # CREATE INDEX ... ((title || ' ' || desc)::pdb.simple)
+                    # without 'alias=...') — the reference rejects it at
+                    # index build (pg_search expression-index validation)
+                    raise ValueError(
+                        "indexed expression requires a tokenizer cast "
+                        f"with an alias: {f.name}")
                 raise ValueError(f"the column `{f.name}` does not exist "
                                  "in the USING clause")
             if f.name == self.key_field and f.source is None:
