@@ -261,7 +261,14 @@ def py_tokenize(text: str, tokenizer: str = "default", opts: dict | None = None,
         # (pushdown_array_field.out)
         return [t for t in text.split("\x00") if t] if text else []
     if tokenizer == "regex":
-        return re.findall(opts.get("pattern", r"\w+"), text)
+        if "pattern" not in opts:
+            # the reference has no bare pdb.regex type — the tokenizer
+            # only exists WITH its pattern argument (tokenizer-types-in-
+            # create-table.out: `type "pdb.regex" does not exist`)
+            raise ValueError('type "pdb.regex" does not exist: the '
+                             "regex tokenizer requires a 'pattern' "
+                             "argument")
+        return re.findall(opts["pattern"], text)
     if tokenizer == "ngram":
         if (opts.get("positions")
                 and int(opts.get("min_gram", 2)) != int(opts.get("max_gram", 3))):
@@ -474,7 +481,11 @@ def _jvm_token_array(col: Column, cfg) -> Column:
         arr = F.filter(F.split(base, "[\\s\\x{0085}\\p{Z}]+"),
                        lambda x: x != "")
     elif tok == "regex":
-        arr = F.regexp_extract_all(base, F.lit(opts.get("pattern", r"\w+")), 0)
+        if "pattern" not in opts:
+            raise ValueError('type "pdb.regex" does not exist: the '
+                             "regex tokenizer requires a 'pattern' "
+                             "argument")
+        arr = F.regexp_extract_all(base, F.lit(opts["pattern"]), 0)
     elif tok in ("keyword", "raw", "literal", "literal_normalized"):
         # split on \x00 TEXT[] element boundaries (no-op for plain text;
         # one raw term per array element — pushdown_array_field.out)
