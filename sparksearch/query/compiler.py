@@ -316,6 +316,15 @@ class _Compiler:
         path, numeric values at DECIMAL precision (see _attr_term)."""
         c, is_json = self._attr_col(field)
         if not is_json:
+            if (field not in self.index.docs.columns
+                    and field.split(".", 1)[0]
+                    not in self.index.docs.columns):
+                # neither an index field (alias included) nor a heap
+                # column — the reference's alias-resolution error
+                # (tokenizer-query-using-alias.out: pdb.alias(no_such_
+                # alias) → field ... is not part of the pg_search index)
+                raise KeyError(f"field '{field}' is not part of the "
+                               "pg_search index")
             col = F.col(field)
             return (col == F.lit(values[0]) if len(values) == 1
                     else col.isin(list(values)))
