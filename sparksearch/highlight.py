@@ -276,7 +276,13 @@ def _snippet_source(index, field: str):
     ``get_json_object`` and highlight with the json field's VALUE
     tokenizer (reference pg_regress snippet_json_01_basic.out:
     ``pdb.snippet(metadata_jsonb->'details'->'author'->>'description')``)."""
-    cfg, prefix = index.schema.resolve(field)
+    try:
+        cfg, prefix = index.schema.resolve(field)
+    except KeyError:
+        # snippet over a non-indexed column (issue_3212.out): the
+        # reference errors — snippets need the index's analyzer
+        raise KeyError(f"cannot generate snippet for field {field} "
+                       "because it was not found in the index")
     if prefix:
         path = prefix[:-1]
         return (F.get_json_object(F.col(cfg.name), "$." + path),
