@@ -1,0 +1,125 @@
+"""Four more issue-repro pg_regress goldens (PUBLIC reference
+behavior, corpora replicated inline):
+
+- ``issue_3890.out`` — pdb.agg terms over a JSON path indexed with a
+  LITERAL value tokenizer (metadata::pdb.literal): case-preserved
+  bucket keys, default size 10, sum_other_doc_count = 2 over the 41
+  mock_items rows (12 distinct colors).
+- ``issue_3944.out`` — a JSON ALIAS field (metadata_simple, simple
+  value tokenizer) coexisting with the default json field; parse
+  'metadata_simple.name:red' resolves through the alias → row 1.
+- ``issue_3998.out`` — ``fieldnorms=false``: a 4-word doc and a
+  504-word doc score IDENTICALLY (0.30770555 float32-exact) for the
+  same term — length normalization reads fieldnorm 1.
+- ``issue_3300.out`` — term_set built from a build-side table
+  (ARRAY(SELECT ...)): Electronics + Clothing over a
+  literal-tokenized category → exactly 5 of the 41 mock_items.
+
+(issue_4103.out — custom-scan hook in a database WITHOUT the
+extension — is Postgres catalog machinery, N/A here.)
+
+Ref: pg_search/tests/pg_regress/expected/issue_{3890,3944,3998,3300}.out
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch import FieldConfig, IndexSchema, build_index
+from sparksearch.aggs import search_aggregate
+from sparksearch.fixtures import mock_items
+from sparksearch.query import ast
+from sparksearch.query.compiler import compile_query
+
+
+# --- issue_3890.out ----------------------------------------------------------
+
+def test_json_literal_terms_agg_envelope(spark):
+    docs = mock_items(spark)
+    idx = build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[FieldConfig(name="metadata", tokenizer="json",
+                                 tokenizer_opts={"value_tokenizer":
+                                                 "literal"},
+                                 lowercase=False)]))
+    res = search_aggregate(idx, ast.All(),
+                           {"agg": {"terms": {"field":
+                                              "metadata.color"}}})
+    got = res["aggregations"]["agg"]
+    # Bucket ORDER among equal counts diverges deliberately: the golden
+    # prints Multicolor before Black (both 8) yet its 1-count tail is
+    # ascending (Clear..Yellow) — no single comparator produces both;
+    # that order is Tantivy's internal cut order.  This engine uses the
+    # ES-documented (count desc, key asc) everywhere.  The bucket SET,
+    # counts, size-10 cut and envelope are pinned exactly.
+    canon = sorted(got["buckets"],
+                   key=lambda b: (-b["doc_count"], b["key"]))
+    assert got["buckets"] == canon
+    assert canon == sorted([
+        {"key": "Brown", "doc_count": 10},
+        {"key": "Multicolor", "doc_count": 8},
+        {"key": "Black", "doc_count": 8},
+        {"key": "Blue", "doc_count": 4},
+        {"key": "White", "doc_count": 3},
+        {"key": "Silver", "doc_count": 2},
+        {"key": "Clear", "doc_count": 1},
+        {"key": "Green", "doc_count": 1},
+        {"key": "Red", "doc_count": 1},
+        {"key": "Yellow", "doc_count": 1}],
+        key=lambda b: (-b["doc_count"], b["key"]))
+    assert got["sum_other_doc_count"] == 2
+    assert got["doc_count_error_upper_bound"] == 0
+
+
+# --- issue_3944.out ----------------------------------------------------------
+
+def test_json_alias_field_parse(spark):
+    docs = spark.createDataFrame(
+        [(1, '{"name": "red apple", "tags": ["test", "jsonb"]}'),
+         (2, '{"name": "blueberry", "tags": ["test", "jsonb"]}')],
+        "id long, metadata string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[
+            FieldConfig(name="metadata", tokenizer="json"),
+            FieldConfig(name="metadata_simple", source="metadata",
+                        tokenizer="json",
+                        tokenizer_opts={"value_tokenizer": "simple"})]))
+    got = compile_query(
+        idx, ast.Parse("metadata_simple.name:red")).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+# --- issue_3998.out ----------------------------------------------------------
+
+def test_fieldnorms_false_identical_scores(spark):
+    long_doc = "this is a test " + ("word " * 500)
+    docs = spark.createDataFrame(
+        [(1, "this is a test"), (2, long_doc.rstrip())],
+        "id int, content string")
+    idx = build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[FieldConfig(name="content", tokenizer="simple",
+                                 fieldnorms=False)]))
+    got = sorted((r["doc_id"], np.float32(r["score"])) for r in
+                 compile_query(idx, ast.Parse("test",
+                                              field="content")).collect())
+    assert got == [(1, np.float32(0.30770555)),
+                   (2, np.float32(0.30770555))]
+
+
+# --- issue_3300.out ----------------------------------------------------------
+
+def test_term_set_from_build_side_table(spark):
+    docs = mock_items(spark)
+    idx = build_index(docs, IndexSchema(
+        key_field="id",
+        text_fields=[FieldConfig(name="description"),
+                     FieldConfig(name="category", tokenizer="literal")]))
+    allowed = spark.createDataFrame([("Electronics",), ("Clothing",)],
+                                    "category string")
+    # ARRAY(SELECT ... LIMIT 5) — the build side collapses to an
+    # IN-list on the driver (build-side IN-list pushdown)
+    terms = [r["category"] for r in allowed.limit(5).collect()]
+    got = compile_query(idx, ast.TermSet("category", terms)).count()
+    assert got == 5
