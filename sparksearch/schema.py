@@ -450,6 +450,46 @@ class IndexSchema:
                                tokenizer_opts=opts, lowercase=lc)
         return cfg
 
+    def resolve_lhs_cast(self, source: str, tokenizer: str,
+                         tokenizer_opts: dict | None = None,
+                         alias: str | None = None,
+                         filters: list | None = None,
+                         operator: str = "@@@",
+                         query_text: str = "") -> FieldConfig:
+        """Resolve a tokenizer cast used on the LEFT-hand side of a text
+        query operator (``(t::pdb.ngram(2,3,'alias=x')) @@@ 'q'``) to
+        the index field it addresses.
+
+        The reference matches the cast against the index's expression
+        fields by EXACT expression equality (tokenizer-invalid-lhs.out):
+        a cast with no alias, an alias the index doesn't define, or any
+        tokenizer/param difference from the indexed expression — even
+        with a matching alias — fails to resolve, and the operator
+        errors with ``query is incompatible with pg_search's
+        `@@@(field, TEXT)` operator`` (same text for &&& ||| ### ===).
+        Only an exact (alias, tokenizer, params, filters) match routes.
+        """
+        err = ValueError(
+            f"query is incompatible with pg_search's "
+            f"`{operator}(field, TEXT)` operator: `{query_text}`")
+        if alias is None:
+            raise err
+        try:
+            cfg = self.field(alias)
+        except (KeyError, ValueError):
+            raise err from None
+        # canonicalize the cast's parameters exactly like an index
+        # definition would (filter-order canonicalization, typed-field
+        # defaults) and require identity with the indexed expression
+        cast = FieldConfig(name=alias, source=source, tokenizer=tokenizer,
+                           tokenizer_opts=dict(tokenizer_opts or {}),
+                           filters=list(filters) if filters else None)
+        if (cfg.source != cast.source or cfg.tokenizer != cast.tokenizer
+                or cfg.tokenizer_opts != cast.tokenizer_opts
+                or (cfg.filters or None) != (cast.filters or None)):
+            raise err
+        return cfg
+
     @property
     def field_names(self) -> list:
         return [f.name for f in self.text_fields]
