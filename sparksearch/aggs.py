@@ -189,6 +189,13 @@ def _metric_exprs(name: str, spec: dict, df=None, schema=None) -> list:
     numeric = kind not in ("value_count", "cardinality")
     c = (_resolve_field(field, df, numeric=numeric, schema=schema)
          if field else None)
+    missing = (spec[kind].get("missing")
+               if isinstance(spec[kind], dict) else None)
+    if c is not None and missing is not None:
+        # ES metric "missing" option (and the reference's
+        # COUNT(COALESCE(col, const)) pushdown — issue_3196.out renders
+        # it as {"value_count": {"field": col, "missing": const}})
+        c = F.coalesce(c, F.lit(missing))
     if kind == "value_count":
         # tantivy renders value_count as f64 — `{"value": 3.0}` in
         # expected/term_set_agg.out's aggregate envelope
@@ -625,6 +632,96 @@ def _jval(v):
     if isinstance(v, decimal.Decimal):
         return float(v)
     return v
+
+
+def _warn_agg_scan(reason: str, table_name: str) -> None:
+    from sparksearch import config as _cfg
+    if not _cfg.CONFIG.check_aggregate_scan:
+        return
+    import warnings
+    warnings.warn(
+        f"Aggregate Scan not used: {reason}. To disable this warning: "
+        f"SET paradedb.check_aggregate_scan = false (table: {table_name})",
+        stacklevel=3)
+
+
+_IDENT = None  # compiled lazily
+
+
+def count_aggregate_spec(index, arg: str) -> dict | None:
+    """Translate a SQL ``COUNT(<arg>)`` argument into the pushable
+    value_count spec, or warn and return None for the heap-fallback
+    path (reference aggregatescan/aggregate_type.rs:568-585
+    parse_aggregate_field + parse_coalesce_expression; warning text
+    and fallback behavior pinned by issue_3196.out).
+
+    Pushable forms: ``*`` (count over the key, the ctid analog), a
+    direct column reference, and ``COALESCE(col, const)`` (const
+    becomes the ES ``missing`` value, so NULLs count).  A JSON
+    projection or any other expression is not a Var → warning +
+    None; COALESCE whose first argument isn't a plain column or whose
+    second isn't a constant warns with the reference's specific text.
+    """
+    import re
+    global _IDENT
+    if _IDENT is None:
+        _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    tname = getattr(index, "table_name", "") or "?"
+    arg = arg.strip()
+    if arg == "*":
+        return {"value_count": {"field": index.schema.key_field}}
+    m = re.match(r"(?is)^coalesce\s*\((.*)\)$", arg)
+    if m:
+        parts = [p.strip() for p in m.group(1).split(",")]
+        if len(parts) < 2 or not _IDENT.match(parts[0]):
+            _warn_agg_scan("first argument of COALESCE must resolve "
+                           "to a variable", tname)
+            return None
+        try:
+            missing = float(parts[1])
+        except ValueError:
+            _warn_agg_scan("second argument of COALESCE must resolve "
+                           "to a constant", tname)
+            return None
+        return {"value_count": {"field": parts[0], "missing": missing}}
+    if _IDENT.match(arg):
+        return {"value_count": {"field": arg}}
+    _warn_agg_scan("argument to aggregate function is neither a direct "
+                   "column reference nor a COALESCE expression", tname)
+    return None
+
+
+def grouping_columns(index, group_by: list) -> list:
+    """The grouping columns the aggregate scan sees AFTER Postgres's
+    functional-dependency elimination: when the key field (the PK) is
+    in GROUP BY, every other plain column reference is functionally
+    dependent on it and is dropped — but expressions (JSON paths etc.)
+    survive, since remove_useless_groupby_columns only elides Vars.
+    (issue_3050.out: GROUP BY id, rating reduces to [id]; GROUP BY id,
+    metadata->>'color' keeps the JSON path.)"""
+    import re
+    if index.schema.key_field not in group_by:
+        return list(group_by)
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    return [g for g in group_by
+            if g == index.schema.key_field or not ident.match(g)]
+
+
+def check_grouped_targets(index, select_fields: list,
+                          group_by: list) -> bool:
+    """The aggregate scan's target-list check (aggregatescan/
+    targetlist.rs:221-236): every non-aggregate select field must be
+    one of the grouping columns that SURVIVED functional-dependency
+    elimination; otherwise warn ``Field 'X' is not a grouping column``
+    (issue_3050.out) and return False → the caller falls back to the
+    plain groupBy plan, which returns the same rows."""
+    gcols = grouping_columns(index, group_by)
+    tname = getattr(index, "table_name", "") or "?"
+    for f in select_fields:
+        if f not in gcols:
+            _warn_agg_scan(f"Field '{f}' is not a grouping column", tname)
+            return False
+    return True
 
 
 def search_aggregate(index, query, aggs) -> dict:

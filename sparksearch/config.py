@@ -43,6 +43,10 @@ class EngineConfig:
     # distance operator mismatches the index opclass (reference GUC
     # paradedb.check_topk_scan, vector_search_pushdown.out WARNINGs)
     check_topk_scan: bool = True
+    # warn when a SQL aggregate can't ride the index aggregate scan
+    # (reference GUC paradedb.check_aggregate_scan, issue_3050.out /
+    # issue_3196.out WARNINGs)
+    check_aggregate_scan: bool = True
 
 
 CONFIG = EngineConfig()
