@@ -215,7 +215,9 @@ class SearchIndex:
         dictionary; on Spark the column IS the index, so the lookup is
         one column-pruned, predicate-pushdown parquet count — bounded by
         query size (one count per equality leaf), never collected rows."""
-        return self.docs.filter(F.col(field) == F.lit(value)).count()
+        src = self.schema.attr_source(field)
+        c = F.expr(src) if src is not None else F.col(field)
+        return self.docs.filter(c == F.lit(value)).count()
 
     # -- persistence ("segments") ----------------------------------------
     def save(self, path: str) -> None:

@@ -318,14 +318,15 @@ class _Compiler:
         if not is_json:
             if (field not in self.index.docs.columns
                     and field.split(".", 1)[0]
-                    not in self.index.docs.columns):
+                    not in self.index.docs.columns
+                    and self.index.schema.attr_source(field) is None):
                 # neither an index field (alias included) nor a heap
                 # column — the reference's alias-resolution error
                 # (tokenizer-query-using-alias.out: pdb.alias(no_such_
                 # alias) → field ... is not part of the pg_search index)
                 raise KeyError(f"field '{field}' is not part of the "
                                "pg_search index")
-            col = F.col(field)
+            col = c   # plain column, or an aliased expression's F.expr
             return (col == F.lit(values[0]) if len(values) == 1
                     else col.isin(list(values)))
         def _is_num(v):
@@ -436,6 +437,12 @@ class _Compiler:
         try:
             cfg, prefix = self.index.schema.resolve(field)
         except KeyError:
+            src = self.index.schema.attr_source(field)
+            if src is not None:
+                # aliased numeric/boolean EXPRESSION field
+                # (issue_3711.out): the alias's value IS the evaluated
+                # source expression over the doc row
+                return F.expr(src), False
             return F.col(field), False
         if prefix:
             return (F.get_json_object(F.col(cfg.name), "$." + prefix[:-1]),

@@ -212,8 +212,24 @@ class IndexSchema:
     datetime_fields: dict | None = None
 
     def indexed_attr_fields(self) -> set:
-        """Names of declared indexed non-text (numeric/boolean) fields."""
-        return set(self.numeric_fields or []) | set(self.boolean_fields or [])
+        """Names of declared indexed non-text (numeric/boolean) fields.
+        An entry may be a plain column name or an (alias, source_expr)
+        pair — the reference's aliased numeric expression fields
+        (issue_3711.out: ``(i * 2)::pdb.alias('another_name')``)."""
+        return {e[0] if isinstance(e, (tuple, list)) else e
+                for e in ((self.numeric_fields or [])
+                          + (self.boolean_fields or []))}
+
+    def attr_source(self, name: str) -> str | None:
+        """Source SQL expression of an ALIASED non-text indexed field,
+        or None for plain column entries (issue_3711.out: predicates
+        over the expression — ``(i * 2) = 2`` — compile to term queries
+        on the alias)."""
+        for e in ((self.numeric_fields or [])
+                  + (self.boolean_fields or [])):
+            if isinstance(e, (tuple, list)) and e[0] == name:
+                return e[1]
+        return None
 
     def validate(self, docs_schema=None) -> None:
         """Index-configuration validation with the reference's error
@@ -303,7 +319,7 @@ class IndexSchema:
                         "field name and 'column' configuration key")
         if names is not None:
             for col in self.indexed_attr_fields():
-                if col not in names:
+                if col not in names and self.attr_source(col) is None:
                     raise ValueError(f"the column `{col}` does not exist "
                                      "in the USING clause")
 
