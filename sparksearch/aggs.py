@@ -707,6 +707,40 @@ def grouping_columns(index, group_by: list) -> list:
             if g == index.schema.key_field or not ident.match(g)]
 
 
+_KEYWORD_FAMILY = ("keyword", "raw", "literal", "literal_normalized",
+                   "datetime", "inet")
+
+
+def check_grouping_columns(index, group_by: list) -> bool:
+    """Eligibility of each GROUP BY column for the index aggregate scan
+    (issue_3827.out): a TOKENIZED text field's fast data is its tokens,
+    not the raw value, so grouping on it warns ``grouping column X
+    exists, but is not a fast field``; a column not in the index at all
+    warns ``grouping column X is missing from index``.  Keyword-family
+    text fields, the key, declared numeric/boolean fields, and JSON
+    paths group fine.  Returns False (after warning) on the first
+    ineligible column — the caller falls back to the plain groupBy
+    plan, which returns the same rows."""
+    tname = getattr(index, "table_name", "") or "?"
+    schema = index.schema
+    for g in group_by:
+        if g == schema.key_field or g in schema.indexed_attr_fields():
+            continue
+        if "." in g:   # JSON path — json fields are fast
+            continue
+        try:
+            cfg = schema.field(g)
+        except (KeyError, ValueError):
+            _warn_agg_scan(f"grouping column {g} is missing from index",
+                           tname)
+            return False
+        if cfg.tokenizer not in _KEYWORD_FAMILY:
+            _warn_agg_scan(f"grouping column {g} exists, but is not a "
+                           "fast field", tname)
+            return False
+    return True
+
+
 def check_grouped_targets(index, select_fields: list,
                           group_by: list) -> bool:
     """The aggregate scan's target-list check (aggregatescan/
