@@ -691,6 +691,30 @@ def count_aggregate_spec(index, arg: str) -> dict | None:
     return None
 
 
+_PUSHABLE_AGG_FNS = {"count": "value_count", "sum": "sum", "avg": "avg",
+                     "min": "min", "max": "max"}
+
+
+def sql_aggregate_spec(index, fn: str, arg: str) -> dict | None:
+    """Translate ``<fn>(<arg>)`` into the pushable ES metric spec —
+    count/sum/avg/min/max only, like the reference's
+    AggregateType::try_from OID whitelist (aggregate_type.rs:635-680);
+    any other function warns ``unsupported aggregate function: <fn>``
+    (issue_4906_ltree_op_absent.out's array_agg) and returns None for
+    the heap-fallback path."""
+    kind = _PUSHABLE_AGG_FNS.get(fn.lower())
+    if kind is None:
+        _warn_agg_scan(f"unsupported aggregate function: {fn}",
+                       getattr(index, "table_name", "") or "?")
+        return None
+    spec = count_aggregate_spec(index, arg)
+    if spec is None:
+        return None
+    if kind != "value_count":
+        spec = {kind: spec["value_count"]}
+    return spec
+
+
 def grouping_columns(index, group_by: list) -> list:
     """The grouping columns the aggregate scan sees AFTER Postgres's
     functional-dependency elimination: when the key field (the PK) is
