@@ -66,6 +66,14 @@ def _warn_unpushable_order(index, order_by, limit) -> None:
         for f in index.schema.text_fields:
             if not f.fast:
                 continue
+            # only KEYWORD-FAMILY text fields store the raw value as
+            # fast data — a tokenized field's fast data is its tokens,
+            # so it cannot serve ORDER BY (tokenizer_literal_normalized
+            # .out: unicode_words warns, literal/literal_normalized
+            # ride TopK)
+            if f.tokenizer not in ("keyword", "raw", "literal",
+                                   "literal_normalized"):
+                continue
             # a fast text field's column stores its SOURCE expression's
             # raw value: ORDER BY rides it only when the sort expression
             # IS that stored value — a field indexed as
