@@ -221,7 +221,17 @@ def insert_docs(spark: SparkSession, index_path: str, docs: DataFrame,
     this is the reference's UPDATE flow (mutable-toast.out: the new row
     version is visible, the tombstoned old one is not).  Returns the new
     segment path."""
+    # a new segment's name must be UNKNOWN to the manifest: a retired
+    # name is invisible by the marker-union rule (reusing epoch=i0 after
+    # a compaction retired it would silently swallow the insert —
+    # mutable-toast-vacuum churn), and any on-disk dir is off-limits too
     existing = {os.path.basename(s) for s in _committed_segments(index_path)}
+    man = _read_manifest(index_path)
+    if man is not None:
+        existing |= set(man["live"]) | set(man.get("retired", []))
+    seg_base = f"{index_path}/segments"
+    if os.path.isdir(seg_base):
+        existing |= set(os.listdir(seg_base))
     n = 0
     while f"epoch=i{n}" in existing:
         n += 1
