@@ -192,7 +192,27 @@ def evaluate(pidx: PyIndex, node) -> dict:
                 out[r[key]] = 1.0
         return out
     if isinstance(node, ast.HeapFilter):
-        raise NotImplementedError("HeapFilter needs SQL — not oracle-checked")
+        # simple-predicate evaluator (col <op> int, bare bool col, NOT x)
+        # — enough for the fuzzer's generated heap predicates
+        base = evaluate(pidx, node.query)
+        by_key = {r[pidx.key]: r for r in pidx.rows}
+
+        def _ok(doc):
+            p = node.predicate.strip()
+            neg = p.upper().startswith("NOT ")
+            if neg:
+                p = p[4:].strip()
+            m = re.match(r"^(\w+)\s*(>=|<=|=|<|>)\s*(\d+)$", p)
+            if m:
+                x = by_key[doc].get(m.group(1))
+                v = int(m.group(3))
+                res = x is not None and \
+                    {"=": x == v, ">": x > v, "<": x < v,
+                     ">=": x >= v, "<=": x <= v}[m.group(2)]
+            else:
+                res = bool(by_key[doc].get(p))
+            return res != neg
+        return {d: s for d, s in base.items() if _ok(d)}
     if isinstance(node, ast.Boolean):
         must = [evaluate(pidx, c) for c in node.must]
         should = [evaluate(pidx, c) for c in node.should]

@@ -24,8 +24,10 @@ CATS = ["Electronics", "Footwear", "Books", "Toys", "Apparel"]
 
 def gen_query(rng: random.Random, depth: int = 0) -> ast.Query:
     leaf_kinds = ["term", "termset", "match", "phrase", "range", "fuzzy",
-                  "regex", "exists", "tokphrase", "proximity"]
-    node_kinds = ["bool", "boost", "const", "dismax"] if depth < 3 else []
+                  "regex", "exists", "tokphrase", "proximity",
+                  "phraseprefix", "all"]
+    node_kinds = (["bool", "boost", "const", "dismax", "heapfilter",
+                   "scorefilter"] if depth < 3 else [])
     kind = rng.choice(leaf_kinds * 2 + node_kinds * 3)
     if kind == "term":
         roll = rng.random()
@@ -78,6 +80,19 @@ def gen_query(rng: random.Random, depth: int = 0) -> ast.Query:
         return ast.Proximity("description", rng.choice(VOCAB),
                              rng.randint(0, 4), rng.choice(VOCAB),
                              ordered=rng.random() < 0.5)
+    if kind == "phraseprefix":
+        pool = [["running", "sho"], ["metal", "key"], ["sleek", "run"],
+                ["digital", "cam"]]
+        return ast.PhrasePrefix("description", rng.choice(pool))
+    if kind == "all":
+        return ast.All()
+    if kind == "heapfilter":
+        pred = rng.choice(["rating >= 3", "rating < 4", "in_stock",
+                           "NOT in_stock", "rating = 5"])
+        return ast.HeapFilter(gen_query(rng, depth + 1), pred)
+    if kind == "scorefilter":
+        return ast.ScoreFilter(gen_query(rng, depth + 1),
+                               min_score=rng.choice([0.1, 0.5, 1.0]))
     if kind == "boost":
         return ast.Boost(gen_query(rng, depth + 1), rng.choice([0.5, 2.0, 3.0]))
     if kind == "const":
@@ -108,7 +123,7 @@ def pidx():
                    mock_items_index_schema())
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(60))
 def test_random_query_differential(mock_index, pidx, seed):
     rng = random.Random(1000 + seed)
     q = gen_query(rng)
