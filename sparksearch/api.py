@@ -94,7 +94,7 @@ def index_fields(index) -> list:
     return [{
         "name": f.name, "tokenizer": f.tokenizer,
         "tokenizer_opts": dict(f.tokenizer_opts), "record": f.record,
-        "fast": f.fast, "lowercase": f.lowercase,
+        "fast": f.fast is not False, "lowercase": f.lowercase,
     } for f in index.schema.text_fields]
 
 
@@ -162,7 +162,7 @@ def schema(index) -> list:
             "indexed": f.indexed,
             # the key field is ALWAYS fast (every scan resolves it);
             # JsonObject fields are not fast in the reference dump
-            "fast": (f.fast or f.name == key) and not is_json,
+            "fast": (f.fast is not False or f.name == key) and not is_json,
             "expand_dots": True if is_json else None,
             "tokenizer": _tokenizer_descriptor(f), "record": f.record,
             "normalizer": ("raw" if f.tokenizer in

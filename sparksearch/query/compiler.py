@@ -1216,3 +1216,49 @@ class _Compiler:
                              lenient=node.lenient,
                              conjunction_mode=node.conjunction_mode)
         return self.compile(parsed)
+
+
+def compile_predicate(index, node: ast.Query, docs: DataFrame | None = None,
+                      name: str = "__match") -> DataFrame:
+    """SQL operator-boundary view of a search predicate: ``docs`` plus a
+    THREE-VALUED boolean column ``name`` — TRUE on matching rows, FALSE
+    on non-matching rows, NULL when the operator's LHS column is NULL —
+    so Spark's native ``~``/``&``/``|`` over the column reproduces
+    Postgres's NULL semantics for ``NOT (col @@@ q)`` compositions
+    (reference issue #5264, tests/tests/query_edge_cases.rs:131-355).
+
+    LHS inference mirrors how the reference SQL is written:
+
+    - field-addressed nodes (``color @@@ 'blue'`` → Term/Match/Parse/…
+      carrying ``.field``) take that column as LHS: a NULL field can
+      never match, and its non-match is SQL NULL, not FALSE;
+    - :class:`ast.Exists` is an EXISTENCE predicate: two-valued, FALSE
+      (never NULL) on missing rows, so its negation returns exactly the
+      missing rows — even wrapped in Boost/ConstScore, which the
+      reference unwraps before the null-guard
+      (query_edge_cases.rs:273-352 negated_exists / boosted / const);
+    - everything else (All/Empty, key-addressed query-builder
+      composites, HeapFilter/HeapOr) is keyed by the never-NULL
+      key_field: two-valued.
+
+    Note NULL-ness is the COLUMN's, not emptiness: a text[] row holding
+    ``{}`` is SQL NOT NULL and negates to TRUE
+    (query_edge_cases.rs:355-407 empty-array repro).
+    """
+    docs = index.docs if docs is None else docs
+    key = index.schema.key_field
+    core = node
+    while isinstance(core, (ast.Boost, ast.ConstScore)):
+        core = core.query
+    m = (compile_query(index, node)
+         .select(F.col("doc_id").alias("__pm_id"),
+                 F.lit(True).alias("__pm")))
+    out = docs.join(m, docs[key] == m["__pm_id"], "left")
+    lhs = getattr(core, "field", None)
+    if lhs is not None and not isinstance(core, ast.Exists):
+        pred = (F.when(F.col("__pm"), F.lit(True))
+                .when(F.col(lhs).isNull(), F.lit(None).cast("boolean"))
+                .otherwise(F.lit(False)))
+    else:
+        pred = F.coalesce(F.col("__pm"), F.lit(False))
+    return out.withColumn(name, pred).drop("__pm_id", "__pm")

@@ -64,15 +64,18 @@ def _warn_unpushable_order(index, order_by, limit) -> None:
             return True  # numeric/date/timestamp/bool: fast by default
         norm = c.replace(" ", "").lower()
         for f in index.schema.text_fields:
-            if not f.fast:
+            if f.fast is False:
                 continue
-            # only KEYWORD-FAMILY text fields store the raw value as
-            # fast data — a tokenized field's fast data is its tokens,
-            # so it cannot serve ORDER BY (tokenizer_literal_normalized
-            # .out: unicode_words warns, literal/literal_normalized
-            # ride TopK)
-            if f.tokenizer not in ("keyword", "raw", "literal",
-                                   "literal_normalized"):
+            # a text field's fast data stores the raw value when the
+            # tokenizer is KEYWORD-FAMILY (implies fast raw storage) or
+            # when the config says "fast": true EXPLICITLY — a merely
+            # tokenized field without either cannot serve ORDER BY
+            # (tokenizer_literal_normalized.out: bare unicode_words
+            # warns; join_order_by_is_null.out: {"fast": true} under
+            # the default tokenizer rides TopK silently)
+            if (f.tokenizer not in ("keyword", "raw", "literal",
+                                    "literal_normalized")
+                    and f.fast is not True):
                 continue
             # a fast text field's column stores its SOURCE expression's
             # raw value: ORDER BY rides it only when the sort expression

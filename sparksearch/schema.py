@@ -42,7 +42,15 @@ class FieldConfig:
     tokenizer_opts: dict = dc_field(default_factory=dict)
     filters: list | None = None          # token-filter chain; None = tokenizer default
     record: str = RECORD_POSITION
-    fast: bool = True                    # columnar (always true on Spark)
+    # ``fast``: None = not explicitly configured.  Physically every doc
+    # column is columnar parquet on Spark, and admin surfaces render it
+    # as fast — but only an EXPLICIT ``fast=True`` lets a TOKENIZED
+    # text field serve ORDER BY without the check_topk_scan warning
+    # (join_order_by_is_null.out: {"name": {"fast": true}} rides TopK
+    # under a default tokenizer; tokenizer_literal_normalized.out: the
+    # same tokenizer WITHOUT fast warns).
+    fast: bool | None = None
+
     indexed: bool = True
     lowercase: bool = True               # normalizer for keyword/raw fields
     k1: float = 1.2                      # per-field BM25 params (reference
@@ -540,7 +548,7 @@ class IndexSchema:
             fields.append(FieldConfig(
                 name=name, tokenizer=tok_type, tokenizer_opts=opts,
                 record=cfg.get("record", RECORD_POSITION),
-                fast=cfg.get("fast", True),
+                fast=cfg.get("fast"),
                 lowercase=cfg.get("lowercase", True),
             ))
         return IndexSchema(key_field=key_field, text_fields=fields, **kw)

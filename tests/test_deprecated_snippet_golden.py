@@ -6,6 +6,8 @@ offset exhausts a document's occurrences, plus the default multi-
 highlight snippet and the snippets (array) surface.
 
 Ref: pg_search/tests/pg_regress/expected/deprecated_snippet.out
+     pg_search/tests/pg_regress/expected/issue_3474.out (same corpus,
+     same limit/offset matrix + snippets() array surface)
 """
 
 import pytest

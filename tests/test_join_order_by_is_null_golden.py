@@ -25,8 +25,10 @@ PEOPLE = [(201, 101), (202, 101), (203, 102), (204, 104)]
 def join_fixture(spark):
     companies = spark.createDataFrame(COMPANIES, "id long, name string")
     people = spark.createDataFrame(PEOPLE, "id long, company_id long")
+    # reference DDL: text_fields='{"name": {"fast": true}}' — the
+    # EXPLICIT fast flag is what lets the tokenized field serve ORDER BY
     cidx = build_index(companies, IndexSchema(
-        key_field="id", text_fields=[FieldConfig(name="name")]))
+        key_field="id", text_fields=[FieldConfig(name="name", fast=True)]))
     return cidx, companies, people
 
 
