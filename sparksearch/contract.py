@@ -902,6 +902,35 @@ def q_json_numeric_predicates(spark, sf_dir):
             .orderBy("arm"))
 
 
+def q_sql_null_semantics(spark, sf_dir):
+    """SQL three-valued logic at the search-operator boundary (issue
+    #5264, tests/tests/query_edge_cases.rs ports): over documents with
+    a synthesized NULLable keyword column ``color = NULLIF(lang, 'de')``
+    count the four arms of ``color @@@ 'en'`` — matches, SQL-NOT matches
+    (NULL rows drop out), NULL-valued rows, and negated-exists (rows
+    where the field is missing, which exists() maps to FALSE not NULL).
+    Uses compile_predicate's three-valued match column; Spark's native
+    ``~`` then IS the Postgres NOT."""
+    from sparksearch.query.compiler import compile_predicate
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("nullif(lang, 'de')").alias("color"))
+    key = ("nullsem", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(docs, IndexSchema(
+            key_field="doc_id",
+            text_fields=[FieldConfig(name="color", tokenizer="keyword",
+                                     lowercase=False)]))
+    idx = _INDEX_CACHE[key]
+    out = compile_predicate(idx, ast.Term("color", "en"), docs)
+    ex = compile_predicate(idx, ast.Exists("color"), docs, name="__ex")
+    s = out.select(
+        F.count(F.when(F.col("__match"), 1)).alias("n_match"),
+        F.count(F.when(~F.col("__match"), 1)).alias("n_not"),
+        F.count(F.when(F.col("__match").isNull(), 1)).alias("n_null"))
+    e = ex.select(F.count(F.when(~F.col("__ex"), 1)).alias("n_missing"))
+    return s.crossJoin(e)
+
+
 def q_multi_index_scored_join(spark, sf_dir):
     """Hierarchical scored join (benchmarks/queries/
     join_hierarchical_content-scores-*.sql): BM25 scores from TWO
@@ -1294,6 +1323,7 @@ QUERIES = {
     "in_list_pushdown": q_in_list_pushdown,
     "attr_term_idf": q_attr_term_idf,
     "json_numeric_predicates": q_json_numeric_predicates,
+    "sql_null_semantics": q_sql_null_semantics,
     # --- r3-checked below (remaining window slots, then tail) ---
     "cube_agg": q_cube_agg,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1512,6 +1542,12 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
 SELECT COALESCE(s.doc_id, a.doc_id) AS doc_id,
        round(COALESCE(s.exact_score, 0) + COALESCE(a.a_score, 0), 4) AS score
 FROM scored s FULL JOIN attr a ON s.doc_id = a.doc_id""",
+        "sql_null_semantics": (
+            "WITH d AS (SELECT NULLIF(lang, 'de') AS color FROM documents) "
+            "SELECT count(*) FILTER (WHERE color = 'en') AS n_match, "
+            "count(*) FILTER (WHERE NOT (color = 'en')) AS n_not, "
+            "count(*) FILTER (WHERE (color = 'en') IS NULL) AS n_null, "
+            "count(*) FILTER (WHERE color IS NULL) AS n_missing FROM d"),
         "json_numeric_predicates": (
             "SELECT 'eq' AS arm, count(*) AS cnt FROM events "
             "WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) = 69 "
