@@ -530,7 +530,8 @@ def bucketed_repartition(p: DataFrame, nb: int,
 def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
                    save_docs: bool = False,
                    strategy: str = "local",
-                   layout: str = "direct") -> SearchIndex:
+                   layout: str = "direct",
+                   segmented: bool = False) -> SearchIndex:
     """Scale path: ONE tokenize pass, TWO Spark jobs total.
 
     Job 1 tokenizes and writes the term-bucketed postings; the per-field
@@ -552,7 +553,15 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
     (streaming/indexer.py) is the file-hygiene mechanism, exactly like
     Lucene merge policies.  ``layout="salted"`` keeps the shuffled
     doc-salted writer (fewest, largest files per bucket) for one-shot
-    bulk loads where no compactor will ever run."""
+    bulk loads where no compactor will ever run.
+
+    ``segmented=True`` is the reference's ambuild-then-aminsert flow
+    (CREATE INDEX then INSERT; pg_search index/writer): the bulk build
+    lands as the BASE SEGMENT (``segments/epoch=b0``) of a segmented
+    index, so :func:`streaming.indexer.insert_docs` appends and
+    :func:`streaming.indexer.open_segmented_index` reads the union —
+    same zero-shuffle direct layout, plus the per-segment stats.json the
+    segmented reader merges."""
     from pyspark.sql import Observation
     schema.validate(docs.schema)  # index_config_errors.out messages
     docs = _apply_predicate(docs, schema)
@@ -560,6 +569,7 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
     n_total = docs.count()
     nb = adaptive_buckets(n_total)
     fields = schema.field_names
+    root = f"{path}/segments/epoch=b0" if segmented else path
     obs = Observation()
     p = (postings_df(docs, schema, strategy)
          .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(nb)))
@@ -570,9 +580,18 @@ def build_and_save(docs: DataFrame, schema: IndexSchema, path: str,
     else:
         w = p.coalesce(spark.sparkContext.defaultParallelism * 4)
     (w.write.mode("overwrite").partitionBy("field", "tb")
-     .parquet(f"{path}/postings"))
+     .parquet(f"{root}/postings"))
     totals = obs.get
-    postings = spark.read.parquet(f"{path}/postings")
+    postings = spark.read.parquet(f"{root}/postings")
+    if segmented:
+        from sparksearch.streaming.indexer import (_atomic_success,
+                                                   segment_content_hash)
+        with open(f"{root}/stats.json", "w") as fh:
+            json.dump({"n_docs": n_total, "epoch": "b0", "n_buckets": nb,
+                       "content_hash": segment_content_hash(postings),
+                       "fields": {f_: {"total_len": int(totals[f"t_{i}"] or 0)}
+                                  for i, f_ in enumerate(fields)}}, fh)
+        _atomic_success(root)
     # dictionary layout: partitioned by (field, term-length bucket) and
     # term-sorted within partitions — fuzzy prunes to ±distance length
     # partitions, prefix/regex-with-literal-head prune via row-group

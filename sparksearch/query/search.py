@@ -116,11 +116,21 @@ def search(index, query, limit: int | None = None, offset: int = 0,
     - ``columns``: display columns from the doc table (default: all).
     """
     key = index.schema.key_field
-    scores = compile_query(index, _as_query(index, query))
+    # the match-set score lives under an internal name so a DOC COLUMN
+    # literally named "score" (legal in the reference; its index_sorting
+    # suite sorts one) never collides with the projection
+    scores = compile_query(index, _as_query(index, query)).select(
+        "doc_id", F.col("score").alias("__pdb_score"))
+    # PG name binding: bare ORDER BY score resolves to the TABLE column
+    # when one exists and no score projection is selected; with the
+    # projection selected (with_score) it is the search score
+    score_is_doc = (not with_score) and "score" in index.docs.columns
 
     order_by = order_by or [("score", "desc"), ("doc_id", "asc")]
     _warn_unpushable_order(index, order_by, limit)
-    doc_sort_cols = [c for c, _ in order_by if c not in ("score", "doc_id", key)]
+    doc_sort_cols = [c for c, _ in order_by
+                     if c not in ("doc_id", key)
+                     and (c != "score" or score_is_doc)]
 
     narrow = scores
     if doc_sort_cols:
@@ -134,7 +144,12 @@ def search(index, query, limit: int | None = None, offset: int = 0,
 
     sort_exprs = []
     for c, direction in order_by:
-        col = F.col("doc_id") if c == key else F.col(c)
+        if c == key:
+            col = F.col("doc_id")
+        elif c == "score" and not score_is_doc:
+            col = F.col("__pdb_score")
+        else:
+            col = F.col(c)
         sort_exprs.append(_dir(col, direction))
 
     if limit is not None:
@@ -160,24 +175,34 @@ def search(index, query, limit: int | None = None, offset: int = 0,
                   .filter(F.col("_rn") > offset).drop("_rn"))
 
     out_cols = columns or [c for c in index.docs.columns]
-    docs = index.docs
-    sel_narrow = (narrow.select(F.col("doc_id").alias("__sk_did"),
-                                F.col("score").alias(score_alias)))
-    hits = (sel_narrow.join(docs, sel_narrow["__sk_did"] == docs[key])
+    # alias the docs side: ``nd`` above shares its lineage, and the
+    # final join must qualify doc columns (a doc column named "score"
+    # is legal — index_sorting.rs sorts one) without tripping Spark's
+    # ambiguous-self-join check
+    docs = index.docs.alias("__pdb_docs")
+
+    def _dcol(c):
+        return F.col(f"__pdb_docs.`{c}`")
+
+    sel_narrow = narrow.select(F.col("doc_id").alias("__sk_did"),
+                               F.col("__pdb_score"))
+    hits = (sel_narrow.join(docs, sel_narrow["__sk_did"] == _dcol(key))
             .drop("__sk_did"))
     final_sort = []
     for c, direction in order_by:
-        if c == "score":
-            col = F.col(score_alias)
+        if c == "score" and not score_is_doc:
+            col = F.col("__pdb_score")
         elif c == "doc_id":
-            col = F.col(key)
+            col = _dcol(key)
         elif c in index.docs.columns:
-            col = F.col(c)
+            col = _dcol(c)
         else:
             col = F.expr(c)
         final_sort.append(_dir(col, direction))
-    sel = out_cols + ([score_alias] if with_score else [])
-    return hits.select(*sel).orderBy(*final_sort)
+    sel = [_dcol(c).alias(c) if c in index.docs.columns
+           else F.expr(c).alias(c) for c in out_cols] + \
+        ([F.col("__pdb_score").alias(score_alias)] if with_score else [])
+    return hits.orderBy(*final_sort).select(*sel)
 
 
 def count(index, query) -> int:
