@@ -47,6 +47,44 @@ class EngineConfig:
     # (reference GUC paradedb.check_aggregate_scan, issue_3050.out /
     # issue_3196.out WARNINGs)
     check_aggregate_scan: bool = True
+    # MPP GUC surface (reference gucs.rs paradedb.mpp_debug /
+    # paradedb.mpp_queue_size; mpp_smoke.out pins defaults, byte-unit
+    # parsing, and the 64kB..1GB bounds).  mpp_debug gates extra
+    # distributed-exchange logging; mpp_queue_size is the per-exchange
+    # buffer budget (the Spark analog feeds maxRecordsPerBatch-style
+    # sizing on Arrow exchanges) — both must be no-ops for query
+    # RESULTS, which mpp_smoke's trivial-query section pins.
+    mpp_debug: bool = False
+    mpp_queue_size: str = "8MB"
+
+
+_BYTE_UNITS = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3}
+
+
+def parse_byte_size(text: str) -> int:
+    """Parse a Postgres byte-unit GUC string ('64kB', '8MB', '1GB')."""
+    s = str(text).strip()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, unit = s[:i].strip(), s[i:].strip().lower() or "b"
+    if not num or unit not in _BYTE_UNITS:
+        raise ValueError(
+            f'invalid value for parameter "mpp_queue_size": "{text}"')
+    return int(num) * _BYTE_UNITS[unit]
+
+
+def _validate_mpp_queue_size(v: str) -> None:
+    # reference GUC bounds: min 64kB, max 1GB (mpp_smoke.out rejects
+    # 4kB and 2GB with invalid_parameter_value)
+    n = parse_byte_size(v)
+    if not (64 * 1024 <= n <= 1024**3):
+        raise ValueError(
+            f'{n // 1024}kB is outside the valid range for parameter '
+            f'"mpp_queue_size" (64kB .. 1GB)')
+
+
+_VALIDATORS = {"mpp_queue_size": _validate_mpp_queue_size}
 
 
 CONFIG = EngineConfig()
@@ -58,6 +96,8 @@ def set(**kw) -> EngineConfig:  # noqa: A001 - mirrors `SET paradedb.x`
         if not hasattr(CONFIG, k):
             raise KeyError(f"unknown config key {k!r}; known: "
                            f"{sorted(CONFIG.__dataclass_fields__)}")
+        if k in _VALIDATORS:
+            _VALIDATORS[k](v)
         setattr(CONFIG, k, v)
     return CONFIG
 

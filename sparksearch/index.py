@@ -347,7 +347,7 @@ def postings_df(docs: DataFrame, schema: IndexSchema,
         exploded = _exploded_tokens(docs, schema)
         postings = (exploded
                     .groupBy("field", F.col("t").alias("term"), "doc_id")
-                    .agg(F.count("*").alias("tf"),
+                    .agg(F.count("*").cast("int").alias("tf"),
                          F.sort_array(F.collect_list(F.col("p"))).alias("positions"),
                          F.first("len_q").alias("len_q")))
     else:
