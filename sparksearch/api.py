@@ -217,6 +217,49 @@ def index_segments(index_path: str) -> list:
     return out
 
 
+def find_ctid(spark: SparkSession, index_path: str, ctid: str) -> DataFrame:
+    """``paradedb.find_ctid(index, '(block, offset)')`` analog
+    (find_ctid.out; api/admin.rs find_ctid): resolve a physical doc
+    address to the doc key stored there.
+
+    The engine's stable physical address is ``(segment_idx, ordinal)``:
+    ``segment_idx`` is the live-segment ordinal ``index_segments``
+    reports, and ``ordinal`` is the 1-based position of the doc key in
+    the segment's byte-ordered distinct key list (the order the direct
+    writer lays docs down).  Tombstoned keys no longer resolve — the
+    reference's dead-ctid behavior.  Returns a 0-or-1-row DataFrame
+    with the resolved ``doc_id`` (count it for the golden's
+    ``SELECT count(*)`` form).
+    """
+    m = ctid.strip()
+    if not (m.startswith("(") and m.endswith(")")):
+        raise ValueError(f"malformed ctid: {ctid!r}")
+    try:
+        block, offset = (int(p.strip()) for p in m[1:-1].split(","))
+    except Exception as exc:
+        raise ValueError(f"malformed ctid: {ctid!r}") from exc
+    live = [s for s in index_segments(index_path) if s.get("live")]
+    seg = next((s for s in live if s.get("segment_idx") == block), None)
+    empty = spark.createDataFrame([], "doc_id string")
+    if seg is None or offset < 1:
+        return empty
+    keys = (spark.read.parquet(f"{seg['path']}/postings")
+            .select(F.col("doc_id").cast("string").alias("doc_id"))
+            .distinct())
+    from sparksearch.streaming.indexer import _deletes_df
+    deletes = _deletes_df(spark, index_path)
+    if deletes is not None:
+        # tombstones are (doc_id, seg)-scoped — only this segment's hide
+        seg_name = os.path.basename(seg["path"])
+        keys = keys.join(
+            deletes.filter(F.col("seg") == seg_name)
+            .select(F.col("doc_id").cast("string").alias("doc_id")),
+            "doc_id", "left_anti")
+    # distributed ordinal resolution: global byte-order sort absorbed by
+    # TakeOrderedAndProject (offset+limit pushed, no full materialize)
+    return keys.orderBy("doc_id").offset(offset - 1).limit(1)
+
+
 def storage_info(index_path: str) -> dict:
     """Bytes on disk per segment (paradedb.storage_info analog)."""
     out = {}
