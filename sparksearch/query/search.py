@@ -48,6 +48,20 @@ def _warn_unpushable_order(index, order_by, limit) -> None:
         return
     key = index.schema.key_field
     dtypes = dict(index.docs.dtypes)
+    if len(order_by) > 5:
+        # the reference TopK pushdown caps pathkeys at 5
+        # (topk_validation.out Test 4) — more falls back to Normal+Sort
+        import warnings
+        tname = getattr(index, "table_name", "") or "?"
+        warnings.warn(
+            f"Query has LIMIT {limit} but is not using Top K scan "
+            f"(using Normal instead). Reason: ORDER BY has "
+            f"{len(order_by)} columns but Top K supports maximum 5. "
+            "This may cause poor performance on large datasets. "
+            "Remedies: Reduce ORDER BY columns to 5 or fewer. To "
+            "disable this warning: SET paradedb.check_topk_scan = "
+            f"false (table: {tname})", stacklevel=3)
+        return
 
     def _pushable(c: str) -> bool:
         c = c.strip()
@@ -61,7 +75,13 @@ def _warn_unpushable_order(index, order_by, limit) -> None:
                 return _pushable(c[: -len(suffix)])
         dt = dtypes.get(c)
         if dt is not None and dt != "string":
-            return True  # numeric/date/timestamp/bool: fast by default
+            # numeric/date/timestamp/bool: fast by default — but
+            # COMPOSITE columns (PG range types = struct<lower, upper,
+            # ...>, arrays) have no fast-field representation and fall
+            # back to Normal+Sort (issue_2688.out: ORDER BY tstzrange /
+            # numrange warns)
+            return not (dt.startswith("struct<") or dt.startswith("array<")
+                        or dt.startswith("map<"))
         norm = c.replace(" ", "").lower()
         for f in index.schema.text_fields:
             if f.fast is False:
