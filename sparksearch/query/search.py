@@ -79,9 +79,14 @@ def _warn_unpushable_order(index, order_by, limit) -> None:
             # COMPOSITE columns (PG range types = struct<lower, upper,
             # ...>, arrays) have no fast-field representation and fall
             # back to Normal+Sort (issue_2688.out: ORDER BY tstzrange /
-            # numrange warns)
-            return not (dt.startswith("struct<") or dt.startswith("array<")
-                        or dt.startswith("map<"))
+            # numrange warns; fast_fields_options.out: a range field
+            # declared {"fast": true} STILL warns), and an explicit
+            # ``{"fast": false}`` field config drops the column data
+            # (fast_fields_options.out Test 6)
+            if (dt.startswith("struct<") or dt.startswith("array<")
+                    or dt.startswith("map<")):
+                return False
+            return index.schema.attr_fast(c)
         norm = c.replace(" ", "").lower()
         for f in index.schema.text_fields:
             if f.fast is False:

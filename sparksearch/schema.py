@@ -221,12 +221,34 @@ class IndexSchema:
 
     def indexed_attr_fields(self) -> set:
         """Names of declared indexed non-text (numeric/boolean) fields.
-        An entry may be a plain column name or an (alias, source_expr)
+        An entry may be a plain column name, an (alias, source_expr)
         pair — the reference's aliased numeric expression fields
-        (issue_3711.out: ``(i * 2)::pdb.alias('another_name')``)."""
-        return {e[0] if isinstance(e, (tuple, list)) else e
+        (issue_3711.out: ``(i * 2)::pdb.alias('another_name')``) — or a
+        dict like the reference's per-field JSON config
+        (``numeric_fields = '{"price": {"fast": false}}'``,
+        fast_fields_options.out)."""
+        return {self._attr_name(e)
                 for e in ((self.numeric_fields or [])
                           + (self.boolean_fields or []))}
+
+    @staticmethod
+    def _attr_name(e) -> str:
+        if isinstance(e, dict):
+            return e["name"]
+        return e[0] if isinstance(e, (tuple, list)) else e
+
+    def attr_fast(self, name: str) -> bool:
+        """Whether a declared non-text field's fast (columnar) data is
+        available for ORDER BY pushdown.  Numeric / boolean / datetime
+        columns are fast BY DEFAULT (the reference stores them columnar
+        unless configured otherwise) — an explicit ``{"fast": false}``
+        in the field's config drops the column data and ORDER BY falls
+        back to Normal+Sort (fast_fields_options.out Test 6).  Unknown
+        / undeclared names return the default True."""
+        for e in ((self.numeric_fields or []) + (self.boolean_fields or [])):
+            if isinstance(e, dict) and e.get("name") == name:
+                return bool(e.get("fast", True))
+        return True
 
     def attr_source(self, name: str) -> str | None:
         """Source SQL expression of an ALIASED non-text indexed field,
@@ -237,6 +259,8 @@ class IndexSchema:
                   + (self.boolean_fields or [])):
             if isinstance(e, (tuple, list)) and e[0] == name:
                 return e[1]
+            if isinstance(e, dict) and e.get("name") == name:
+                return e.get("source")
         return None
 
     def validate(self, docs_schema=None) -> None:
