@@ -7,5 +7,6 @@ from sparksearch.query.ast import (  # noqa: F401
     MoreLikeThis, Proximity, HeapFilter, Parse,
 )
 from sparksearch.query.parser import parse_query  # noqa: F401
+from sparksearch.query.json_input import from_json  # noqa: F401
 from sparksearch.query.compiler import compile_query  # noqa: F401
 from sparksearch.query.search import search  # noqa: F401

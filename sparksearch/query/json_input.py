@@ -1,0 +1,206 @@
+"""The reference's JSON query-input surface: ``col @@@ '<json>'::jsonb``.
+
+ParadeDB accepts a serialized ``SearchQueryInput`` anywhere a query
+string is legal — ``WHERE id @@@ '{"boolean": {"must": [...]}}'::jsonb``
+(complex_query_series_view.out; the same wire format appears in every
+EXPLAIN's ``Tantivy Query:`` line).  :func:`from_json` parses that wire
+format into this engine's AST.
+
+Shape (serde ``rename_all = "snake_case"``, pg_search/src/query/mod.rs:
+63-140 SearchQueryInput + pdb_query.rs:149-327 pdb::Query):
+
+- unit variants serialize as bare strings (``"all"``, ``"empty"``);
+- top-level combinators are single-key objects
+  (``{"boolean": {...}}``, ``{"boost": {"query": ..., "factor": 2}}``);
+- FIELDED leaf queries inline the field into the variant object
+  (``{"term": {"field": "f", "value": 1}}`` —
+  mod.rs:144-170 serialize_fielded_query shift-inserts ``field``);
+- range bounds serialize as ``{"included": v}`` / ``{"excluded": v}`` /
+  ``null`` for unbounded.
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from sparksearch.query import ast
+
+_UNBOUNDED = object()
+
+
+def _bound(b):
+    """Decode a serde Bound: {"included"|"excluded": v} | null."""
+    if b is None:
+        return _UNBOUNDED, True
+    if isinstance(b, dict):
+        if "included" in b:
+            return b["included"], True
+        if "excluded" in b:
+            return b["excluded"], False
+    raise ValueError(f"unsupported range bound: {b!r}")
+
+
+def _range_value(d: dict) -> ast.RangeValue:
+    lo, lo_inc = _bound(d.get("lower_bound"))
+    hi, hi_inc = _bound(d.get("upper_bound"))
+    return ast.RangeValue(
+        lower=None if lo is _UNBOUNDED else lo,
+        upper=None if hi is _UNBOUNDED else hi,
+        lower_inclusive=lo_inc, upper_inclusive=hi_inc)
+
+
+def _score_bound_pair(pair):
+    """ScoreFilter bounds: a (Bound<f32>, Bound<f32>) tuple —
+    serialized as a 2-element array."""
+    lo, _ = _bound(pair[0])
+    hi, _ = _bound(pair[1])
+    return (None if lo is _UNBOUNDED else lo,
+            None if hi is _UNBOUNDED else hi)
+
+
+def from_json(obj) -> ast.Query:
+    """Parse the reference's JSON query wire format into an AST node.
+
+    Accepts a dict (already-parsed JSON), a JSON string, or a bare
+    unit-variant string (``"all"`` / ``"empty"``).  Raises
+    ``ValueError`` on unknown variants, like the reference's serde
+    error surfaced through the ``::jsonb`` cast.
+    """
+    if isinstance(obj, str):
+        s = obj.strip()
+        if s.startswith("{") or s.startswith('"'):
+            return from_json(_json.loads(s))
+        obj = s  # bare unit-variant name
+    if isinstance(obj, str):
+        unit = {"all": ast.All, "empty": ast.Empty}
+        if obj in unit:
+            return unit[obj]()
+        raise ValueError(f"unsupported query input: {obj!r}")
+    if not isinstance(obj, dict) or len(obj) != 1:
+        raise ValueError(f"expected a single-variant query object: {obj!r}")
+    kind, v = next(iter(obj.items()))
+    f = v.get("field") if isinstance(v, dict) else None
+
+    # --- top-level combinators (SearchQueryInput, mod.rs:65-140) ---
+    if kind == "boolean":
+        return ast.Boolean(
+            must=[from_json(q) for q in v.get("must", [])],
+            should=[from_json(q) for q in v.get("should", [])],
+            must_not=[from_json(q) for q in v.get("must_not", [])],
+            minimum_should_match=v.get("minimum_should_match"))
+    if kind == "boost":
+        return ast.Boost(from_json(v["query"]), factor=v["factor"])
+    if kind == "const_score":
+        return ast.ConstScore(from_json(v["query"]), score=v["score"])
+    if kind == "disjunction_max":
+        return ast.DisjunctionMax(
+            disjuncts=[from_json(q) for q in v["disjuncts"]],
+            tie_breaker=v.get("tie_breaker") or 0.0)
+    if kind == "score_filter":
+        lo, hi = _score_bound_pair(v["bounds"][0])
+        return ast.ScoreFilter(from_json(v["query"]),
+                               min_score=lo, max_score=hi)
+    if kind == "with_index":
+        # {"with_index": {"oid": ..., "query": ...}} — the index
+        # binding is resolved by the caller here; unwrap
+        return from_json(v["query"])
+    if kind == "heap_filter":
+        preds = [e["heap_filter"] if isinstance(e, dict) else e
+                 for e in v.get("field_filters", [])]
+        q = from_json(v["indexed_query"])
+        for p in preds:
+            q = ast.HeapFilter(q, predicate=p)
+        return q
+    if kind == "parse" and f is None:
+        return ast.Parse(v["query_string"],
+                         lenient=bool(v.get("lenient")),
+                         conjunction_mode=bool(v.get("conjunction_mode")))
+    if kind == "more_like_this":
+        doc = v.get("document") or []
+        return ast.MoreLikeThis(
+            field=None,
+            document_id=v.get("key_value"),
+            document_text=" ".join(str(val) for _, val in doc) or None,
+            min_term_frequency=v.get("min_term_frequency"),
+            min_doc_frequency=v.get("min_doc_frequency"),
+            max_doc_frequency=v.get("max_doc_frequency"),
+            max_query_terms=v.get("max_query_terms"),
+            fields=v.get("fields"),
+            min_word_length=v.get("min_word_length"),
+            max_word_length=v.get("max_word_length"),
+            stopwords=v.get("stopwords"),
+            boost_factor=v.get("boost_factor"))
+    if kind == "term_set" and f is None:
+        # top-level TermSet carries (field, value) TermInputs
+        # (mod.rs:811-814); group per field
+        by_field: dict = {}
+        for t in v["terms"]:
+            by_field.setdefault(t["field"], []).append(t["value"])
+        sets = [ast.TermSet(fld, vals) for fld, vals in by_field.items()]
+        return sets[0] if len(sets) == 1 else ast.Boolean(should=sets)
+
+    # --- fielded leaf queries (pdb::Query, pdb_query.rs:149-327) ---
+    if f is None:
+        raise ValueError(f"unsupported query input: {kind!r}")
+    if kind == "all":
+        return ast.All()
+    if kind == "empty":
+        return ast.Empty()
+    if kind == "exists":
+        return ast.Exists(f)
+    if kind == "term":
+        return ast.Term(f, v["value"])
+    if kind == "term_set":
+        return ast.TermSet(f, v["terms"])
+    if kind == "match":
+        return ast.Match(f, v["value"],
+                         conjunction_mode=bool(v.get("conjunction_mode")),
+                         distance=v.get("distance") or 0)
+    if kind == "match_array":
+        return ast.Match(f, " ".join(v["tokens"]),
+                         conjunction_mode=bool(v.get("conjunction_mode")),
+                         distance=v.get("distance") or 0)
+    if kind in ("parse_with_field", "parse"):
+        return ast.Parse(v["query_string"], field=f,
+                         lenient=bool(v.get("lenient")),
+                         conjunction_mode=bool(v.get("conjunction_mode")))
+    if kind == "phrase":
+        return ast.Phrase(f, v["phrases"], slop=v.get("slop") or 0)
+    if kind == "phrase_array":
+        return ast.Phrase(f, v["tokens"], slop=v.get("slop") or 0)
+    if kind == "tokenized_phrase":
+        return ast.TokenizedPhrase(f, v["phrase"], slop=v.get("slop") or 0)
+    if kind == "phrase_prefix":
+        return ast.PhrasePrefix(f, v["phrases"],
+                                max_expansions=v.get("max_expansions") or 50)
+    if kind == "fuzzy_term":
+        return ast.Fuzzy(
+            f, v["value"],
+            distance=2 if v.get("distance") is None else v["distance"],
+            prefix=bool(v.get("prefix")),
+            transposition_cost_one=(
+                True if v.get("transposition_cost_one") is None
+                else bool(v["transposition_cost_one"])))
+    if kind == "regex":
+        return ast.Regex(f, v["pattern"])
+    if kind == "regex_phrase":
+        return ast.RegexPhrase(f, v["regexes"], slop=v.get("slop") or 0,
+                               max_expansions=v.get("max_expansions") or 50)
+    if kind == "range":
+        rv = _range_value(v)
+        return ast.Range(f, lower=rv.lower, upper=rv.upper,
+                         lower_inclusive=rv.lower_inclusive,
+                         upper_inclusive=rv.upper_inclusive)
+    if kind == "range_term":
+        return ast.RangeTerm(f, v["value"])
+    if kind == "range_contains":
+        return ast.RangeContains(f, _range_value(v))
+    if kind == "range_intersects":
+        return ast.RangeIntersects(f, _range_value(v))
+    if kind == "range_within":
+        return ast.RangeWithin(f, _range_value(v))
+    if kind == "unclassified_string":
+        # the pre-rewrite @@@ string form → ParseWithField, like the
+        # reference's operator SUPPORT rewrite (pdb_query.rs:153-171)
+        return ast.Parse(v["string"], field=f)
+    raise ValueError(f"unsupported query input: {kind!r}")

@@ -21,6 +21,11 @@ from sparksearch.query import ast as qast
 def _as_query(index, query):
     if isinstance(query, str):
         return qast.Parse(query)
+    if isinstance(query, dict):
+        # the reference's ``@@@ '<json>'::jsonb`` wire form
+        # (complex_query_series_view.out)
+        from sparksearch.query.json_input import from_json
+        return from_json(query)
     return query
 
 
