@@ -695,13 +695,23 @@ _PUSHABLE_AGG_FNS = {"count": "value_count", "sum": "sum", "avg": "avg",
                      "min": "min", "max": "max"}
 
 
-def sql_aggregate_spec(index, fn: str, arg: str) -> dict | None:
+def sql_aggregate_spec(index, fn: str, arg: str,
+                       distinct: bool = False) -> dict | None:
     """Translate ``<fn>(<arg>)`` into the pushable ES metric spec —
     count/sum/avg/min/max only, like the reference's
     AggregateType::try_from OID whitelist (aggregate_type.rs:635-680);
     any other function warns ``unsupported aggregate function: <fn>``
     (issue_4906_ltree_op_absent.out's array_agg) and returns None for
-    the heap-fallback path."""
+    the heap-fallback path.  ``distinct`` aggregates (COUNT(DISTINCT
+    ...) etc.) never push down — the reference warns ``DISTINCT is not
+    supported`` (groupby_aggregate.out SECTION 5) and falls back to
+    the native plan, which returns the same rows."""
+    if distinct:
+        _warn_agg_scan(
+            "DISTINCT is not supported (see "
+            "https://github.com/paradedb/paradedb/issues/new/choose)",
+            getattr(index, "table_name", "") or "?")
+        return None
     kind = _PUSHABLE_AGG_FNS.get(fn.lower())
     if kind is None:
         _warn_agg_scan(f"unsupported aggregate function: {fn}",
