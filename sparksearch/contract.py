@@ -931,6 +931,25 @@ def q_sql_null_semantics(spark, sf_dir):
     return s.crossJoin(e)
 
 
+def q_json_query_input(spark, sf_dir):
+    """The reference's JSON query wire format end-to-end
+    (``col @@@ '<json>'::jsonb``, complex_query_series_view.out;
+    query/mod.rs SearchQueryInput serde): a serialized boolean —
+    must [match data, match join], must_not [term batch] — parsed by
+    :func:`sparksearch.query.from_json` and compiled like any AST."""
+    from sparksearch.query.json_input import from_json
+    idx = get_documents_index(spark, sf_dir)
+    qj = ('{"boolean":{"must":['
+          '{"match":{"field":"text","value":"data","tokenizer":null,'
+          '"distance":null,"transposition_cost_one":null,"prefix":null,'
+          '"conjunction_mode":null}},'
+          '{"match":{"field":"text","value":"join","tokenizer":null,'
+          '"distance":null,"transposition_cost_one":null,"prefix":null,'
+          '"conjunction_mode":null}}],'
+          '"must_not":[{"term":{"field":"text","value":"batch"}}]}}')
+    return compile_query(idx, from_json(qj)).select("doc_id")
+
+
 def q_multi_index_scored_join(spark, sf_dir):
     """Hierarchical scored join (benchmarks/queries/
     join_hierarchical_content-scores-*.sql): BM25 scores from TWO
@@ -1375,6 +1394,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "json_query_input": q_json_query_input,
 }
 
 
@@ -1850,4 +1870,8 @@ WHERE hamming <= 8"""),
             "i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2]) "
             "ELSE [list_aggregate(ts, 'string_agg', chr(31))] END, "
             "s -> md5(s))) AS fp FROM t"),
+        "json_query_input": (
+            "SELECT doc_id FROM documents WHERE "
+            + " AND ".join(has(t) for t in ["data", "join"])
+            + f" AND NOT {has('batch')}"),
     }
