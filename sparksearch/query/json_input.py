@@ -203,4 +203,172 @@ def from_json(obj) -> ast.Query:
         # the pre-rewrite @@@ string form → ParseWithField, like the
         # reference's operator SUPPORT rewrite (pdb_query.rs:153-171)
         return ast.Parse(v["string"], field=f)
+    if kind == "proximity":
+        return ast.Proximity(
+            f, _prox_clause(v["left"]),
+            _prox_distance(v["distance"])[0],
+            _prox_clause(v["right"]),
+            ordered=_prox_distance(v["distance"])[1])
     raise ValueError(f"unsupported query input: {kind!r}")
+
+
+def _prox_clause(c):
+    """ProximityClause serde (proximity/mod.rs:36-49): a term string
+    ({"term": w}), a regex, a clause list, or a nested proximity."""
+    if isinstance(c, str):
+        return c
+    if "term" in c:
+        return c["term"]
+    if "regex" in c:
+        return ast.ProxRegex(c["regex"]["pattern"],
+                             max_expansions=c["regex"].get(
+                                 "max_expansions", 50))
+    if "clauses" in c:
+        return [_prox_clause(x) for x in c["clauses"]]
+    if "proximity" in c:
+        p = c["proximity"]
+        dist, ordered = _prox_distance(p["distance"])
+        return ast.Proximity(None, _prox_clause(p["left"]), dist,
+                             _prox_clause(p["right"]), ordered=ordered)
+    raise ValueError(f"unsupported proximity clause: {c!r}")
+
+
+def _prox_distance(d):
+    """ProximityDistance serde: {"in_order": n} | {"any_order": n}."""
+    if "in_order" in d:
+        return d["in_order"], True
+    if "any_order" in d:
+        return d["any_order"], False
+    raise ValueError(f"unsupported proximity distance: {d!r}")
+
+
+def _clause_json(c):
+    if isinstance(c, str):
+        return {"term": c}
+    if isinstance(c, ast.ProxRegex):
+        return {"regex": {"pattern": c.pattern,
+                          "max_expansions": c.max_expansions}}
+    if isinstance(c, list):
+        return {"clauses": [_clause_json(x) for x in c]}
+    if isinstance(c, ast.Proximity):
+        return {"proximity": {
+            "left": _clause_json(c.left),
+            "distance": {"in_order" if c.ordered else "any_order":
+                         c.distance},
+            "right": _clause_json(c.right)}}
+    raise ValueError(f"cannot serialize proximity clause: {c!r}")
+
+
+def _bound_json(value, inclusive):
+    if value is None:
+        return None
+    return {"included" if inclusive else "excluded": value}
+
+
+def to_json(q: ast.Query) -> dict:
+    """Serialize an AST node to the reference's JSON wire format — the
+    inverse of :func:`from_json` (``from_json(to_json(q)) == q``), and
+    the same shape the reference prints in EXPLAIN ``Tantivy Query:``
+    lines.  Optional params are emitted only when set (serde
+    ``skip_serializing_if`` on most variants)."""
+    A = ast
+    if isinstance(q, A.All):
+        return "all"
+    if isinstance(q, A.Empty):
+        return "empty"
+    if isinstance(q, A.Boolean):
+        v: dict = {}
+        if q.must:
+            v["must"] = [to_json(x) for x in q.must]
+        if q.should:
+            v["should"] = [to_json(x) for x in q.should]
+        if q.must_not:
+            v["must_not"] = [to_json(x) for x in q.must_not]
+        if q.minimum_should_match is not None:
+            v["minimum_should_match"] = q.minimum_should_match
+        return {"boolean": v}
+    if isinstance(q, A.Boost):
+        return {"boost": {"query": to_json(q.query), "factor": q.factor}}
+    if isinstance(q, A.ConstScore):
+        return {"const_score": {"query": to_json(q.query),
+                                "score": q.score}}
+    if isinstance(q, A.DisjunctionMax):
+        return {"disjunction_max": {
+            "disjuncts": [to_json(x) for x in q.disjuncts],
+            "tie_breaker": q.tie_breaker or None}}
+    if isinstance(q, A.ScoreFilter):
+        return {"score_filter": {
+            "bounds": [[_bound_json(q.min_score, True),
+                        _bound_json(q.max_score, True)]],
+            "query": to_json(q.query)}}
+    if isinstance(q, A.HeapFilter):
+        return {"heap_filter": {
+            "indexed_query": to_json(q.query),
+            "field_filters": [{"heap_filter": q.predicate}]}}
+    if isinstance(q, A.Parse) and q.field is None:
+        return {"parse": {"query_string": q.query_string,
+                          "lenient": q.lenient or None,
+                          "conjunction_mode": q.conjunction_mode or None}}
+    if isinstance(q, A.Parse):
+        return {"parse_with_field": {
+            "field": q.field, "query_string": q.query_string,
+            "lenient": q.lenient or None,
+            "conjunction_mode": q.conjunction_mode or None}}
+    if isinstance(q, A.Exists):
+        return {"exists": {"field": q.field}}
+    if isinstance(q, A.Term):
+        return {"term": {"field": q.field, "value": q.value}}
+    if isinstance(q, A.TermSet):
+        return {"term_set": {"field": q.field, "terms": list(q.terms)}}
+    if isinstance(q, A.Match):
+        return {"match": {"field": q.field, "value": q.value,
+                          "tokenizer": None,
+                          "distance": q.distance or None,
+                          "transposition_cost_one": None, "prefix": None,
+                          "conjunction_mode": q.conjunction_mode or None}}
+    if isinstance(q, A.TokenizedPhrase):
+        return {"tokenized_phrase": {"field": q.field, "phrase": q.phrase,
+                                     "slop": q.slop or None}}
+    if isinstance(q, A.RegexPhrase):
+        return {"regex_phrase": {"field": q.field,
+                                 "regexes": list(q.regexes),
+                                 "slop": q.slop or None,
+                                 "max_expansions": q.max_expansions}}
+    if isinstance(q, A.PhrasePrefix):
+        return {"phrase_prefix": {"field": q.field,
+                                  "phrases": list(q.phrases),
+                                  "max_expansions": q.max_expansions}}
+    if isinstance(q, A.Phrase):
+        return {"phrase": {"field": q.field, "phrases": list(q.phrases),
+                           "slop": q.slop or None}}
+    if isinstance(q, A.Fuzzy):
+        return {"fuzzy_term": {
+            "field": q.field, "value": q.value, "distance": q.distance,
+            "transposition_cost_one": q.transposition_cost_one,
+            "prefix": q.prefix or None}}
+    if isinstance(q, A.Regex):
+        return {"regex": {"field": q.field, "pattern": q.pattern}}
+    if isinstance(q, A.Range):
+        return {"range": {
+            "field": q.field,
+            "lower_bound": _bound_json(q.lower, q.lower_inclusive),
+            "upper_bound": _bound_json(q.upper, q.upper_inclusive)}}
+    if isinstance(q, A.RangeTerm):
+        return {"range_term": {"field": q.field, "value": q.value}}
+    if isinstance(q, (A.RangeContains, A.RangeIntersects, A.RangeWithin)):
+        kind = {A.RangeContains: "range_contains",
+                A.RangeIntersects: "range_intersects",
+                A.RangeWithin: "range_within"}[type(q)]
+        rv = q.value
+        return {kind: {
+            "field": q.field,
+            "lower_bound": _bound_json(rv.lower, rv.lower_inclusive),
+            "upper_bound": _bound_json(rv.upper, rv.upper_inclusive)}}
+    if isinstance(q, A.Proximity):
+        return {"proximity": {
+            "field": q.field,
+            "left": _clause_json(q.left),
+            "distance": {"in_order" if q.ordered else "any_order":
+                         q.distance},
+            "right": _clause_json(q.right)}}
+    raise ValueError(f"cannot serialize query node: {type(q).__name__}")
