@@ -371,4 +371,21 @@ def to_json(q: ast.Query) -> dict:
             "distance": {"in_order" if q.ordered else "any_order":
                          q.distance},
             "right": _clause_json(q.right)}}
+    if isinstance(q, A.MoreLikeThis):
+        return {"more_like_this": {
+            "min_doc_frequency": q.min_doc_frequency,
+            "max_doc_frequency": q.max_doc_frequency,
+            "min_term_frequency": q.min_term_frequency,
+            "max_query_terms": q.max_query_terms,
+            "min_word_length": q.min_word_length,
+            "max_word_length": q.max_word_length,
+            "boost_factor": q.boost_factor,
+            "stopwords": q.stopwords,
+            "document": ([[q.field or "", q.document_text]]
+                         if q.document_text is not None else None),
+            "key_value": q.document_id,
+            # a single-field MLT restricts through the fields list on
+            # the wire (the reference's fielded form)
+            "fields": (q.fields if q.fields is not None
+                       else ([q.field] if q.field else None))}}
     raise ValueError(f"cannot serialize query node: {type(q).__name__}")
