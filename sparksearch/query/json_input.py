@@ -203,6 +203,17 @@ def from_json(obj) -> ast.Query:
         # the pre-rewrite @@@ string form → ParseWithField, like the
         # reference's operator SUPPORT rewrite (pdb_query.rs:153-171)
         return ast.Parse(v["string"], field=f)
+    if kind == "score_adjusted":
+        # the ::pdb.boost(f)/::pdb.const(f) cast: the field rides the
+        # wrapper; re-inject it into the inner variant before parsing
+        inner = v["query"]
+        if isinstance(inner, dict) and len(inner) == 1:
+            ik, iv = next(iter(inner.items()))
+            if isinstance(iv, dict) and "field" not in iv:
+                inner = {ik: {**iv, "field": f}}
+        elif isinstance(inner, str):
+            inner = {inner: {"field": f}}
+        return _score_adjusted({"query": inner, "score": v.get("score")})
     if kind == "proximity":
         return ast.Proximity(
             f, _prox_clause(v["left"]),
@@ -210,6 +221,21 @@ def from_json(obj) -> ast.Query:
             _prox_clause(v["right"]),
             ordered=_prox_distance(v["distance"])[1])
     raise ValueError(f"unsupported query input: {kind!r}")
+
+
+def _score_adjusted(v):
+    """pdb::Query::ScoreAdjusted (pdb_query.rs:141-144,191-194): the
+    ``::pdb.boost(f)`` / ``::pdb.const(f)`` cast form — wraps the inner
+    query in Boost or ConstScore."""
+    inner = from_json(v["query"])
+    style = v.get("score")
+    if style is None:
+        return inner
+    if "boost" in style:
+        return ast.Boost(inner, factor=style["boost"])
+    if "const" in style:
+        return ast.ConstScore(inner, score=style["const"])
+    raise ValueError(f"unsupported score adjust style: {style!r}")
 
 
 def _prox_clause(c):
