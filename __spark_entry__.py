@@ -25,8 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(contract.QUERIES)
+    """All contract queries, auto-rotated: entries whose latest driver
+    check (committed CORRECTNESS_r*.json) is oldest come first, so the
+    driver's 50-entry window re-verifies the stalest entries each round
+    without hand-maintained ordering."""
+    return contract.rotated_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(contract.oracle_sql())
+    oracles = contract.oracle_sql()
+    # same rotation order as queries() (cosmetic — drivers key by name)
+    return {n: oracles[n] for n in contract.rotated_queries() if n in oracles}

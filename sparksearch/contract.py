@@ -1308,12 +1308,16 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 QUERIES = {
-    # The driver verifies the FIRST 50 entries in dict order. Window
-    # rotation (round-4 verdict ask #2): the 23 entries whose latest
-    # driver check is r1/r2 come FIRST (their r3 slot aged out), new
-    # round-4 entries follow (no prior CORRECTNESS row), then the 50
-    # r3-checked entries — so no entry's latest driver check ever ages
-    # more than one round and the r3+r4 union covers everything.
+    # The driver verifies the FIRST 50 entries in dict order.  This
+    # static dict is the STABLE BASE ORDER; the driver-facing window is
+    # produced by :func:`rotated_queries`, which reorders by staleness
+    # against the committed CORRECTNESS_r*.json rows (never-checked
+    # entries first, then oldest latest-check), so no entry's latest
+    # driver check ever ages more than ceil(len/50) rounds and window
+    # rotation no longer needs hand-maintenance each round.
+    # (Hand-rotated layout below kept as the tie-break order within
+    # equal staleness: the 23 r1/r2-aged entries, then round-4
+    # additions, then the r3-checked tail.)
     "sessionize_events": q_sessionize_events,
     "hybrid_rrf": q_hybrid_rrf,
     "lang_id": q_lang_id,
@@ -1396,6 +1400,48 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "json_query_input": q_json_query_input,
 }
+
+
+def rotated_queries() -> dict:
+    """QUERIES reordered so the driver's 50-entry window always lands on
+    the entries whose latest driver check is OLDEST.
+
+    Staleness source: the committed ``CORRECTNESS_r{N}.json`` files at
+    the repo root (the driver's own per-round artifacts).  An entry's
+    key is the highest round in which any file carries a row for it;
+    entries with no row anywhere sort first (never driver-checked), then
+    ascending by latest-checked round.  Python's stable sort keeps the
+    hand-curated QUERIES order as the tie-break within equal staleness,
+    and the result is deterministic for a given committed repo state.
+
+    Fail-open: unreadable/absent files contribute nothing, so a fresh
+    checkout (or a driver that materializes no CORRECTNESS files)
+    degrades to the static QUERIES order.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r0*(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            if name in QUERIES and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    names = sorted(QUERIES, key=lambda n: latest.get(n, -1))
+    return {n: QUERIES[n] for n in names}
 
 
 def _simhash60_bits_expr() -> str:
