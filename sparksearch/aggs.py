@@ -442,6 +442,21 @@ def _fill_range_buckets(g: DataFrame, opts: dict, pcols: list,
     return full.join(g, pcols + [kd], "left").fillna({"doc_count": 0})
 
 
+def _fill_filter_buckets(g: DataFrame, opts: dict, pcols: list,
+                         kd: str) -> DataFrame:
+    """Left-join the DEFINED filter-name list so zero-count named
+    buckets appear (doc_count 0, NULL metrics), mirroring the SQL
+    ``COUNT(*) FILTER (WHERE ...)`` twin that returns 0 for a no-match
+    predicate."""
+    spark = g.sparkSession
+    defined = spark.createDataFrame([(n,) for n in opts["filters"]],
+                                    f"{kd} string")
+    parents = g.select(*pcols).distinct() if pcols else None
+    full = (parents.crossJoin(defined) if parents is not None
+            else defined)
+    return full.join(g, pcols + [kd], "left").fillna({"doc_count": 0})
+
+
 def _bucket_level(df: DataFrame, spec: dict, pcols: list,
                   schema=None) -> dict:
     """Compile one bucket level for ALL parent buckets at once.
@@ -499,6 +514,12 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list,
         # tantivy/ES range aggs return every DEFINED bucket, zero-count
         # included, in definition order (custom-agg.out Test 13)
         g = _fill_range_buckets(g, opts, pcols, kd)
+    elif kind == "filters":
+        # every NAMED filter yields a bucket even with zero matches —
+        # the SQL twin COUNT(*) FILTER (WHERE ...) returns 0, never
+        # drops the column (groupby_filter_mixed_buckets.out), and ES
+        # keyed filters always emit all names
+        g = _fill_filter_buckets(g, opts, pcols, kd)
     if kind == "terms":
         order = opts.get("order", {"_count": "desc"})
         ((ofield, odir),) = order.items()

@@ -111,4 +111,7 @@ def test_match_filter_analyzes_needle(filter_agg_index):
     got = {b["key"]: b["doc_count"]
            for b in res["aggregations"]["m"]["buckets"]}
     assert got.get("match_upper") == 3
-    assert "term_lower_raw" not in got  # raw doc value is 'Apple'
+    # raw doc value is 'Apple', so the unanalyzed term needle matches
+    # nothing — and a no-match NAMED filter still yields its bucket with
+    # doc_count 0, like COUNT(*) FILTER (WHERE ...) returning 0
+    assert got.get("term_lower_raw") == 0
