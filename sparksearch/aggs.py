@@ -379,10 +379,50 @@ def _top_hits_level(df: DataFrame, spec: dict, pcols: list) -> dict:
 
 
 def _empty_envelope(spec: dict) -> dict:
+    """Envelope for a bucket agg evaluated over ZERO rows (a zero-count
+    parent bucket).  terms and histograms emit no buckets — there are no
+    observed keys to enumerate — but range/filters buckets are DEFINED
+    by the request, so every one appears at doc_count 0 with NULL
+    metrics, recursively: the same shape the zero-fill left-joins
+    produce one level up (ES keyed-bucket semantics; custom-agg.out
+    Test 13 zero-count ranges)."""
     if "terms" in spec:
         return {"buckets": [], "sum_other_doc_count": 0,
                 "doc_count_error_upper_bound": 0}
-    return {"buckets": []}
+    defined = []
+    if "range" in spec:
+        for b in spec["range"]["ranges"]:
+            frm, to = b.get("from"), b.get("to")
+            defined.append(b.get("key") or
+                           (f"{frm if frm is not None else '*'}"
+                            f"-{to if to is not None else '*'}"))
+    elif "filters" in spec:
+        defined = sorted(spec["filters"]["filters"])
+    buckets = []
+    for key in defined:
+        b = {"key": key, "doc_count": 0}
+        for sname, sspec in spec.get("aggs", {}).items():
+            if _is_top_hits(sspec):
+                b[sname] = {"hits": []}
+            elif _is_metric(sspec):
+                b[sname] = _null_metric(sspec)
+            else:
+                b[sname] = _empty_envelope(sspec)
+        buckets.append(b)
+    return {"buckets": buckets}
+
+
+def _null_metric(spec: dict) -> dict:
+    """The metric shape a zero-filled bucket carries: every value NULL
+    (the fill is a left join, so metric columns come back NULL — the
+    SQL twin's aggregate-over-no-rows)."""
+    kind = next(iter(spec))
+    if kind == "stats":
+        return {k: None for k in ("count", "min", "max", "avg", "sum")}
+    if kind == "percentiles":
+        pcts = spec[kind].get("percents", [1, 5, 25, 50, 75, 95, 99])
+        return {f"{p}": None for p in pcts}
+    return {"value": None}
 
 
 def _fill_histogram_gaps(g: DataFrame, kind: str, opts: dict,
@@ -425,9 +465,14 @@ def _fill_histogram_gaps(g: DataFrame, kind: str, opts: dict,
 
 
 def _fill_range_buckets(g: DataFrame, opts: dict, pcols: list,
-                        kd: str) -> DataFrame:
+                        kd: str, src: DataFrame) -> DataFrame:
     """Left-join the DEFINED range bucket list so zero-count ranges
-    appear, carrying a definition ordinal for output order."""
+    appear, carrying a definition ordinal for output order.
+
+    Parent keys come from ``src`` (the level's INPUT frame), not the
+    grouped frame: a parent bucket whose docs all fall outside every
+    defined range has zero rows in ``g`` but must still emit all its
+    defined buckets with doc_count 0."""
     keys = []
     for i, b in enumerate(opts["ranges"]):
         frm, to = b.get("from"), b.get("to")
@@ -436,22 +481,24 @@ def _fill_range_buckets(g: DataFrame, opts: dict, pcols: list,
         keys.append((i, key))
     spark = g.sparkSession
     defined = spark.createDataFrame(keys, f"__rord int, {kd} string")
-    parents = g.select(*pcols).distinct() if pcols else None
+    parents = src.select(*pcols).distinct() if pcols else None
     full = (parents.crossJoin(defined) if parents is not None
             else defined)
     return full.join(g, pcols + [kd], "left").fillna({"doc_count": 0})
 
 
 def _fill_filter_buckets(g: DataFrame, opts: dict, pcols: list,
-                         kd: str) -> DataFrame:
+                         kd: str, src: DataFrame) -> DataFrame:
     """Left-join the DEFINED filter-name list so zero-count named
     buckets appear (doc_count 0, NULL metrics), mirroring the SQL
     ``COUNT(*) FILTER (WHERE ...)`` twin that returns 0 for a no-match
-    predicate."""
+    predicate.  Parent keys come from ``src`` for the same reason as
+    :func:`_fill_range_buckets` — a parent whose docs match NO filter
+    still emits every named bucket at 0."""
     spark = g.sparkSession
     defined = spark.createDataFrame([(n,) for n in opts["filters"]],
                                     f"{kd} string")
-    parents = g.select(*pcols).distinct() if pcols else None
+    parents = src.select(*pcols).distinct() if pcols else None
     full = (parents.crossJoin(defined) if parents is not None
             else defined)
     return full.join(g, pcols + [kd], "left").fillna({"doc_count": 0})
@@ -513,13 +560,13 @@ def _bucket_level(df: DataFrame, spec: dict, pcols: list,
     elif kind == "range":
         # tantivy/ES range aggs return every DEFINED bucket, zero-count
         # included, in definition order (custom-agg.out Test 13)
-        g = _fill_range_buckets(g, opts, pcols, kd)
+        g = _fill_range_buckets(g, opts, pcols, kd, df)
     elif kind == "filters":
         # every NAMED filter yields a bucket even with zero matches —
         # the SQL twin COUNT(*) FILTER (WHERE ...) returns 0, never
         # drops the column (groupby_filter_mixed_buckets.out), and ES
         # keyed filters always emit all names
-        g = _fill_filter_buckets(g, opts, pcols, kd)
+        g = _fill_filter_buckets(g, opts, pcols, kd, df)
     if kind == "terms":
         order = opts.get("order", {"_count": "desc"})
         ((ofield, odir),) = order.items()

@@ -231,3 +231,44 @@ def test_terms_envelope_and_boolean_keys(spark):
     env2 = res2["aggregations"]["a"]
     assert env2["buckets"] == [{"key": "engineering", "doc_count": 3}]
     assert env2["sum_other_doc_count"] == 4
+
+
+def test_zero_count_parent_emits_defined_subbuckets(spark):
+    """Regression (round-4 fuzz, seed 4052 distilled): a DEFINED bucket
+    with zero matching docs — a no-match named filter, or a parent all
+    of whose docs fall outside every defined range — must still emit
+    every defined range/filters sub-bucket at doc_count 0 with NULL
+    metrics, at every nesting depth.  ES keyed-bucket semantics; the
+    SQL twin COUNT(*) FILTER (WHERE ...) returns 0, never drops rows."""
+    from sparksearch.aggs import run_aggs
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 7)], "category string, rating int")
+    spec = {"a0": {
+        "filters": {"filters": {
+            "none": {"term": {"category": "zzz"}},
+            "all": {"match_all": {}}}},
+        "aggs": {
+            "m0": {"sum": {"field": "rating"}},
+            "b0": {"range": {"field": "rating",
+                             "ranges": [{"key": "lo", "to": 1},
+                                        {"key": "hi", "from": 1}]},
+                   "aggs": {"m1": {"stats": {"field": "rating"}},
+                            "b1": {"filters": {"filters": {
+                                "x": {"term": {"category": "a"}}}}}}}}}}
+    env = run_aggs(df, spec)["aggregations"]["a0"]
+    by_name = {b["key"]: b for b in env["buckets"]}
+    assert set(by_name) == {"none", "all"}
+    none = by_name["none"]
+    assert none["doc_count"] == 0 and none["m0"] == {"value": None}
+    # nested range under the empty parent: both DEFINED buckets at 0
+    rb = none["b0"]["buckets"]
+    assert [(b["key"], b["doc_count"]) for b in rb] == [("lo", 0), ("hi", 0)]
+    assert rb[0]["m1"] == {"count": None, "min": None, "max": None,
+                           "avg": None, "sum": None}
+    # and the grandchild filters bucket is still DEFINED at 0
+    assert rb[0]["b1"]["buckets"] == [{"key": "x", "doc_count": 0}]
+    # the non-empty parent keeps real counts alongside
+    all_b = by_name["all"]
+    assert all_b["doc_count"] == 2 and all_b["m0"] == {"value": 12}
+    got = {b["key"]: b["doc_count"] for b in all_b["b0"]["buckets"]}
+    assert got == {"lo": 0, "hi": 2}

@@ -66,8 +66,8 @@ def gen_bucket(rng: random.Random, depth: int = 0) -> dict:
     subs = {}
     if rng.random() < 0.7:
         subs["m0"] = gen_metric(rng)
-    if depth == 0 and rng.random() < 0.4:
-        subs["b0"] = gen_bucket(rng, depth=1)
+    if depth <= 1 and rng.random() < 0.4:
+        subs["b0"] = gen_bucket(rng, depth=depth + 1)
     if subs:
         spec["aggs"] = subs
     return spec
@@ -121,6 +121,11 @@ def eval_bucket(pdf, spec: dict):
         r = spec["range"]
         out = []
         for b in r["ranges"]:
+            if pdf.empty:
+                # .map over an empty Series yields object dtype, which
+                # pandas would treat as a column indexer — short-circuit
+                out.append((b["key"], pdf))
+                continue
             m = pdf[r["field"]].map(lambda x: (
                 (b.get("from") is None or x >= b["from"])
                 and (b.get("to") is None or x < b["to"])))
@@ -142,6 +147,9 @@ def eval_bucket(pdf, spec: dict):
             return True  # match_all
         out = []
         for name in sorted(conds):
+            if pdf.empty:
+                out.append((name, pdf))
+                continue
             m = pdf.apply(lambda r: match(conds[name], r), axis=1)
             # zero-count named buckets included (COUNT FILTER twin = 0)
             out.append((name, pdf[m]))
@@ -172,8 +180,9 @@ def check_level(env: dict, pdf, spec: dict, path: str):
         for sname, sspec in spec.get("aggs", {}).items():
             if any(k in sspec for k in ("terms", "histogram", "range",
                                         "filters")):
-                if not rows.empty:
-                    check_level(b[sname], rows, sspec, f"{path}/{key}")
+                # empty parents included: a zero-count bucket still
+                # emits every DEFINED range/filter sub-bucket at 0
+                check_level(b[sname], rows, sspec, f"{path}/{key}")
                 continue
             wantm = _metric_vals(rows, sspec)
             gotm = b[sname]
