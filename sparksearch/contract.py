@@ -719,11 +719,18 @@ def q_minhash_pairs(spark, sf_dir):
     pair space sub-quadratically, exact verification trims false
     positives).  The DuckDB oracle computes the same ≥0.8 pair set
     all-pairs, so this row also proves LSH recall on this corpus."""
+    from pyspark import StorageLevel
     from sparksearch.pipeline.dedup import minhash_near_duplicates, _shingles
     docs = _t(spark, sf_dir, "documents")
+    # candidate pairs are a tiny fraction of the corpus — persist them so
+    # the exact-verify stage doesn't re-run the LSH chain, and shingle
+    # ONLY candidate docs (semi-join first), not the whole corpus twice
     cands = (minhash_near_duplicates(docs, "doc_id", threshold=0.5)
-             .select("a", "b"))
-    d = docs.select("doc_id", _shingles(F.col("text"), 3).alias("sh"))
+             .select("a", "b").persist(StorageLevel.MEMORY_AND_DISK))
+    cand_ids = (cands.select(F.col("a").alias("doc_id"))
+                .union(cands.select(F.col("b").alias("doc_id"))).distinct())
+    d = (docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+         .select("doc_id", _shingles(F.col("text"), 3).alias("sh")))
     da = d.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
     db = d.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
@@ -1243,6 +1250,41 @@ def q_ltree_descendants(spark, sf_dir):
     return compile_query(idx, ast.LtreeDescendant("path", "src7.en")).select("doc_id")
 
 
+def get_inet_docs_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """documents + a derived NON-canonical inet column — leading-zero
+    octets plus a full-length ``/32`` mask (both of which PG's canonical
+    text rendering normalizes away): ``src_ip =
+    '010.0<id%50>.000.001/32'``.  The typed inet tokenizer
+    (SearchFieldType::Inet, pg_search/src/schema/mod.rs:288; inet.out)
+    indexes exactly one canonical term per row."""
+    key = (id(spark), sf_dir, "inet")
+    if key not in _INDEX_CACHE:
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "src_ip", F.concat(
+                F.lit("010."),
+                F.lpad((F.col("doc_id") % 50).cast("string"), 3, "0"),
+                F.lit(".000.001/32")))
+        schema = IndexSchema(
+            key_field="doc_id",
+            text_fields=[FieldConfig(name="src_ip", field_type="inet")])
+        _INDEX_CACHE[key] = build_index(docs, schema)
+    return _INDEX_CACHE[key]
+
+
+def q_inet_term(spark, sf_dir):
+    """inet term equality under PG canonicalization (inet.out): the row
+    value ``'010.007.000.001/32'`` and the query literal
+    ``'10.007.0.01'`` are DIFFERENT non-canonical spellings that meet at
+    the same canonical term ``'10.7.0.1'`` — leading octet zeros read as
+    decimal, a full-length netmask suppressed.  The DuckDB twin
+    re-derives the canonicalization (per-octet int round-trip, /32
+    strip) on both the row and query sides rather than shortcutting to
+    the generator arithmetic."""
+    idx = get_inet_docs_index(spark, sf_dir)
+    return (compile_query(idx, ast.Term("src_ip", "10.007.0.01"))
+            .select("doc_id"))
+
+
 def q_grouping_sets_agg(spark, sf_dir):
     """GROUP BY GROUPING SETS (reference falls back to vanilla PG;
     Spark/DuckDB both native — SURVEY §2.7)."""
@@ -1399,6 +1441,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "json_query_input": q_json_query_input,
+    "inet_term": q_inet_term,
 }
 
 
@@ -1853,6 +1896,19 @@ WHERE list_has_any(ts, tl)"""),
             " CAST(doc_id % 10 AS VARCHAR) AS path FROM documents) "
             "SELECT doc_id FROM p"
             " WHERE path = 'src7.en' OR path LIKE 'src7.en.%'"),
+        "inet_term": (
+            # PG-canonical inet twin: strip a full-length /32 mask, read
+            # each octet as decimal (leading zeros dropped) — applied to
+            # BOTH the row value and the query literal
+            "WITH d AS (SELECT doc_id, '010.' ||"
+            " lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0') ||"
+            " '.000.001/32' AS raw FROM documents), canon AS ("
+            "SELECT doc_id, array_to_string(list_transform("
+            "string_split(regexp_replace(raw, '/32$', ''), '.'),"
+            " x -> CAST(CAST(x AS INT) AS VARCHAR)), '.') AS ip FROM d) "
+            "SELECT doc_id FROM canon WHERE ip = array_to_string("
+            "list_transform(string_split('10.007.0.01', '.'),"
+            " x -> CAST(CAST(x AS INT) AS VARCHAR)), '.')"),
         "grouping_sets_agg": (
             "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
             "round(sum(l_extendedprice), 4) AS revenue FROM lineitem "

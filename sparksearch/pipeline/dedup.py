@@ -89,15 +89,21 @@ def minhash_signatures(docs: DataFrame, key: str, text_col: str = "text",
     return hashed.select("id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
+                        n_hashes: int | None = None) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing ≥1 band bucket.
 
     rows_per_band = len(sig)/bands; two docs with Jaccard j collide in a
     band with prob j^r — standard banding curve.  The join is on
     (band, band_hash): sub-quadratic, skew-safe (bucket sizes follow data
     duplication, and identical-doc floods stay within their own bucket).
+
+    Pass ``n_hashes`` when known — otherwise a ``first()`` probe has to
+    materialize one signature (a full tokenize+shingle+minhash pass over
+    at least one partition) just to learn the array length.
     """
-    n = len(sigs.select("sig").first()["sig"])
+    n = n_hashes if n_hashes is not None else \
+        len(sigs.select("sig").first()["sig"])
     r = n // bands
     banded = sigs.select(
         "id",
@@ -117,9 +123,19 @@ def minhash_near_duplicates(docs: DataFrame, key: str, text_col: str = "text",
                             bands: int = 16, shingle_k: int = 3,
                             seed: int = 13) -> DataFrame:
     """Near-duplicate pairs (a, b, est_jaccard ≥ threshold) via
-    MinHash + LSH banding; Jaccard estimated as signature agreement rate."""
-    sigs = minhash_signatures(docs, key, text_col, n_hashes, shingle_k, seed)
-    cands = lsh_candidate_pairs(sigs, bands)
+    MinHash + LSH banding; Jaccard estimated as signature agreement rate.
+
+    The signature frame feeds three consumers (banding, and both sides
+    of the estimation join) — it is persisted so the expensive
+    tokenize→shingle→n_hashes-minhash chain runs ONCE per doc instead of
+    three times.  MEMORY_AND_DISK: at cluster scale the signatures are
+    ~8·n_hashes bytes/doc (orders of magnitude smaller than the text)
+    and spill safely."""
+    from pyspark import StorageLevel
+    sigs = (minhash_signatures(docs, key, text_col, n_hashes, shingle_k,
+                               seed)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    cands = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes)
     sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
@@ -207,15 +223,22 @@ def shingle_jaccard_pairs(docs: DataFrame, key: str, text_col: str = "text",
     sets (df ≤ N dropped from BOTH numerator and denominator — a
     well-defined measure, the standard stopword-shingle treatment), and
     the join cost is bounded by N·|shingles|."""
+    from pyspark import StorageLevel
     docs = _spread(docs)
     d = (docs.select(F.col(key).alias("id"),
                      _shingles(F.col(text_col), k).alias("sh"))
          .filter(F.size("sh") > 0))
-    e = d.select("id", F.explode("sh").alias("s"))
+    # the exploded shingle frame feeds the df histogram, the per-doc
+    # size count, and BOTH sides of the pair self-join — persist it so
+    # tokenize+shingle+explode runs once, not four times (MEMORY_AND_DISK:
+    # ~|tokens| short strings per doc, spills safely at scale)
+    e = (d.select("id", F.explode("sh").alias("s"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
     if max_df is not None:
         keep = (e.groupBy("s").agg(F.count("*").alias("df"))
                 .filter(F.col("df") <= max_df).select("s"))
-        e = e.join(keep, "s", "left_semi")
+        e = (e.join(keep, "s", "left_semi")
+             .persist(StorageLevel.MEMORY_AND_DISK))
     sized = e.groupBy("id").agg(F.count("*").alias("n"))
     e = e.join(sized, "id")
     a = e.select(F.col("id").alias("a"), F.col("n").alias("na"), "s")

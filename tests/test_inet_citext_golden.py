@@ -170,3 +170,17 @@ def test_citext_forces_lowercase_over_config():
     # but never stomps an explicit custom tokenizer
     assert FieldConfig(name="ip", field_type="inet",
                        tokenizer="keyword").tokenizer == "keyword"
+
+
+def test_inet_term_contract_entry(spark):
+    """The driver-facing inet_term oracle entry: two different
+    non-canonical spellings ('010.0XX.000.001/32' row values vs
+    '10.007.0.01' query literal) meet at the canonical term, and the
+    match set is exactly doc_id % 50 == 7 over sf0.001 documents."""
+    from sparksearch import contract
+    got = sorted(r.doc_id for r in contract.QUERIES["inet_term"](
+        spark, "/root/testdata/sf0.001").collect())
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(r.doc_id for r in
+                  docs.filter(F.col("doc_id") % 50 == 7).collect())
+    assert got == want and len(got) > 0
