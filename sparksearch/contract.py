@@ -1285,6 +1285,41 @@ def q_inet_term(spark, sf_dir):
             .select("doc_id"))
 
 
+def get_citext_docs_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """documents + a derived MIXED-CASE citext column: each row spells
+    its tag in one of three casings (``TAG7``/``Tag7``/``tAg7``) chosen
+    by ``doc_id % 3``.  SearchFieldType + citext OID forces the
+    lowercase normalizer over any config (pg_search/src/schema/
+    mod.rs:87-95; citext.out), so all three spellings index the same
+    term."""
+    key = (id(spark), sf_dir, "citext")
+    if key not in _INDEX_CACHE:
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "name", F.concat(
+                F.element_at(
+                    F.array(F.lit("TAG"), F.lit("Tag"), F.lit("tAg")),
+                    (F.col("doc_id") % 3 + 1).cast("int")),
+                (F.col("doc_id") % 25).cast("string")))
+        schema = IndexSchema(
+            key_field="doc_id",
+            text_fields=[FieldConfig(name="name", field_type="citext")])
+        _INDEX_CACHE[key] = build_index(docs, schema)
+    return _INDEX_CACHE[key]
+
+
+def q_citext_match(spark, sf_dir):
+    """citext case-insensitive match (citext.out tests 1/5/6): rows
+    store three different casings of the tag and the query needle uses
+    a fourth (``taG7``) — the forced-lowercase normalizer folds BOTH
+    sides, so the match set is exactly ``doc_id % 25 == 7`` regardless
+    of either spelling.  (``Term`` stays raw and case-SENSITIVE per
+    citext.out test 5 — that side is pinned by the golden tests; the
+    driver entry exercises the analyzed ``Match`` path.)"""
+    idx = get_citext_docs_index(spark, sf_dir)
+    return (compile_query(idx, ast.Match("name", "taG7"))
+            .select("doc_id"))
+
+
 def q_grouping_sets_agg(spark, sf_dir):
     """GROUP BY GROUPING SETS (reference falls back to vanilla PG;
     Spark/DuckDB both native — SURVEY §2.7)."""
@@ -1442,6 +1477,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "json_query_input": q_json_query_input,
     "inet_term": q_inet_term,
+    "citext_match": q_citext_match,
 }
 
 
@@ -1909,6 +1945,14 @@ WHERE list_has_any(ts, tl)"""),
             "SELECT doc_id FROM canon WHERE ip = array_to_string("
             "list_transform(string_split('10.007.0.01', '.'),"
             " x -> CAST(CAST(x AS INT) AS VARCHAR)), '.')"),
+        "citext_match": (
+            # citext twin: lower() BOTH the stored mixed-case tag and
+            # the query needle — the forced-lowercase normalizer
+            "WITH d AS (SELECT doc_id,"
+            " (CASE doc_id % 3 WHEN 0 THEN 'TAG' WHEN 1 THEN 'Tag'"
+            " ELSE 'tAg' END) || CAST(doc_id % 25 AS VARCHAR) AS name"
+            " FROM documents) "
+            "SELECT doc_id FROM d WHERE lower(name) = lower('taG7')"),
         "grouping_sets_agg": (
             "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
             "round(sum(l_extendedprice), 4) AS revenue FROM lineitem "

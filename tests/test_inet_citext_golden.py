@@ -184,3 +184,16 @@ def test_inet_term_contract_entry(spark):
     want = sorted(r.doc_id for r in
                   docs.filter(F.col("doc_id") % 50 == 7).collect())
     assert got == want and len(got) > 0
+
+
+def test_citext_match_contract_entry(spark):
+    """The driver-facing citext_match oracle entry: rows store the tag
+    in three casings, the needle uses a fourth, and the match set is
+    exactly doc_id % 25 == 7 over sf0.001 documents."""
+    from sparksearch import contract
+    got = sorted(r.doc_id for r in contract.QUERIES["citext_match"](
+        spark, "/root/testdata/sf0.001").collect())
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(r.doc_id for r in
+                  docs.filter(F.col("doc_id") % 25 == 7).collect())
+    assert got == want and len(got) > 0
