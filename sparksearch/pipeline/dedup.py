@@ -189,6 +189,7 @@ def simhash_near_duplicates(docs: DataFrame, key: str, text_col: str = "text",
     chunk, so the join on (chunk_idx, chunk_value) finds all such pairs
     without an all-pairs comparison (complete for ≤ max_hamming by
     construction)."""
+    from pyspark import StorageLevel
     docs = _spread(docs)
     n_chunks = max_hamming + 1
     width = (60 if base_hash == "md5_60" else 64) // n_chunks
@@ -197,7 +198,12 @@ def simhash_near_duplicates(docs: DataFrame, key: str, text_col: str = "text",
     chunks = F.array(*[
         F.shiftrightunsigned(F.col("sh"), i * width)
         .bitwiseAND(F.lit((1 << width) - 1)) for i in range(n_chunks)])
-    blocked = sh.select("id", "sh", F.posexplode(chunks).alias("ci", "cv"))
+    # both self-join sides read the blocked frame — persist it so the
+    # 60/64-bit simhash expression (one filter+count per bit) evaluates
+    # once per doc, not once per join side (rows are (id, sh, ci, cv) —
+    # n_chunks small ints per doc, spill-safe)
+    blocked = (sh.select("id", "sh", F.posexplode(chunks).alias("ci", "cv"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
     a = blocked.select(F.col("id").alias("a"), F.col("sh").alias("sha"), "ci", "cv")
     b = blocked.select(F.col("id").alias("b"), F.col("sh").alias("shb"), "ci", "cv")
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
@@ -268,8 +274,14 @@ def embedding_near_duplicates(emb: DataFrame, key: str, vec_col: str,
     chunks = F.array(*[
         F.shiftrightunsigned(sig, i * width).bitwiseAND(F.lit((1 << width) - 1))
         for i in range(bands)])
-    d = emb.select(F.col(key).alias("id"), v.alias("v"),
-                   F.posexplode(chunks).alias("ci", "cv"))
+    from pyspark import StorageLevel
+    # both self-join sides read the banded frame — persist so the
+    # n_planes dot-product sign expression runs once per doc (rows carry
+    # the vector bands× over, but that is exactly what both sides scan;
+    # MEMORY_AND_DISK spills at scale)
+    d = (emb.select(F.col(key).alias("id"), v.alias("v"),
+                    F.posexplode(chunks).alias("ci", "cv"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
     a = d.select(F.col("id").alias("a"), F.col("v").alias("va"), "ci", "cv")
     b = d.select(F.col("id").alias("b"), F.col("v").alias("vb"), "ci", "cv")
     cos = _cos(F.col("va"), F.col("vb"))
