@@ -688,6 +688,85 @@ def q_sessionize_events(spark, sf_dir):
                  F.max("n_events").alias("max_session_events")))
 
 
+# epoch seconds of TIMESTAMP '2026-01-01 00:00:00' UTC — divisible by 300,
+# so 5-minute tumbling-window boundaries align with multiples of 300 s
+# from this origin on both engines
+_TS0 = 1767225600
+
+
+def _doc_turns(spark, sf_dir):
+    """documents recast as a timestamped turn stream: deterministic
+    synthetic event times (doc_id·7 s from a fixed UTC origin) give the
+    streaming window operators an oracle-reproducible time axis."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.timestamp_seconds(F.lit(_TS0) + F.col("doc_id") * 7).alias("ts"),
+        "text")
+
+
+def q_tumbling_tf_windows(spark, sf_dir):
+    """Tumbling term-frequency windows (north_star "tumbling/sliding
+    term-frequency aggregates"; reference analog date_histogram over a
+    time fast field, SURVEY §2.7): 5-minute event-time windows over the
+    turn stream, per-(window, term) tf, top-3 terms per window.  Runs
+    the SAME streaming.windows code path Structured Streaming executes
+    (groupBy(F.window(...))), batch-applied — the oracle proves the
+    window/tf semantics, the streaming pytest suite proves
+    streamed≡batch for this operator."""
+    from sparksearch.streaming.windows import (term_frequency_windows,
+                                               top_terms_per_window)
+    cfg = FieldConfig(name="text", tokenizer="simple")
+    tf = term_frequency_windows(_doc_turns(spark, sf_dir), cfg,
+                                window="5 minutes")
+    return top_terms_per_window(tf, k=3)
+
+
+def q_sliding_tf_windows(spark, sf_dir):
+    """Sliding term-frequency windows: 5-minute windows every 150 s
+    (each event falls in exactly window/slide = 2 windows), top-3 terms
+    per window start — the sliding arm of streaming.windows, same
+    batch≡streamed code path as the tumbling entry."""
+    from sparksearch.streaming.windows import (term_frequency_windows,
+                                               top_terms_per_window)
+    cfg = FieldConfig(name="text", tokenizer="simple")
+    tf = term_frequency_windows(_doc_turns(spark, sf_dir), cfg,
+                                window="5 minutes", slide="150 seconds")
+    return top_terms_per_window(tf, k=3)
+
+
+def _event_turns(spark, sf_dir):
+    """events recast as transcript turns (input_hint shape): conv_id =
+    user_id, turn_idx = event_id, role = event_type with 'click' cast as
+    the tool role (~20% of rows), tool = 'tool_<k%7>' from the props JSON,
+    ts = the same deterministic event_id·7 s axis as _doc_turns."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "click", "tool")
+         .otherwise(F.col("event_type")).alias("role"),
+        F.when(F.col("event_type") == "click",
+               F.concat(F.lit("tool_"),
+                        (F.get_json_object("props", "$.k").cast("long") % 7)
+                        .cast("string"))).alias("tool"),
+        F.timestamp_seconds(F.lit(_TS0) + F.col("event_id") * 7).alias("ts"))
+
+
+def q_enrich_tool_context(spark, sf_dir):
+    """Stateful stream-stream enrichment join (north_star "a stateful
+    stream-stream join that enriches turns with tool-call context";
+    reference analog: JoinScan enrichment, pg_search/src/customscan/
+    joinscan/): every non-tool turn left-joined to the tool calls of the
+    SAME conversation whose event time falls in [ts − 120 s, ts].  Runs
+    the production enrich_with_tool_context (its watermark declarations
+    are no-ops batch-applied; the time-bound join condition — the state
+    -pruning bound the stream relies on — is executed verbatim); the
+    streaming pytest suite (tests/test_streaming.py stream-stream join
+    cases) proves streamed≡batch for this operator."""
+    from sparksearch.streaming.enrich import enrich_with_tool_context
+    return enrich_with_tool_context(_event_turns(spark, sf_dir))
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """RRF hybrid: BM25 ranking ∪ cosine ranking (docs/hybrid/rrf.mdx).
     doc_id and vec_id share the 0..N id space in the testdata."""
@@ -1419,6 +1498,9 @@ QUERIES = {
     "range_term": q_range_term,
     "range_contains": q_range_contains,
     # --- new round-4 entries (no prior CORRECTNESS row) ---
+    "tumbling_tf_windows": q_tumbling_tf_windows,
+    "sliding_tf_windows": q_sliding_tf_windows,
+    "enrich_tool_context": q_enrich_tool_context,
     "numeric_decimal_agg": q_numeric_decimal_agg,
     "in_list_pushdown": q_in_list_pushdown,
     "attr_term_idf": q_attr_term_idf,
@@ -1844,6 +1926,56 @@ FROM r"""),
             "SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT)"
             " / 10) * 10 AS BIGINT) AS k_bucket, count(*) AS cnt, "
             "round(sum(value),4) AS total FROM events GROUP BY 1"),
+        "tumbling_tf_windows": (
+            # same synthetic time axis as _doc_turns: ts = origin +
+            # doc_id·7 s; tumbling bucket b = (doc_id·7)//300 (origin
+            # epoch divisible by 300, so Spark's window alignment and
+            # this bucket agree)
+            f"WITH toks AS (SELECT (doc_id * 7) // 300 AS b, "
+            f"unnest({_DD_TOKS}) AS term FROM documents), "
+            "tf AS (SELECT b, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "r AS (SELECT b, term, tf, row_number() OVER ("
+            "PARTITION BY b ORDER BY tf DESC, term ASC) AS rn FROM tf) "
+            "SELECT TIMESTAMP '2026-01-01 00:00:00' + "
+            "to_seconds(CAST(b * 300 AS BIGINT)) AS window_start, "
+            "TIMESTAMP '2026-01-01 00:00:00' + "
+            "to_seconds(CAST(b * 300 + 300 AS BIGINT)) AS window_end, "
+            "term, tf FROM r WHERE rn <= 3"),
+        "sliding_tf_windows": (
+            # window=300s, slide=150s: every event lies in exactly the
+            # two windows starting at slide buckets s and s-1 where
+            # s = t//150 (ws = s·150 ≤ t < ws+300 holds for both)
+            f"WITH toks AS (SELECT (doc_id * 7) // 150 AS s, "
+            f"unnest({_DD_TOKS}) AS term FROM documents), "
+            "sl AS (SELECT unnest([s - 1, s]) AS w, term FROM toks), "
+            "tf AS (SELECT w, term, count(*) AS tf FROM sl GROUP BY 1, 2), "
+            "r AS (SELECT w, term, tf, row_number() OVER ("
+            "PARTITION BY w ORDER BY tf DESC, term ASC) AS rn FROM tf) "
+            "SELECT TIMESTAMP '2026-01-01 00:00:00' + "
+            "to_seconds(CAST(w * 150 AS BIGINT)) AS window_start, "
+            "TIMESTAMP '2026-01-01 00:00:00' + "
+            "to_seconds(CAST(w * 150 + 300 AS BIGINT)) AS window_end, "
+            "term, tf FROM r WHERE rn <= 3"),
+        "enrich_tool_context": (
+            # same turn synthesis as _event_turns (conv=user, 'click'→tool
+            # role, ts = origin + event_id·7 s), then the event-time-bounded
+            # left join: tool_ts ∈ [ts − 120 s, ts] within the conversation
+            "WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(event_id AS INT) AS turn_idx, "
+            "CASE WHEN event_type = 'click' THEN 'tool' ELSE event_type END AS role, "
+            "CASE WHEN event_type = 'click' THEN 'tool_' || CAST("
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS VARCHAR) "
+            "END AS tool, "
+            "TIMESTAMP '2026-01-01 00:00:00' + to_seconds(CAST(event_id * 7 AS BIGINT)) AS ts "
+            "FROM events), "
+            "base AS (SELECT conv_id, turn_idx, role, ts FROM t WHERE role <> 'tool'), "
+            "tools AS (SELECT conv_id AS t_conv, turn_idx AS tool_turn_idx, "
+            "tool, ts AS tool_ts FROM t WHERE role = 'tool') "
+            "SELECT b.conv_id, b.turn_idx, b.role, b.ts, "
+            "tl.tool_turn_idx, tl.tool, tl.tool_ts "
+            "FROM base b LEFT JOIN tools tl ON tl.t_conv = b.conv_id "
+            "AND tl.tool_ts >= b.ts - INTERVAL 120 SECONDS "
+            "AND tl.tool_ts <= b.ts"),
         "sessionize_events": (
             "WITH d AS (SELECT user_id, ts, event_id, "
             "CASE WHEN lag(ts) OVER w IS NULL OR "
