@@ -241,7 +241,8 @@ HEADLINE = ["bm25_topk", "term_count", "conjunction", "phrase",
             "date_histogram", "window_topn_per_group", "dedup_exact",
             "ngram_jaccard_pairs", "minhash_pairs", "ann_cosine_topk",
             "sessionize_events", "quality_score", "permissioned_topk",
-            "multi_index_scored_join", "paging_keyset"]
+            "multi_index_scored_join", "paging_keyset",
+            "tumbling_tf_windows", "enrich_tool_context"]
 
 
 Q_WARMUPS = int(os.environ.get("SPARKSEARCH_BENCH_Q_WARMUPS", "2"))
