@@ -102,34 +102,54 @@ class StreamingIndexer:
 
         batch_df = batch_df.persist()
         try:
-            n_docs = batch_df.count()
+            # one pass gives both the doc count and the per-partition
+            # lineage counts (was two separate jobs)
+            part_counts = [
+                {"partition": r["p"], "rows": r["n"]} for r in
+                batch_df.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.count("*").alias("n")).collect()]
+            n_docs = sum(pc["rows"] for pc in part_counts)
             if n_docs == 0:
                 return
+            from pyspark.sql import Observation
             from sparksearch.index import bucketed_repartition
+            fields = self.schema.field_names
+            # segment stats + content hash observed DURING the write —
+            # the read-back pass over the written postings (a second
+            # full scan + shuffle per epoch, the serial fraction that
+            # capped sustained micro-batch throughput) is gone; the
+            # hash definition is unchanged, so validate_checksum's
+            # re-read comparison still holds
+            obs = Observation()
             p = (postings_df(batch_df, self.schema, self.strategy)
                  .withColumn("tb", F.pmod(F.xxhash64("term"),
-                                          F.lit(self.n_buckets))))
+                                          F.lit(self.n_buckets)))
+                 .observe(obs,
+                          F.bit_xor(F.xxhash64("field", "term", "doc_id",
+                                               "tf")).alias("h"),
+                          *[F.sum(F.when(F.col("field") == f_, F.col("tf")))
+                            .alias(f"t_{i}") for i, f_ in enumerate(fields)]))
             (bucketed_repartition(p, self.n_buckets)
              .write.mode("overwrite").partitionBy("field", "tb")
              .parquet(f"{seg}/postings"))
-            postings = spark.read.parquet(f"{seg}/postings")
-            stats = (postings.groupBy("field")
-                     .agg(F.sum("tf").alias("total_len")).collect())
+            m = obs.get
             with open(f"{seg}/stats.json", "w") as fh:
                 json.dump({"n_docs": n_docs, "epoch": epoch_id,
                            "n_buckets": self.n_buckets,
-                           "content_hash": segment_content_hash(postings),
-                           "fields": {r["field"]: {"total_len": r["total_len"]}
-                                      for r in stats}}, fh)
+                           "content_hash": int(m["h"] or 0),
+                           "fields": {f_: {"total_len": int(m[f"t_{i}"] or 0)}
+                                      for i, f_ in enumerate(fields)}}, fh)
             _atomic_success(seg)
-            self._lineage(epoch_id, n_docs, batch_df)
+            self._lineage(epoch_id, n_docs, part_counts)
         finally:
             batch_df.unpersist()
 
-    def _lineage(self, epoch_id: int, n_docs: int, batch_df: DataFrame) -> None:
+    def _lineage(self, epoch_id: int, n_docs: int,
+                 part_counts: list) -> None:
         """Per-batch lineage + metrics (north rule: resumable with
         per-partition lineage).  Records the input files feeding the epoch
-        and per-partition row counts."""
+        and the per-partition row counts computed in sink_batch's single
+        counting pass."""
         # source offsets for this epoch from the streaming checkpoint — the
         # authoritative record of which input slice fed the segment
         # (input_file_name() is blank after stateful operators)
@@ -139,10 +159,6 @@ class StreamingIndexer:
                 offsets = [line.strip() for line in fh if line.strip()][-1]
         except OSError:
             pass
-        part_counts = [
-            {"partition": r["p"], "rows": r["n"]} for r in
-            batch_df.groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count("*").alias("n")).collect()]
         rec = {"epoch": epoch_id, "ts": time.time(), "docs": n_docs,
                "segment": self._segment_path(epoch_id),
                "source_offsets": offsets, "partitions": part_counts}

@@ -40,11 +40,37 @@ def main() -> None:
                     choices=["turn", "conversation"])
     ap.add_argument("--runs", type=int, default=2,
                     help="timed drains; best (max t/s) reported")
+    ap.add_argument("--local-cluster", action="store_true",
+                    help="separate 2-core executor JVMs (cores/2 executors)"
+                         " — the literal N-executors vs 4N-executors form")
     args = ap.parse_args()
 
-    from sparksearch.session import get_spark
-    spark = get_spark(app_name="stream-throughput", cores=args.cores,
-                      shuffle_partitions=args.cores)
+    if args.local_cluster:
+        from pyspark.sql import SparkSession
+        n_exec = max(args.cores // 2, 1)
+        spark = (SparkSession.builder
+                 .master(f"local-cluster[{n_exec},2,4096]")
+                 .appName(f"stream-throughput-lc-{n_exec}")
+                 .config("spark.executor.memory", "4g")
+                 .config("spark.driver.memory", "6g")
+                 .config("spark.sql.shuffle.partitions", str(n_exec * 2))
+                 .config("spark.sql.adaptive.enabled", "true")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.local.dir", "/dev/shm/sparksearch-local")
+                 .config("spark.executor.extraJavaOptions",
+                         "-XX:+UseParallelGC -XX:ParallelGCThreads=2")
+                 # executor Python workers need the repo importable for
+                 # the mapInPandas corpus generator (local mode inherits
+                 # the driver's sys.path; separate JVMs do not)
+                 .config("spark.executorEnv.PYTHONPATH",
+                         os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+                 .getOrCreate())
+    else:
+        from sparksearch.session import get_spark
+        spark = get_spark(app_name="stream-throughput", cores=args.cores,
+                          shuffle_partitions=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
 
     from sparksearch.fixtures import TRANSCRIPTS_SCHEMA, transcripts_distributed
