@@ -37,6 +37,21 @@ from sparksearch.index import (SearchIndex, postings_df, N_TERM_BUCKETS)
 from sparksearch.schema import IndexSchema
 
 
+def _written_partition_counts(postings_dir: str) -> list:
+    """Row counts per written (field, tb) partition dir, summed from
+    parquet footers — a driver metadata pass over O(files-per-segment)
+    footers (bounded: salt fan-out × buckets), no data scan."""
+    import pyarrow.parquet as pq
+    counts: dict[str, int] = {}
+    for root, _dirs, files in os.walk(postings_dir):
+        rel = os.path.relpath(root, postings_dir)
+        for f in files:
+            if f.endswith(".parquet"):
+                n = pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                counts[rel] = counts.get(rel, 0) + n
+    return [{"partition": k, "rows": v} for k, v in sorted(counts.items())]
+
+
 def _atomic_success(path: str) -> None:
     with open(os.path.join(path, "_SEGMENT_COMMITTED"), "w") as fh:
         fh.write(str(time.time()))
@@ -96,60 +111,68 @@ class StreamingIndexer:
         return f"{self.index_path}/segments/epoch={epoch_id}"
 
     def sink_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """foreachBatch body — idempotent per epoch."""
-        seg = self._segment_path(epoch_id)
-        spark = batch_df.sparkSession
+        """foreachBatch body — idempotent per epoch, ONE Spark job.
 
-        batch_df = batch_df.persist()
-        try:
-            # one pass gives both the doc count and the per-partition
-            # lineage counts (was two separate jobs)
-            part_counts = [
-                {"partition": r["p"], "rows": r["n"]} for r in
-                batch_df.groupBy(F.spark_partition_id().alias("p"))
-                .agg(F.count("*").alias("n")).collect()]
-            n_docs = sum(pc["rows"] for pc in part_counts)
-            if n_docs == 0:
-                return
-            from pyspark.sql import Observation
-            from sparksearch.index import bucketed_repartition
-            fields = self.schema.field_names
-            # segment stats + content hash observed DURING the write —
-            # the read-back pass over the written postings (a second
-            # full scan + shuffle per epoch, the serial fraction that
-            # capped sustained micro-batch throughput) is gone; the
-            # hash definition is unchanged, so validate_checksum's
-            # re-read comparison still holds
-            obs = Observation()
-            p = (postings_df(batch_df, self.schema, self.strategy)
-                 .withColumn("tb", F.pmod(F.xxhash64("term"),
-                                          F.lit(self.n_buckets)))
-                 .observe(obs,
-                          F.bit_xor(F.xxhash64("field", "term", "doc_id",
-                                               "tf")).alias("h"),
-                          *[F.sum(F.when(F.col("field") == f_, F.col("tf")))
-                            .alias(f"t_{i}") for i, f_ in enumerate(fields)]))
-            (bucketed_repartition(p, self.n_buckets)
-             .write.mode("overwrite").partitionBy("field", "tb")
-             .parquet(f"{seg}/postings"))
-            m = obs.get
-            with open(f"{seg}/stats.json", "w") as fh:
-                json.dump({"n_docs": n_docs, "epoch": epoch_id,
-                           "n_buckets": self.n_buckets,
-                           "content_hash": int(m["h"] or 0),
-                           "fields": {f_: {"total_len": int(m[f"t_{i}"] or 0)}
-                                      for i, f_ in enumerate(fields)}}, fh)
-            _atomic_success(seg)
-            self._lineage(epoch_id, n_docs, part_counts)
-        finally:
-            batch_df.unpersist()
+        The doc count rides the write as an ``observe()`` on the input
+        frame (filters are never pushed through CollectMetrics, so every
+        branch of the postings fan-out sees the full batch and the metric
+        is the batch size), and the segment stats + content hash ride as
+        an observation on the postings frame — mirroring the batch path
+        (``index.build_and_save``).  The previous shape spent two extra
+        jobs per epoch (a persist+count pre-pass and a read-back stats
+        scan), a per-batch constant that capped sustained micro-batch
+        throughput.  The hash definition is unchanged, so
+        ``validate_checksum``'s re-read comparison still holds."""
+        seg = self._segment_path(epoch_id)
+        from pyspark.sql import Observation
+        from sparksearch.index import bucketed_repartition
+        fields = self.schema.field_names
+        in_obs = None
+        if self.schema.text_fields:
+            in_obs = Observation()
+            batch_df = batch_df.observe(
+                in_obs, F.count(F.lit(1)).alias("n_docs"))
+        obs = Observation()
+        p = (postings_df(batch_df, self.schema, self.strategy)
+             .withColumn("tb", F.pmod(F.xxhash64("term"),
+                                      F.lit(self.n_buckets)))
+             .observe(obs,
+                      F.bit_xor(F.xxhash64("field", "term", "doc_id",
+                                           "tf")).alias("h"),
+                      *[F.sum(F.when(F.col("field") == f_, F.col("tf")))
+                        .alias(f"t_{i}") for i, f_ in enumerate(fields)]))
+        (bucketed_repartition(p, self.n_buckets)
+         .write.mode("overwrite").partitionBy("field", "tb")
+         .parquet(f"{seg}/postings"))
+        # no-text-field schema: the postings plan is an empty literal
+        # frame that never references the batch, so the input observation
+        # would never resolve — count directly (edge case, tiny frames)
+        n_docs = (int(in_obs.get["n_docs"] or 0) if in_obs is not None
+                  else batch_df.count())
+        if n_docs == 0:
+            # empty replay/tail batch: drop the empty postings dir so the
+            # segment never gains a commit marker and stays invisible
+            import shutil
+            shutil.rmtree(seg, ignore_errors=True)
+            return
+        m = obs.get
+        with open(f"{seg}/stats.json", "w") as fh:
+            json.dump({"n_docs": n_docs, "epoch": epoch_id,
+                       "n_buckets": self.n_buckets,
+                       "content_hash": int(m["h"] or 0),
+                       "fields": {f_: {"total_len": int(m[f"t_{i}"] or 0)}
+                                  for i, f_ in enumerate(fields)}}, fh)
+        _atomic_success(seg)
+        self._lineage(epoch_id, n_docs,
+                      _written_partition_counts(f"{seg}/postings"))
 
     def _lineage(self, epoch_id: int, n_docs: int,
                  part_counts: list) -> None:
         """Per-batch lineage + metrics (north rule: resumable with
-        per-partition lineage).  Records the input files feeding the epoch
-        and the per-partition row counts computed in sink_batch's single
-        counting pass."""
+        per-partition lineage).  The input slice is the checkpoint's
+        source offsets (authoritative); ``partitions`` records the
+        written segment layout — posting rows per (field, term-bucket)
+        partition, from parquet footers (metadata-only, no scan)."""
         # source offsets for this epoch from the streaming checkpoint — the
         # authoritative record of which input slice fed the segment
         # (input_file_name() is blank after stateful operators)

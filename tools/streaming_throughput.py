@@ -119,7 +119,16 @@ def main() -> None:
         with open(f"{index_path}/_lineage.jsonl") as fh:
             indexed = sum(json.loads(line)["docs"] for line in fh)
         assert indexed == n_keys, (indexed, n_keys, n_turns)
+        # steady-state rate: rows/addBatch-time over all batches after the
+        # first — excludes the per-drain constants (query planning/start,
+        # first-batch codegen warmup, final availableNow trigger, stop)
+        # that amortize to zero over a real run's lifetime but dominate a
+        # short drain's wall clock
+        steady = ([b for b in batches[1:]] or batches)
+        steady_tps = round(sum(b["rows"] for b in steady)
+                           / max(sum(b["batch_s"] for b in steady), 1e-9), 1)
         rec = {"streaming_turns_per_sec": round(n_turns / wall, 1),
+               "steady_turns_per_sec": steady_tps,
                "turns": n_turns, "wall_s": round(wall, 1),
                "micro_batches": len(batches), "run": run,
                "mode": args.mode, "cores": args.cores,
