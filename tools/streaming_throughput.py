@@ -10,9 +10,11 @@ Usage: python tools/streaming_throughput.py [--convs 20000]
        [--n-files 64] [--files-per-trigger 8] [--cores 8] [--mode turn]
 
 Prints one JSON line:
-{"streaming_turns_per_sec": ..., "turns": ..., "wall_s": ...,
- "micro_batches": ..., "batches": [{"epoch": ..., "rows": ...,
- "batch_s": ...}, ...]}
+{"streaming_turns_per_sec": ..., "steady_turns_per_sec": ...,
+ "turns": ..., "wall_s": ..., "micro_batches": ...,
+ "batches": [{"epoch": ..., "rows": ..., "batch_s": ...}, ...]}
+(steady_turns_per_sec = rows/addBatch-time over batches after the
+first — the sustained rate once per-drain constants are amortized)
 """
 
 from __future__ import annotations
