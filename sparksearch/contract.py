@@ -267,6 +267,51 @@ FROM a, q WHERE cluster IN ({",".join(str(p) for p in probe)})
 ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT {k}"""
 
 
+def _pq_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                   m: int = 8, k_codes: int = 16, seed: int = 11,
+                   k: int = 10, train_limit: int = 4096) -> str:
+    """SQL twin of the PQ ADC scan: retrains the IDENTICAL per-subspace
+    codebooks from the same ordered sample, recomputes every vector's
+    codes with the same first-min argmin (list_indexof(l, list_min(l)),
+    the twin of array_position(d2, array_min(d2))), and sums the same
+    inlined per-query lookup tables — assignment AND the ADC estimate
+    are value-checked.  Data-coupled to the sf under check like
+    :func:`_ivf_oracle_sql` (tools/check_contract.py re-derives it for
+    non-sf0.01 sweeps)."""
+    import pyarrow.parquet as pq
+    from sparksearch.pipeline.similarity import (train_pq_codebooks,
+                                                 pq_dist_tables)
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qv = [float(x) for x in tb[tb.vec_id == 0].embedding.iloc[0]]
+    rest = tb[tb.vec_id != 0].sort_values("vec_id")
+    books = train_pq_codebooks(
+        [list(map(float, v)) for v in rest.embedding.iloc[:train_limit]],
+        m, k_codes, seed)
+    tables = pq_dist_tables(qv, books)
+    sub = len(books[0][0])
+
+    def arr(c):
+        return "[" + ",".join(repr(float(x)) for x in c) + "]"
+
+    code_cols = []
+    for s, book in enumerate(books):
+        terms = ", ".join(
+            f"{sum(x * x for x in c)!r}"
+            f" - 2*list_dot_product(e[{s * sub + 1}:{(s + 1) * sub}],"
+            f" {arr(c)})" for c in book)
+        code_cols.append(
+            f"list_indexof([{terms}], list_min([{terms}])) AS c{s}")
+    adc = " + ".join(f"({arr(tables[s])})[c{s}]" for s in range(m))
+    return f"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id <> 0
+), c AS (
+  SELECT vec_id, {", ".join(code_cols)} FROM v
+)
+SELECT vec_id AS id, round({adc}, 4) AS dist
+FROM c ORDER BY {adc} ASC, vec_id ASC LIMIT {k}"""
+
+
 def _bm25_multi_cte(terms: list) -> str:
     """CTE computing per-doc BM25 score columns s0..s{n-1} (0 when the
     term is absent) for several terms — shared by the compound-query
@@ -875,6 +920,34 @@ def q_ivf_ann_topk(spark, sf_dir):
             n_clusters=16, seed=7)
     idx = _INDEX_CACHE[key]
     return (idx.topk(qv, k=10, max_probe=0.25)
+            .select("id", F.round("dist", 4).alias("dist")))
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """ANN top-k over the PERSISTED product-quantization layout
+    (pipeline/similarity.py PqIndex): every vector stored as m=8
+    4-bit-class codes instead of 64 floats (32-64x memory cut — the
+    candidate-scan-fits-in-RAM lever at 10^10-vector scale), distances
+    estimated by ADC — a codegen'd sum of per-subspace lookup-table
+    probes, no UDF.  The oracle retrains the IDENTICAL deterministic
+    codebooks, recomputes every vector's codes and the same ADC sum
+    from the same inlined tables, so quantization and the estimate are
+    both value-checked.  NOTE: codebook literals derive from the sf0.01
+    corpus the driver checks (tools/check_contract.py re-derives them
+    for other scales)."""
+    import tempfile
+    from sparksearch.pipeline.similarity import build_pq_index
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    key = ("pq", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="sparksearch_pq_")
+        _INDEX_CACHE[key] = build_pq_index(
+            emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", path,
+            m=8, k_codes=16, seed=11)
+    idx = _INDEX_CACHE[key]
+    return (idx.topk(qv, k=10)
             .select("id", F.round("dist", 4).alias("dist")))
 
 
@@ -1528,6 +1601,7 @@ QUERIES = {
     "json_path_agg_dsl": q_json_path_agg_dsl,
     "heap_or": q_heap_or,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "pq_adc_topk": q_pq_adc_topk,
     "vector_l2_topk": q_vector_l2_topk,
     "vector_ip_topk": q_vector_ip_topk,
     "bm25_topk": q_bm25_topk,
@@ -1681,6 +1755,7 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
             "ORDER BY w.value DESC, event_id ASC LIMIT 10"),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_oracle_sql(),
+        "pq_adc_topk": _pq_oracle_sql(),
         "vector_l2_topk": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
             "FROM embeddings WHERE vec_id = 0) "

@@ -14,7 +14,7 @@ from sparksearch.pipeline.dedup import (  # noqa: F401
 )
 from sparksearch.pipeline.similarity import (  # noqa: F401
     cosine_topk, lsh_cosine_topk, build_ivf_index, load_ivf_index,
-    train_centroids,
+    train_centroids, build_pq_index, load_pq_index, train_pq_codebooks,
 )
 from sparksearch.pipeline.text import (  # noqa: F401
     language_id, quality_scores, token_counts, fingerprint64,

@@ -558,3 +558,221 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     import json
     with open(f"{path}/ivf_meta.json") as fh:
         return IvfIndex(spark, path, json.load(fh))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / IVF-PQ) — the memory-compression ANN scale path.
+#
+# IVF (above) prunes WHICH vectors a query scans; PQ compresses WHAT is
+# scanned: each vector is split into ``m`` subvectors and every subvector
+# replaced by the id of its nearest per-subspace centroid, so a
+# dim-64 float32 vector (256 B) becomes ``m`` small codes (8 B at m=8,
+# k=16) — a 32-64x memory cut, the difference between "candidate scan
+# fits in cluster RAM" and "spills" at 10^10-vector scale.  Distances are
+# estimated with ADC (asymmetric distance computation): the query is NOT
+# quantized; per subspace a k-entry lookup table of exact
+# ||q_s - c_sj||^2 values is built once per query, and a vector's
+# approximate distance is the sum of m table lookups — here a codegen'd
+# sum of ``element_at(<literal table>, code+1)`` terms, no UDF.
+# (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", IEEE TPAMI 2011 — public literature.)
+#
+# Reference analog: pg_search maps pgvector's clustered index
+# (schema/mod.rs Vector type); pgvector itself grows PQ under
+# ivfpq-style layouts — here PQ composes with the IVF coarse partitioner
+# (``coarse_clusters``): codes are parquet-partitioned by coarse cell,
+# a query probes nprobe cells (partition pruning), ADC-ranks inside
+# them, then optionally exact-reranks the short candidate list against
+# the full vectors (late materialization: wide floats touched only for
+# the final r*k rows).
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(vecs, m: int, k: int, seed: int = 11,
+                       iters: int = 8) -> list:
+    """Deterministic per-subspace L2 k-means (fixed seed + iteration
+    count, float64) — the Spark build and the DuckDB oracle twin call
+    this on identically-ordered input, so codebooks are bit-identical.
+    Returns ``m`` codebooks of ``k`` centroids each."""
+    import numpy as np
+    v = np.asarray(vecs, dtype=np.float64)
+    dim = v.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sv = v[:, s * sub:(s + 1) * sub]
+        rng = np.random.RandomState(seed + s)
+        c = sv[rng.choice(len(sv), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sv[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                members = sv[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in c])
+    return books
+
+
+def _pq_codes_expr(vec: Column, books: list) -> Column:
+    """array<int> of 0-based codes, one per subspace: argmin over the
+    subspace's centroids of ||x_s - c_sj||^2, computed as
+    ``c.c - 2*x.c`` (the x.x term is constant within the argmin) with
+    first-min tie-break — array_position(d2, array_min(d2)), identical
+    to the DuckDB twin's list_indexof(l, list_min(l))."""
+    m = len(books)
+    sub = len(books[0][0])
+    codes = []
+    for s, book in enumerate(books):
+        sv = F.slice(vec, s * sub + 1, sub)
+        d2 = F.array(*[
+            F.lit(sum(x * x for x in c))
+            - 2.0 * F.aggregate(F.zip_with(sv, _vec_lit(c),
+                                           lambda x, y: x * y),
+                                F.lit(0.0), lambda acc, x: acc + x)
+            for c in book])
+        codes.append((F.array_position(d2, F.array_min(d2)) - 1)
+                     .cast("int"))
+    return F.array(*codes)
+
+
+def pq_dist_tables(query_vec, books: list) -> list:
+    """Per-subspace ADC lookup tables: tables[s][j] = ||q_s - c_sj||^2
+    (exact, float64).  Built once per query on the driver; inlined as
+    array literals into the codegen'd scan."""
+    m = len(books)
+    sub = len(books[0][0])
+    q = [float(x) for x in query_vec]
+    return [[sum((q[s * sub + i] - c[i]) ** 2 for i in range(sub))
+             for c in book]
+            for s, book in enumerate(books)]
+
+
+def _adc_expr(codes: Column, tables: list) -> Column:
+    out = F.lit(0.0)
+    for s, t in enumerate(tables):
+        out = out + F.element_at(_vec_lit(t),
+                                 F.element_at(codes, s + 1) + 1)
+    return out
+
+
+class PqIndex:
+    """Persisted PQ layout:
+
+    - ``{path}/codes``     — (id, codes array<int>[, cluster]) parquet,
+      partitioned by coarse cluster when ``coarse_clusters`` > 0
+      (IVF-PQ: probe prunes partitions before the ADC scan)
+    - ``{path}/vectors``   — (id, vec[, cluster]) full-precision
+      vectors for the exact rerank (touched only for the final
+      ``rerank*k`` candidates — late materialization)
+    - ``{path}/pq_meta.json`` — codebooks, coarse centroids, metric
+    """
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.books = meta["books"]
+        self.coarse = meta.get("coarse") or []
+
+    def _probe(self, query_vec, nprobe: int) -> list:
+        return IvfIndex(None, "", {"centroids": self.coarse}) \
+            .probe_clusters(query_vec, nprobe)
+
+    def topk(self, query_vec, k: int = 10, rerank: int = 0,
+             nprobe: int | None = None,
+             max_probe: float = 0.25) -> DataFrame:
+        """ADC top-k; ``rerank=r`` exact-reranks the top ``r*k`` ADC
+        candidates against the full vectors (returns exact distances
+        under the built metric); ``rerank=0`` returns raw ADC estimates.
+        Output schema is always (id, dist), dist ascending."""
+        qv = [float(x) for x in query_vec]
+        if self.meta.get("metric") == "cosine":
+            n = math.sqrt(sum(x * x for x in qv)) or 1.0
+            qv = [x / n for x in qv]
+        tables = pq_dist_tables(qv, self.books)
+        codes = self.spark.read.parquet(f"{self.path}/codes")
+        if self.coarse:
+            probe = self._probe(qv, nprobe or max(
+                1, int(len(self.coarse) * max_probe)))
+            codes = codes.filter(F.col("cluster").isin(probe))
+        adc = codes.select("id", _adc_expr(F.col("codes"),
+                                           tables).alias("dist"))
+        n_cand = k * rerank if rerank else k
+        cand = (adc.orderBy(F.col("dist").asc(), F.col("id").asc())
+                .limit(n_cand))
+        if not rerank:
+            return cand
+        vecs = self.spark.read.parquet(f"{self.path}/vectors")
+        hit = vecs.join(F.broadcast(cand.select("id")), "id", "left_semi")
+        exact = hit.select(
+            "id",
+            F.aggregate(F.zip_with(F.col("vec").cast("array<double>"),
+                                   _vec_lit(qv),
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x).alias("dist"))
+        return exact.orderBy(F.col("dist").asc(),
+                             F.col("id").asc()).limit(k)
+
+
+def build_pq_index(emb: DataFrame, key: str, vec_col: str, path: str,
+                   m: int = 8, k_codes: int = 16, seed: int = 11,
+                   coarse_clusters: int = 0, coarse_seed: int = 7,
+                   train_limit: int = 4096,
+                   metric: str = "l2") -> PqIndex:
+    """Train per-subspace codebooks on the first ``train_limit`` vectors
+    in key order (deterministic sample, same discipline as
+    :func:`build_ivf_index`), encode every vector with a codegen'd
+    argmin expression, write codes (+ full vectors for rerank).
+
+    ``metric="cosine"`` L2-normalizes vectors at build and queries at
+    probe time — squared L2 on unit vectors is ``2*(1-cos)``, so ADC
+    order equals cosine order.  ``coarse_clusters>0`` composes with the
+    IVF partitioner: codes are written partitioned by coarse cell and a
+    query's ADC scan prunes to its probed cells."""
+    import json
+    import os
+    spark = emb.sparkSession
+    emb = emb.filter(F.col(vec_col).isNotNull())
+    assert_finite_vectors(emb, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    if metric == "cosine":
+        nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                                 F.lit(0.0), lambda a, x: a + x))
+        v = F.transform(v, lambda x: x / F.greatest(nrm, F.lit(1e-300)))
+    base = emb.select(F.col(key).alias("id"), v.alias("vec"))
+    sample = [list(map(float, r["vec"]))
+              for r in base.orderBy("id").limit(train_limit).collect()]
+    books = train_pq_codebooks(sample, m, k_codes, seed)
+    coarse = (train_centroids(sample, coarse_clusters, coarse_seed)
+              if coarse_clusters else [])
+    enc = base.withColumn("codes", _pq_codes_expr(F.col("vec"), books))
+    if coarse:
+        enc = enc.withColumn("cluster",
+                             _cluster_expr(F.col("vec"), coarse))
+        (enc.select("id", "codes", "cluster").repartition("cluster")
+         .write.mode("overwrite").partitionBy("cluster")
+         .parquet(f"{path}/codes"))
+        (enc.select("id", "vec", "cluster").repartition("cluster")
+         .write.mode("overwrite").partitionBy("cluster")
+         .parquet(f"{path}/vectors"))
+    else:
+        enc.select("id", "codes").write.mode("overwrite") \
+           .parquet(f"{path}/codes")
+        enc.select("id", "vec").write.mode("overwrite") \
+           .parquet(f"{path}/vectors")
+    meta = {"books": books, "coarse": coarse, "m": m, "k": k_codes,
+            "seed": seed, "metric": metric}
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/pq_meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return PqIndex(spark, path, meta)
+
+
+def load_pq_index(spark, path: str) -> PqIndex:
+    import json
+    with open(f"{path}/pq_meta.json") as fh:
+        return PqIndex(spark, path, json.load(fh))
