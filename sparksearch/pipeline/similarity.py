@@ -681,6 +681,36 @@ class PqIndex:
         return IvfIndex(None, "", {"centroids": self.coarse}) \
             .probe_clusters(query_vec, nprobe)
 
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Filter tombstoned docs — same visibility rule as
+        :meth:`IvfIndex._live` (vector_delete_all_docs.out: deleted
+        docs never surface, even under exhaustive probing)."""
+        import os
+        tomb = f"{self.path}/tombstones"
+        if os.path.exists(tomb):
+            dead = self.spark.read.parquet(tomb)
+            df = df.join(dead, "id", "left_anti")
+        return df
+
+    def delete(self, ids) -> None:
+        """Tombstone docs (DELETE + VACUUM visibility, as IvfIndex)."""
+        df = (ids if isinstance(ids, DataFrame)
+              else self.spark.createDataFrame([(int(i),) for i in ids],
+                                              "id long"))
+        df.select("id").write.mode("append").parquet(
+            f"{self.path}/tombstones")
+
+    def vector_info(self) -> dict:
+        """Admin counters (paradedb.vector_info analog): live doc count
+        plus the PQ geometry (m subspaces × k classes) that determines
+        the compressed bytes/vector."""
+        codes = self._live(self.spark.read.parquet(f"{self.path}/codes"))
+        return {"vector_format": "pq",
+                "vector_num_vectors": codes.select(
+                    F.count_distinct("id")).first()[0],
+                "m": self.meta["m"], "k": self.meta["k"],
+                "coarse_clusters": len(self.coarse)}
+
     def topk(self, query_vec, k: int = 10, rerank: int = 0,
              nprobe: int | None = None,
              max_probe: float = 0.25) -> DataFrame:
@@ -693,7 +723,7 @@ class PqIndex:
             n = math.sqrt(sum(x * x for x in qv)) or 1.0
             qv = [x / n for x in qv]
         tables = pq_dist_tables(qv, self.books)
-        codes = self.spark.read.parquet(f"{self.path}/codes")
+        codes = self._live(self.spark.read.parquet(f"{self.path}/codes"))
         if self.coarse:
             probe = self._probe(qv, nprobe or max(
                 1, int(len(self.coarse) * max_probe)))

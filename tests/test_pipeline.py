@@ -427,3 +427,23 @@ def test_pq_rejects_indivisible_dim(embeddings):
             embeddings.limit(8).collect()]
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(rows, 5, 4, seed=1)
+
+
+def test_pq_delete_tombstones_and_vector_info(spark, tmp_path, embeddings):
+    """PQ index visibility parity with IvfIndex: tombstoned docs never
+    surface (even in the exact-rerank path), vector_info counts live
+    docs only."""
+    from sparksearch.pipeline import build_pq_index
+    path = str(tmp_path / "pq_del")
+    idx = build_pq_index(embeddings.filter("vec_id <> 0"), "vec_id",
+                         "embedding", path, m=4, k_codes=8, seed=11)
+    q = embeddings.filter("vec_id = 0").first()["embedding"]
+    before = [r["id"] for r in idx.topk(q, k=5).collect()]
+    assert before
+    idx.delete(before[:2])
+    after = [r["id"] for r in idx.topk(q, k=5, rerank=3).collect()]
+    assert not set(before[:2]) & set(after)
+    info = idx.vector_info()
+    assert info["vector_format"] == "pq"
+    assert info["vector_num_vectors"] == 59 - 2
+    assert info["m"] == 4 and info["k"] == 8
