@@ -434,6 +434,37 @@ class IvfIndex:
         df.select("id").write.mode("append").parquet(
             f"{self.path}/tombstones")
 
+    def insert(self, emb: DataFrame, key: str, vec_col: str,
+               validate_finite: bool = True) -> None:
+        """``aminsert`` analog for the vector index: assign NEW rows
+        with the EXISTING centroids (centroids retrain offline — an
+        insert must never shift old rows' assignments, the same
+        append-only discipline as Lucene/Tantivy segments) and append
+        into the cluster-partitioned layout.  Tombstones win over
+        re-inserted ids until a rebuild — id reuse needs compaction,
+        like the reference's VACUUM."""
+        emb = emb.filter(F.col(vec_col).isNotNull())
+        if validate_finite:
+            assert_finite_vectors(emb, vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        base = emb.select(F.col(key).alias("id"), v.alias("vec"))
+        r = self.meta.get("cluster_replication", 1)
+        if r == 1:
+            assigned = base.withColumn(
+                "cluster", _cluster_expr(F.col("vec"), self.centroids)) \
+                .withColumn("is_primary", F.lit(True))
+        else:
+            assigned = (base
+                        .select("id", "vec",
+                                F.posexplode(_cluster_ranks_expr(
+                                    F.col("vec"), self.centroids, r))
+                                .alias("rank", "cluster"))
+                        .withColumn("is_primary", F.col("rank") == 0)
+                        .drop("rank"))
+        (assigned.repartition("cluster")
+         .write.mode("append").partitionBy("cluster")
+         .parquet(f"{self.path}/clusters"))
+
     def vector_info(self) -> dict:
         """Admin counters (reference paradedb.vector_info,
         vector_merge.out): ``vector_num_vectors`` counts DISTINCT live
@@ -691,6 +722,40 @@ class PqIndex:
             dead = self.spark.read.parquet(tomb)
             df = df.join(dead, "id", "left_anti")
         return df
+
+    def insert(self, emb: DataFrame, key: str, vec_col: str,
+               validate_finite: bool = True) -> None:
+        """``aminsert`` analog: encode NEW rows with the EXISTING
+        codebooks (codebooks retrain offline — standard PQ practice;
+        encoding drift would silently corrupt old ADC estimates) and
+        append codes + full vectors.  Tombstones win over re-inserted
+        ids until a rebuild."""
+        emb = emb.filter(F.col(vec_col).isNotNull())
+        if validate_finite:
+            assert_finite_vectors(emb, vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        if self.meta.get("metric") == "cosine":
+            nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                                     F.lit(0.0), lambda a, x: a + x))
+            v = F.transform(v, lambda x: x / F.greatest(nrm,
+                                                        F.lit(1e-300)))
+        base = emb.select(F.col(key).alias("id"), v.alias("vec"))
+        enc = base.withColumn("codes",
+                              _pq_codes_expr(F.col("vec"), self.books))
+        if self.coarse:
+            enc = enc.withColumn("cluster",
+                                 _cluster_expr(F.col("vec"), self.coarse))
+            (enc.select("id", "codes", "cluster").repartition("cluster")
+             .write.mode("append").partitionBy("cluster")
+             .parquet(f"{self.path}/codes"))
+            (enc.select("id", "vec", "cluster").repartition("cluster")
+             .write.mode("append").partitionBy("cluster")
+             .parquet(f"{self.path}/vectors"))
+        else:
+            enc.select("id", "codes").write.mode("append") \
+               .parquet(f"{self.path}/codes")
+            enc.select("id", "vec").write.mode("append") \
+               .parquet(f"{self.path}/vectors")
 
     def delete(self, ids) -> None:
         """Tombstone docs (DELETE + VACUUM visibility, as IvfIndex)."""

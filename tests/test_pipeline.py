@@ -447,3 +447,34 @@ def test_pq_delete_tombstones_and_vector_info(spark, tmp_path, embeddings):
     assert info["vector_format"] == "pq"
     assert info["vector_num_vectors"] == 59 - 2
     assert info["m"] == 4 and info["k"] == 8
+
+
+def test_vector_index_insert_appends(spark, tmp_path, embeddings):
+    """aminsert analog on both vector indexes: rows inserted AFTER the
+    build are encoded with the frozen centroids/codebooks, land in the
+    partitioned layout, and are immediately searchable; old rows'
+    assignments never shift."""
+    from sparksearch.pipeline import build_ivf_index, build_pq_index
+    first = embeddings.filter("vec_id <> 0 AND vec_id < 40")
+    rest = embeddings.filter("vec_id >= 40")
+    q = embeddings.filter("vec_id = 0").first()["embedding"]
+
+    ivf = build_ivf_index(first, "vec_id", "embedding",
+                          str(tmp_path / "ivf_ins"), n_clusters=4, seed=7)
+    pre = {r["id"]: r["dist"] for r in ivf.topk(q, k=20, max_probe=1.0)
+           .collect()}
+    ivf.insert(rest, "vec_id", "embedding")
+    post = {r["id"]: r["dist"] for r in ivf.topk(q, k=20, max_probe=1.0)
+            .collect()}
+    assert 40 in post and 50 in post        # inserted clones found
+    for i, d in post.items():               # old docs' distances stable
+        if i in pre:
+            assert abs(d - pre[i]) < 1e-12
+    assert ivf.vector_info()["vector_num_vectors"] == 59
+
+    pq = build_pq_index(first, "vec_id", "embedding",
+                        str(tmp_path / "pq_ins"), m=4, k_codes=8, seed=11)
+    pq.insert(rest, "vec_id", "embedding")
+    got = {r["id"] for r in pq.topk(q, k=8, rerank=3).collect()}
+    assert {40, 50} <= got
+    assert pq.vector_info()["vector_num_vectors"] == 59
