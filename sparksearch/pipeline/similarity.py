@@ -435,14 +435,24 @@ class IvfIndex:
             f"{self.path}/tombstones")
 
     def insert(self, emb: DataFrame, key: str, vec_col: str,
-               validate_finite: bool = True) -> None:
+               validate_finite: bool = True,
+               epoch_id=None) -> None:
         """``aminsert`` analog for the vector index: assign NEW rows
         with the EXISTING centroids (centroids retrain offline — an
         insert must never shift old rows' assignments, the same
-        append-only discipline as Lucene/Tantivy segments) and append
-        into the cluster-partitioned layout.  Tombstones win over
-        re-inserted ids until a rebuild — id reuse needs compaction,
-        like the reference's VACUUM."""
+        append-only discipline as Lucene/Tantivy segments) and land
+        them as a NEW SEGMENT directory beside ``seg=base``.
+
+        ``epoch_id`` keys the segment (``seg=e<epoch>``) and the write
+        is an overwrite of that directory — a replayed micro-batch
+        (foreachBatch retry after failure) rewrites its own segment, so
+        streaming vector ingest is exactly-once, the identical
+        discipline as streaming/indexer.py's epoch-keyed text segments.
+        Without ``epoch_id`` a random segment name is used (one-shot
+        batch inserts).  Tombstones win over re-inserted ids until a
+        rebuild — id reuse needs compaction, like the reference's
+        VACUUM."""
+        import uuid
         emb = emb.filter(F.col(vec_col).isNotNull())
         if validate_finite:
             assert_finite_vectors(emb, vec_col)
@@ -461,9 +471,11 @@ class IvfIndex:
                                 .alias("rank", "cluster"))
                         .withColumn("is_primary", F.col("rank") == 0)
                         .drop("rank"))
+        seg = (f"e{int(epoch_id)}" if epoch_id is not None
+               else f"i{uuid.uuid4().hex[:8]}")
         (assigned.repartition("cluster")
-         .write.mode("append").partitionBy("cluster")
-         .parquet(f"{self.path}/clusters"))
+         .write.mode("overwrite").partitionBy("cluster")
+         .parquet(f"{self.path}/clusters/seg={seg}"))
 
     def vector_info(self) -> dict:
         """Admin counters (reference paradedb.vector_info,
@@ -575,7 +587,7 @@ def build_ivf_index(emb: DataFrame, key: str, vec_col: str, path: str,
                     .drop("rank"))
     (assigned.repartition("cluster")
      .write.mode("overwrite").partitionBy("cluster")
-     .parquet(f"{path}/clusters"))
+     .parquet(f"{path}/clusters/seg=base"))
     meta = {"n_clusters": n_clusters, "seed": seed, "metric": "cosine",
             "train_limit": train_limit, "centroids": centroids,
             "cluster_replication": r}
@@ -724,12 +736,19 @@ class PqIndex:
         return df
 
     def insert(self, emb: DataFrame, key: str, vec_col: str,
-               validate_finite: bool = True) -> None:
+               validate_finite: bool = True,
+               epoch_id=None) -> None:
         """``aminsert`` analog: encode NEW rows with the EXISTING
         codebooks (codebooks retrain offline — standard PQ practice;
         encoding drift would silently corrupt old ADC estimates) and
-        append codes + full vectors.  Tombstones win over re-inserted
-        ids until a rebuild."""
+        land codes + full vectors as a NEW SEGMENT directory.
+
+        ``epoch_id`` keys the segment (``seg=e<epoch>``), written with
+        overwrite, so a replayed micro-batch rewrites its own segment —
+        exactly-once streaming vector ingest, the same discipline as
+        the epoch-keyed text segments.  Tombstones win over
+        re-inserted ids until a rebuild."""
+        import uuid
         emb = emb.filter(F.col(vec_col).isNotNull())
         if validate_finite:
             assert_finite_vectors(emb, vec_col)
@@ -742,20 +761,22 @@ class PqIndex:
         base = emb.select(F.col(key).alias("id"), v.alias("vec"))
         enc = base.withColumn("codes",
                               _pq_codes_expr(F.col("vec"), self.books))
+        seg = (f"e{int(epoch_id)}" if epoch_id is not None
+               else f"i{uuid.uuid4().hex[:8]}")
         if self.coarse:
             enc = enc.withColumn("cluster",
                                  _cluster_expr(F.col("vec"), self.coarse))
             (enc.select("id", "codes", "cluster").repartition("cluster")
-             .write.mode("append").partitionBy("cluster")
-             .parquet(f"{self.path}/codes"))
+             .write.mode("overwrite").partitionBy("cluster")
+             .parquet(f"{self.path}/codes/seg={seg}"))
             (enc.select("id", "vec", "cluster").repartition("cluster")
-             .write.mode("append").partitionBy("cluster")
-             .parquet(f"{self.path}/vectors"))
+             .write.mode("overwrite").partitionBy("cluster")
+             .parquet(f"{self.path}/vectors/seg={seg}"))
         else:
-            enc.select("id", "codes").write.mode("append") \
-               .parquet(f"{self.path}/codes")
-            enc.select("id", "vec").write.mode("append") \
-               .parquet(f"{self.path}/vectors")
+            enc.select("id", "codes").write.mode("overwrite") \
+               .parquet(f"{self.path}/codes/seg={seg}")
+            enc.select("id", "vec").write.mode("overwrite") \
+               .parquet(f"{self.path}/vectors/seg={seg}")
 
     def delete(self, ids) -> None:
         """Tombstone docs (DELETE + VACUUM visibility, as IvfIndex)."""
@@ -850,15 +871,15 @@ def build_pq_index(emb: DataFrame, key: str, vec_col: str, path: str,
                              _cluster_expr(F.col("vec"), coarse))
         (enc.select("id", "codes", "cluster").repartition("cluster")
          .write.mode("overwrite").partitionBy("cluster")
-         .parquet(f"{path}/codes"))
+         .parquet(f"{path}/codes/seg=base"))
         (enc.select("id", "vec", "cluster").repartition("cluster")
          .write.mode("overwrite").partitionBy("cluster")
-         .parquet(f"{path}/vectors"))
+         .parquet(f"{path}/vectors/seg=base"))
     else:
         enc.select("id", "codes").write.mode("overwrite") \
-           .parquet(f"{path}/codes")
+           .parquet(f"{path}/codes/seg=base")
         enc.select("id", "vec").write.mode("overwrite") \
-           .parquet(f"{path}/vectors")
+           .parquet(f"{path}/vectors/seg=base")
     meta = {"books": books, "coarse": coarse, "m": m, "k": k_codes,
             "seed": seed, "metric": metric}
     os.makedirs(path, exist_ok=True)

@@ -478,3 +478,54 @@ def test_vector_index_insert_appends(spark, tmp_path, embeddings):
     got = {r["id"] for r in pq.topk(q, k=8, rerank=3).collect()}
     assert {40, 50} <= got
     assert pq.vector_info()["vector_num_vectors"] == 59
+
+
+def test_streaming_vector_ingest_exactly_once(spark, tmp_path, embeddings):
+    """Streaming vector ingest: a micro-batch stream of embeddings feeds
+    PqIndex.insert(epoch_id=batchId) via foreachBatch.  Epoch-keyed
+    segment overwrite makes replays idempotent — re-running a committed
+    batch body changes nothing — and inserted vectors are immediately
+    searchable (same discipline as the text indexer's epoch segments)."""
+    import glob as _glob
+    import shutil as _shutil
+    import os as _os
+    from sparksearch.pipeline import build_pq_index
+    path = str(tmp_path / "pq_stream")
+    base = embeddings.filter("vec_id <> 0 AND vec_id < 40")
+    idx = build_pq_index(base, "vec_id", "embedding", path,
+                         m=4, k_codes=8, seed=11)
+    src = str(tmp_path / "vec_src")
+    _os.makedirs(src, exist_ok=True)
+    n = 0
+    for lo, hi in ((40, 50), (50, 60)):
+        d = str(tmp_path / f"tmp_{lo}")
+        embeddings.filter(f"vec_id >= {lo} AND vec_id < {hi}") \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        for p in sorted(_glob.glob(f"{d}/*.parquet")):
+            _shutil.copy(p, f"{src}/part{n:03d}.parquet")
+            n += 1
+
+    replayed = {}
+
+    def body(batch, epoch_id):
+        idx.insert(batch, "vec_id", "embedding", epoch_id=epoch_id)
+        replayed[epoch_id] = batch.count()
+
+    q = (spark.readStream.schema("vec_id int, embedding array<float>, "
+                                 "label int")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(body)
+         .option("checkpointLocation", str(tmp_path / "vec_ckpt")).start())
+    q.processAllAvailable()
+    q.stop()
+    assert idx.vector_info()["vector_num_vectors"] == 59
+    qv = embeddings.filter("vec_id = 0").first()["embedding"]
+    got = {r["id"] for r in idx.topk(qv, k=8, rerank=3).collect()}
+    assert {40, 50} <= got
+    # replay: re-run a committed epoch's body — the segment is
+    # overwritten in place, counts and results unchanged
+    epoch = sorted(replayed)[0]
+    batch = spark.read.parquet(f"{src}/part000.parquet")
+    idx.insert(batch, "vec_id", "embedding", epoch_id=epoch)
+    assert idx.vector_info()["vector_num_vectors"] == 59
+    assert {r["id"] for r in idx.topk(qv, k=8, rerank=3).collect()} == got
