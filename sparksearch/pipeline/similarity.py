@@ -862,6 +862,9 @@ def build_pq_index(emb: DataFrame, key: str, vec_col: str, path: str,
     base = emb.select(F.col(key).alias("id"), v.alias("vec"))
     sample = [list(map(float, r["vec"]))
               for r in base.orderBy("id").limit(train_limit).collect()]
+    if not sample:
+        raise ValueError("cannot build a PQ index over zero vectors")
+    k_codes = min(k_codes, len(sample))
     books = train_pq_codebooks(sample, m, k_codes, seed)
     coarse = (train_centroids(sample, coarse_clusters, coarse_seed)
               if coarse_clusters else [])

@@ -529,3 +529,18 @@ def test_streaming_vector_ingest_exactly_once(spark, tmp_path, embeddings):
     idx.insert(batch, "vec_id", "embedding", epoch_id=epoch)
     assert idx.vector_info()["vector_num_vectors"] == 59
     assert {r["id"] for r in idx.topk(qv, k=8, rerank=3).collect()} == got
+
+
+def test_pq_tiny_corpus_clamps_codebook(spark, tmp_path, embeddings):
+    """Fewer training vectors than k_codes clamps k (the IVF clamp's
+    twin) instead of crashing numpy's sampler; zero vectors raise."""
+    from sparksearch.pipeline import build_pq_index
+    tiny = embeddings.filter("vec_id IN (1, 2, 3)")
+    idx = build_pq_index(tiny, "vec_id", "embedding",
+                         str(tmp_path / "pq_tiny"), m=4, k_codes=16,
+                         seed=11)
+    assert idx.meta["k"] == 3
+    assert len(idx.topk([0.0] * 16, k=5).collect()) == 3
+    with pytest.raises(ValueError, match="zero vectors"):
+        build_pq_index(embeddings.filter("vec_id < 0"), "vec_id",
+                       "embedding", str(tmp_path / "pq_zero"))
