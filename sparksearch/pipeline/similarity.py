@@ -477,6 +477,16 @@ class IvfIndex:
          .write.mode("overwrite").partitionBy("cluster")
          .parquet(f"{self.path}/clusters/seg={seg}"))
 
+    def compact(self) -> None:
+        """``amvacuumcleanup`` analog: physically rewrite the index as
+        ONE base segment — tombstoned rows dropped for real, the
+        accumulated insert segments merged away, tombstones cleared.
+        Offline maintenance (single-writer), like `VACUUM`; the text
+        index's manifest-swapped compactor (streaming/indexer.py) is
+        the concurrent-reader-safe variant of this discipline."""
+        _compact_segmented(self.spark, f"{self.path}/clusters",
+                           f"{self.path}/tombstones", "cluster")
+
     def vector_info(self) -> dict:
         """Admin counters (reference paradedb.vector_info,
         vector_merge.out): ``vector_num_vectors`` counts DISTINCT live
@@ -786,6 +796,18 @@ class PqIndex:
         df.select("id").write.mode("append").parquet(
             f"{self.path}/tombstones")
 
+    def compact(self) -> None:
+        """``amvacuumcleanup`` analog: merge all segments into one base
+        segment for BOTH the codes and vectors tables, dropping
+        tombstoned rows physically and clearing the tombstone list.
+        Offline maintenance (single-writer), as :meth:`IvfIndex.compact`."""
+        part = "cluster" if self.coarse else None
+        _compact_segmented(self.spark, f"{self.path}/codes",
+                           f"{self.path}/tombstones", part,
+                           drop_tombstones=False)
+        _compact_segmented(self.spark, f"{self.path}/vectors",
+                           f"{self.path}/tombstones", part)
+
     def vector_info(self) -> dict:
         """Admin counters (paradedb.vector_info analog): live doc count
         plus the PQ geometry (m subspaces × k classes) that determines
@@ -895,3 +917,34 @@ def load_pq_index(spark, path: str) -> PqIndex:
     import json
     with open(f"{path}/pq_meta.json") as fh:
         return PqIndex(spark, path, json.load(fh))
+
+
+def _compact_segmented(spark, data_path: str, tomb_path: str,
+                       part_col: str | None,
+                       drop_tombstones: bool = True) -> None:
+    """Rewrite a seg=*-partitioned parquet layout as a single base
+    segment: tombstoned ids physically removed, insert segments merged,
+    the tombstone list cleared once the last table referencing it is
+    rewritten.  The write lands in a temp dir first and is swapped in
+    with directory renames — a crash before the swap leaves the old
+    layout fully intact."""
+    import os
+    import shutil
+    import uuid
+    df = spark.read.parquet(data_path)
+    if os.path.exists(tomb_path):
+        dead = spark.read.parquet(tomb_path)
+        df = df.join(dead, "id", "left_anti")
+    if "seg" in df.columns:
+        df = df.drop("seg")
+    tmp = f"{data_path}__compact_{uuid.uuid4().hex[:8]}"
+    out = df.repartition(F.col(part_col)) if part_col else df
+    w = out.write.mode("overwrite")
+    if part_col:
+        w = w.partitionBy(part_col)
+    w.parquet(tmp)
+    shutil.rmtree(data_path)
+    os.makedirs(data_path)
+    os.rename(tmp, os.path.join(data_path, "seg=base"))
+    if drop_tombstones and os.path.exists(tomb_path):
+        shutil.rmtree(tomb_path)

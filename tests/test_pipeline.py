@@ -544,3 +544,43 @@ def test_pq_tiny_corpus_clamps_codebook(spark, tmp_path, embeddings):
     with pytest.raises(ValueError, match="zero vectors"):
         build_pq_index(embeddings.filter("vec_id < 0"), "vec_id",
                        "embedding", str(tmp_path / "pq_zero"))
+
+
+def test_vector_index_compact_vacuum(spark, tmp_path, embeddings):
+    """compact() = amvacuumcleanup analog: after inserts + deletes, the
+    index collapses to one base segment, tombstoned rows are physically
+    gone, the tombstone list is cleared, and results are unchanged."""
+    import os as _os
+    from sparksearch.pipeline import build_ivf_index, build_pq_index
+    q = embeddings.filter("vec_id = 0").first()["embedding"]
+
+    for kind in ("ivf", "pq"):
+        path = str(tmp_path / f"cmp_{kind}")
+        first = embeddings.filter("vec_id <> 0 AND vec_id < 40")
+        rest = embeddings.filter("vec_id >= 40")
+        if kind == "ivf":
+            idx = build_ivf_index(first, "vec_id", "embedding", path,
+                                  n_clusters=4, seed=7)
+            data = "clusters"
+        else:
+            idx = build_pq_index(first, "vec_id", "embedding", path,
+                                 m=4, k_codes=8, seed=11,
+                                 coarse_clusters=4)
+            data = "codes"
+        idx.insert(rest, "vec_id", "embedding", epoch_id=1)
+        idx.delete([7, 13])
+        before = ([r["id"] for r in idx.topk(q, k=10, max_probe=1.0)
+                   .collect()] if kind == "ivf"
+                  else [r["id"] for r in idx.topk(q, k=10, rerank=3)
+                        .collect()])
+        idx.compact()
+        segs = sorted(_os.listdir(f"{path}/{data}"))
+        assert segs == ["seg=base"], segs
+        assert not _os.path.exists(f"{path}/tombstones")
+        after = ([r["id"] for r in idx.topk(q, k=10, max_probe=1.0)
+                  .collect()] if kind == "ivf"
+                 else [r["id"] for r in idx.topk(q, k=10, rerank=3)
+                       .collect()])
+        assert after == before
+        assert idx.vector_info()["vector_num_vectors"] == 57
+        assert 7 not in after and 13 not in after
