@@ -248,6 +248,60 @@ class AnnIndex:
         self.bands = meta["bands"]
         self.width = meta["n_planes"] // meta["bands"]
 
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Tombstone visibility, as :meth:`IvfIndex._live`."""
+        import os
+        tomb = f"{self.path}/tombstones"
+        if os.path.exists(tomb):
+            dead = self.spark.read.parquet(tomb)
+            df = df.join(dead, "id", "left_anti")
+        return df
+
+    def insert(self, emb: DataFrame, key: str, vec_col: str,
+               validate_finite: bool = True,
+               epoch_id=None) -> None:
+        """``aminsert`` analog: sign the NEW vectors with the FROZEN
+        hyperplanes and land buckets + vectors as an epoch-keyed
+        segment (replay-idempotent overwrite, as IvfIndex/PqIndex)."""
+        import uuid
+        emb = emb.filter(F.col(vec_col).isNotNull())
+        if validate_finite:
+            assert_finite_vectors(emb, vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        sig = _sig_expr(v, self.planes)
+        mask = (1 << self.width) - 1
+        chunks = F.array(*[
+            F.shiftrightunsigned(sig, i * self.width).bitwiseAND(
+                F.lit(mask))
+            for i in range(self.bands)])
+        base = emb.select(F.col(key).alias("id"), v.alias("vec"),
+                          F.posexplode(chunks).alias("band", "bv"))
+        seg = (f"e{int(epoch_id)}" if epoch_id is not None
+               else f"i{uuid.uuid4().hex[:8]}")
+        (base.select("id", "band", "bv")
+         .repartition("band", "bv")
+         .write.mode("overwrite").partitionBy("band", "bv")
+         .parquet(f"{self.path}/buckets/seg={seg}"))
+        (emb.select(F.col(key).alias("id"), v.alias("vec"))
+         .write.mode("overwrite")
+         .parquet(f"{self.path}/vectors/seg={seg}"))
+
+    def delete(self, ids) -> None:
+        """Tombstone docs (DELETE visibility, as IvfIndex.delete)."""
+        df = (ids if isinstance(ids, DataFrame)
+              else self.spark.createDataFrame([(int(i),) for i in ids],
+                                              "id long"))
+        df.select("id").write.mode("append").parquet(
+            f"{self.path}/tombstones")
+
+    def compact(self) -> None:
+        """``amvacuumcleanup`` analog, as :meth:`IvfIndex.compact`."""
+        _compact_segmented(self.spark, f"{self.path}/buckets",
+                           f"{self.path}/tombstones", ["band", "bv"],
+                           drop_tombstones=False)
+        _compact_segmented(self.spark, f"{self.path}/vectors",
+                           f"{self.path}/tombstones", None)
+
     def topk(self, query_vec, k: int = 10,
              metric: str | None = None) -> DataFrame:
         built = self.meta.get("metric", "cosine")
@@ -256,7 +310,8 @@ class AnnIndex:
             # fall back to an exact scan under the REQUESTED metric —
             # sign-bit buckets only approximate the built metric
             _warn_metric_mismatch(metric, built, limit=k)
-            vecs = self.spark.read.parquet(f"{self.path}/vectors")
+            vecs = self._live(
+                self.spark.read.parquet(f"{self.path}/vectors"))
             return (vector_topk(vecs, "vec", query_vec, k, metric=metric,
                                 tiebreak=[F.col("id").asc()])
                     .select("id", "dist"))
@@ -268,7 +323,7 @@ class AnnIndex:
             qb = (qsig >> (i * self.width)) & mask
             cond = cond | ((F.col("band") == i) & (F.col("bv") == qb))
         cand_ids = buckets.filter(cond).select("id").distinct()
-        vecs = self.spark.read.parquet(f"{self.path}/vectors")
+        vecs = self._live(self.spark.read.parquet(f"{self.path}/vectors"))
         cands = vecs.join(cand_ids, "id", "left_semi")
         return _as_dist(cosine_topk(cands, "id", "vec", query_vec, k))
 
@@ -298,9 +353,9 @@ def build_ann_index(emb: DataFrame, key: str, vec_col: str, path: str,
     (base.select("id", "band", "bv")
      .repartition("band", "bv")
      .write.mode("overwrite").partitionBy("band", "bv")
-     .parquet(f"{path}/buckets"))
+     .parquet(f"{path}/buckets/seg=base"))
     (emb.select(F.col(key).alias("id"), v.alias("vec"))
-     .write.mode("overwrite").parquet(f"{path}/vectors"))
+     .write.mode("overwrite").parquet(f"{path}/vectors/seg=base"))
     meta = {"n_planes": n_planes, "bands": bands, "seed": seed,
             "metric": "cosine",
             "dim": dim, "planes": planes}
@@ -920,7 +975,7 @@ def load_pq_index(spark, path: str) -> PqIndex:
 
 
 def _compact_segmented(spark, data_path: str, tomb_path: str,
-                       part_col: str | None,
+                       part_col=None,
                        drop_tombstones: bool = True) -> None:
     """Rewrite a seg=*-partitioned parquet layout as a single base
     segment: tombstoned ids physically removed, insert segments merged,
@@ -938,10 +993,11 @@ def _compact_segmented(spark, data_path: str, tomb_path: str,
     if "seg" in df.columns:
         df = df.drop("seg")
     tmp = f"{data_path}__compact_{uuid.uuid4().hex[:8]}"
-    out = df.repartition(F.col(part_col)) if part_col else df
+    parts = ([part_col] if isinstance(part_col, str) else (part_col or []))
+    out = df.repartition(*[F.col(c) for c in parts]) if parts else df
     w = out.write.mode("overwrite")
-    if part_col:
-        w = w.partitionBy(part_col)
+    if parts:
+        w = w.partitionBy(*parts)
     w.parquet(tmp)
     shutil.rmtree(data_path)
     os.makedirs(data_path)

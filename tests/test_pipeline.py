@@ -584,3 +584,30 @@ def test_vector_index_compact_vacuum(spark, tmp_path, embeddings):
         assert after == before
         assert idx.vector_info()["vector_num_vectors"] == 57
         assert 7 not in after and 13 not in after
+
+
+def test_lsh_index_lifecycle(spark, tmp_path, embeddings):
+    """AnnIndex (LSH) lifecycle parity: epoch-keyed inserts with the
+    FROZEN hyperplanes, tombstone deletes visible in both the banded
+    probe and the exact fallback, compaction to one base segment."""
+    import os as _os
+    from sparksearch.pipeline.similarity import build_ann_index
+    path = str(tmp_path / "lsh_life")
+    idx = build_ann_index(embeddings.filter("vec_id <> 0 AND vec_id < 40"),
+                          "vec_id", "embedding", path)
+    idx.insert(embeddings.filter("vec_id >= 40"), "vec_id", "embedding",
+               epoch_id=3)
+    q = embeddings.filter("vec_id = 0").first()["embedding"]
+    got = [r["id"] for r in idx.topk(q, k=6).collect()]
+    assert {40, 50} <= set(got)           # inserted clones found
+    idx.delete(got[:2])
+    after = [r["id"] for r in idx.topk(q, k=6).collect()]
+    assert not set(got[:2]) & set(after)
+    # replayed epoch: same segment overwritten, results unchanged
+    idx.insert(embeddings.filter("vec_id >= 40"), "vec_id", "embedding",
+               epoch_id=3)
+    assert [r["id"] for r in idx.topk(q, k=6).collect()] == after
+    idx.compact()
+    assert sorted(_os.listdir(f"{path}/buckets")) == ["seg=base"]
+    assert not _os.path.exists(f"{path}/tombstones")
+    assert [r["id"] for r in idx.topk(q, k=6).collect()] == after
