@@ -382,19 +382,22 @@ def test_pq_codebooks_deterministic(embeddings):
     assert a != train_pq_codebooks(rows, 4, 8, seed=12)
 
 
-def test_pq_codes_match_python_twin(spark, embeddings):
+@pytest.mark.parametrize("m,k,seed", [(4, 8, 11), (2, 4, 3),
+                                      (8, 16, 77), (1, 32, 5)])
+def test_pq_codes_match_python_twin(spark, embeddings, m, k, seed):
     """The codegen'd encoding expression and a straight numpy argmin
-    assign identical codes (first-min tie-break both sides)."""
+    assign identical codes (first-min tie-break both sides), across
+    subspace geometries from m=1 (plain VQ) to m=8 (2-dim subspaces)."""
     import numpy as np
     from sparksearch.pipeline import train_pq_codebooks
     from sparksearch.pipeline.similarity import _pq_codes_expr
     rows = embeddings.orderBy("vec_id").collect()
     vecs = [list(map(float, r["embedding"])) for r in rows]
-    books = train_pq_codebooks(vecs, 4, 8, seed=11)
+    books = train_pq_codebooks(vecs, m, k, seed=seed)
     got = {r["vec_id"]: list(r["codes"]) for r in embeddings.select(
         "vec_id", _pq_codes_expr(F.col("embedding").cast("array<double>"),
                                  books).alias("codes")).collect()}
-    sub = 4
+    sub = 16 // m
     for r, v in zip(rows, vecs):
         want = []
         for s, book in enumerate(books):
