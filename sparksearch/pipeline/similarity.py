@@ -766,6 +766,54 @@ def _adc_expr(codes: Column, tables: list) -> Column:
     return out
 
 
+
+def _pq_encode(base: DataFrame, books: list, encode: str) -> DataFrame:
+    """codes column via the codegen'd argmin (``encode="expr"``) or a
+    vectorized numpy argmin in Arrow workers (``encode="arrow"``).
+
+    The expr path is JVM-only and right for small codebooks (m*k
+    distance sub-expressions inline into one generated class); at
+    production codebook sizes (k=256) that is thousands of folds — the
+    arrow path computes all m argmins as three BLAS-shaped numpy ops
+    per batch instead, the standard PQ encode kernel.  Both paths are
+    tie-break-identical (first minimum wins: numpy argmin and
+    array_position(d2, array_min(d2)) agree)."""
+    if encode == "expr":
+        return base.withColumn("codes",
+                               _pq_codes_expr(F.col("vec"), books))
+    if encode != "arrow":
+        raise ValueError(f"unknown encode mode {encode!r}")
+    import numpy as np
+    import pandas as pd
+    m = len(books)
+    sub = len(books[0][0])
+    bk = [np.asarray(b, dtype=np.float64) for b in books]
+    bk_sq = [(b * b).sum(axis=1) for b in bk]
+    from pyspark.sql.types import (ArrayType, IntegerType, StructField,
+                                   StructType)
+    out_schema = StructType(list(base.schema.fields)
+                            + [StructField("codes",
+                                           ArrayType(IntegerType()))])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray([list(x) for x in pdf["vec"]],
+                           dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                sv = v[:, s * sub:(s + 1) * sub]
+                # ||x-c||^2 = c.c - 2 x.c (+x.x const): argmin over k
+                d2 = bk_sq[s][None, :] - 2.0 * (sv @ bk[s].T)
+                codes[:, s] = d2.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf["codes"] = [row.tolist() for row in codes]
+            yield pdf
+
+    return base.mapInPandas(gen, schema=out_schema)
+
+
 class PqIndex:
     """Persisted PQ layout:
 
@@ -802,7 +850,7 @@ class PqIndex:
 
     def insert(self, emb: DataFrame, key: str, vec_col: str,
                validate_finite: bool = True,
-               epoch_id=None) -> None:
+               epoch_id=None, encode: str = "expr") -> None:
         """``aminsert`` analog: encode NEW rows with the EXISTING
         codebooks (codebooks retrain offline — standard PQ practice;
         encoding drift would silently corrupt old ADC estimates) and
@@ -824,8 +872,7 @@ class PqIndex:
             v = F.transform(v, lambda x: x / F.greatest(nrm,
                                                         F.lit(1e-300)))
         base = emb.select(F.col(key).alias("id"), v.alias("vec"))
-        enc = base.withColumn("codes",
-                              _pq_codes_expr(F.col("vec"), self.books))
+        enc = _pq_encode(base, self.books, encode)
         seg = (f"e{int(epoch_id)}" if epoch_id is not None
                else f"i{uuid.uuid4().hex[:8]}")
         if self.coarse:
@@ -915,7 +962,7 @@ def build_pq_index(emb: DataFrame, key: str, vec_col: str, path: str,
                    m: int = 8, k_codes: int = 16, seed: int = 11,
                    coarse_clusters: int = 0, coarse_seed: int = 7,
                    train_limit: int = 4096,
-                   metric: str = "l2") -> PqIndex:
+                   metric: str = "l2", encode: str = "expr") -> PqIndex:
     """Train per-subspace codebooks on the first ``train_limit`` vectors
     in key order (deterministic sample, same discipline as
     :func:`build_ivf_index`), encode every vector with a codegen'd
@@ -945,7 +992,7 @@ def build_pq_index(emb: DataFrame, key: str, vec_col: str, path: str,
     books = train_pq_codebooks(sample, m, k_codes, seed)
     coarse = (train_centroids(sample, coarse_clusters, coarse_seed)
               if coarse_clusters else [])
-    enc = base.withColumn("codes", _pq_codes_expr(F.col("vec"), books))
+    enc = _pq_encode(base, books, encode)
     if coarse:
         enc = enc.withColumn("cluster",
                              _cluster_expr(F.col("vec"), coarse))

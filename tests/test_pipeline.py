@@ -614,3 +614,26 @@ def test_lsh_index_lifecycle(spark, tmp_path, embeddings):
     assert sorted(_os.listdir(f"{path}/buckets")) == ["seg=base"]
     assert not _os.path.exists(f"{path}/tombstones")
     assert [r["id"] for r in idx.topk(q, k=6).collect()] == after
+
+
+def test_pq_arrow_encode_equals_expr(spark, tmp_path, embeddings):
+    """encode="arrow" (vectorized numpy argmin in Arrow workers — the
+    k=256-codebook scale hatch) produces byte-identical codes and
+    identical topk to the codegen'd expr path."""
+    from sparksearch.pipeline import build_pq_index
+    a = build_pq_index(embeddings.filter("vec_id <> 0"), "vec_id",
+                       "embedding", str(tmp_path / "pq_e"), m=4,
+                       k_codes=8, seed=11, encode="expr")
+    b = build_pq_index(embeddings.filter("vec_id <> 0"), "vec_id",
+                       "embedding", str(tmp_path / "pq_a"), m=4,
+                       k_codes=8, seed=11, encode="arrow")
+    ca = {r["id"]: list(r["codes"]) for r in
+          spark.read.parquet(str(tmp_path / "pq_e/codes")).collect()}
+    cb = {r["id"]: list(r["codes"]) for r in
+          spark.read.parquet(str(tmp_path / "pq_a/codes")).collect()}
+    assert ca == cb
+    q = embeddings.filter("vec_id = 0").first()["embedding"]
+    assert a.topk(q, k=7).collect() == b.topk(q, k=7).collect()
+    with pytest.raises(ValueError, match="unknown encode"):
+        build_pq_index(embeddings.filter("vec_id <> 0"), "vec_id",
+                       "embedding", str(tmp_path / "pq_x"), encode="nope")
