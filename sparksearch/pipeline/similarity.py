@@ -814,6 +814,50 @@ def _pq_encode(base: DataFrame, books: list, encode: str) -> DataFrame:
     return base.mapInPandas(gen, schema=out_schema)
 
 
+
+def _assign_py(v, cents) -> int:
+    """Python twin of :func:`_cluster_expr` (1-based argmax of
+    dot(v, ĉ_j), first-max tie-break) — used only to pick which
+    residuals TRAIN the codebooks; every stored vector's assignment
+    comes from the JVM expression."""
+    import math as _math
+    best, bi = None, 1
+    for j, c in enumerate(cents):
+        cn = _math.sqrt(sum(x * x for x in c)) or 1.0
+        d = sum(float(a) * b for a, b in zip(v, c)) / cn
+        if best is None or d > best:
+            best, bi = d, j + 1
+    return bi
+
+
+def _pq_assign_encode(base: DataFrame, books: list, coarse: list,
+                      residual: bool, encode: str):
+    """(codes_frame, vectors_frame) for a PQ build/insert: assign the
+    coarse cell (when any), encode codes over the raw vector or the
+    RESIDUAL ``x - c_cell`` (IVF-PQ proper: residuals have far smaller
+    variance than raw vectors, so the same m×k codebook budget buys a
+    tighter quantization — Jegou et al. 2011 §IV).  The vectors frame
+    always carries the ORIGINAL vector (rerank needs it)."""
+    if not coarse:
+        enc = _pq_encode(base, books, encode)
+        return enc.select("id", "codes"), enc.select("id", "vec")
+    assigned = base.withColumn("cluster",
+                               _cluster_expr(F.col("vec"), coarse))
+    if residual:
+        cents = F.array(*[_vec_lit(c) for c in coarse])
+        enc_in = assigned.select(
+            "id",
+            F.zip_with(F.col("vec"),
+                       F.element_at(cents, F.col("cluster").cast("int")),
+                       lambda x, y: x - y).alias("vec"),
+            "cluster")
+    else:
+        enc_in = assigned
+    enc = _pq_encode(enc_in, books, encode)
+    return (enc.select("id", "codes", "cluster"),
+            assigned.select("id", "vec", "cluster"))
+
+
 class PqIndex:
     """Persisted PQ layout:
 
@@ -872,22 +916,22 @@ class PqIndex:
             v = F.transform(v, lambda x: x / F.greatest(nrm,
                                                         F.lit(1e-300)))
         base = emb.select(F.col(key).alias("id"), v.alias("vec"))
-        enc = _pq_encode(base, self.books, encode)
+        codes_f, vecs_f = _pq_assign_encode(
+            base, self.books, self.coarse,
+            bool(self.meta.get("residual")), encode)
         seg = (f"e{int(epoch_id)}" if epoch_id is not None
                else f"i{uuid.uuid4().hex[:8]}")
         if self.coarse:
-            enc = enc.withColumn("cluster",
-                                 _cluster_expr(F.col("vec"), self.coarse))
-            (enc.select("id", "codes", "cluster").repartition("cluster")
+            (codes_f.repartition("cluster")
              .write.mode("overwrite").partitionBy("cluster")
              .parquet(f"{self.path}/codes/seg={seg}"))
-            (enc.select("id", "vec", "cluster").repartition("cluster")
+            (vecs_f.repartition("cluster")
              .write.mode("overwrite").partitionBy("cluster")
              .parquet(f"{self.path}/vectors/seg={seg}"))
         else:
-            enc.select("id", "codes").write.mode("overwrite") \
+            codes_f.write.mode("overwrite") \
                .parquet(f"{self.path}/codes/seg={seg}")
-            enc.select("id", "vec").write.mode("overwrite") \
+            vecs_f.write.mode("overwrite") \
                .parquet(f"{self.path}/vectors/seg={seg}")
 
     def delete(self, ids) -> None:
@@ -932,12 +976,33 @@ class PqIndex:
         if self.meta.get("metric") == "cosine":
             n = math.sqrt(sum(x * x for x in qv)) or 1.0
             qv = [x / n for x in qv]
-        tables = pq_dist_tables(qv, self.books)
         codes = self._live(self.spark.read.parquet(f"{self.path}/codes"))
         if self.coarse:
             probe = self._probe(qv, nprobe or max(
                 1, int(len(self.coarse) * max_probe)))
+            if self.meta.get("residual"):
+                # IVF-PQ residual ADC: codes quantize x - c_cell, so the
+                # lookup tables are PER PROBED CELL (built from q - c_j);
+                # each branch is a partition-pruned scan with its own
+                # inlined tables, unioned before the top-k
+                branches = []
+                for j in probe:
+                    rq = [a - b for a, b in zip(qv, self.coarse[j - 1])]
+                    tj = pq_dist_tables(rq, self.books)
+                    branches.append(
+                        codes.filter(F.col("cluster") == j)
+                        .select("id", _adc_expr(F.col("codes"),
+                                                tj).alias("dist")))
+                adc = branches[0]
+                for b in branches[1:]:
+                    adc = adc.unionByName(b)
+                n_cand = k * rerank if rerank else k
+                cand = (adc.orderBy(F.col("dist").asc(),
+                                    F.col("id").asc()).limit(n_cand))
+                return (cand if not rerank
+                        else self._exact_rerank(cand, qv, k))
             codes = codes.filter(F.col("cluster").isin(probe))
+        tables = pq_dist_tables(qv, self.books)
         adc = codes.select("id", _adc_expr(F.col("codes"),
                                            tables).alias("dist"))
         n_cand = k * rerank if rerank else k
@@ -945,6 +1010,11 @@ class PqIndex:
                 .limit(n_cand))
         if not rerank:
             return cand
+        return self._exact_rerank(cand, qv, k)
+
+    def _exact_rerank(self, cand: DataFrame, qv: list, k: int) -> DataFrame:
+        """Exact squared-L2 re-sort of the ADC candidate ids against the
+        full vectors (late materialization)."""
         vecs = self.spark.read.parquet(f"{self.path}/vectors")
         hit = vecs.join(F.broadcast(cand.select("id")), "id", "left_semi")
         exact = hit.select(
@@ -962,7 +1032,8 @@ def build_pq_index(emb: DataFrame, key: str, vec_col: str, path: str,
                    m: int = 8, k_codes: int = 16, seed: int = 11,
                    coarse_clusters: int = 0, coarse_seed: int = 7,
                    train_limit: int = 4096,
-                   metric: str = "l2", encode: str = "expr") -> PqIndex:
+                   metric: str = "l2", encode: str = "expr",
+                   residual: bool = False) -> PqIndex:
     """Train per-subspace codebooks on the first ``train_limit`` vectors
     in key order (deterministic sample, same discipline as
     :func:`build_ivf_index`), encode every vector with a codegen'd
@@ -989,26 +1060,33 @@ def build_pq_index(emb: DataFrame, key: str, vec_col: str, path: str,
     if not sample:
         raise ValueError("cannot build a PQ index over zero vectors")
     k_codes = min(k_codes, len(sample))
-    books = train_pq_codebooks(sample, m, k_codes, seed)
+    if residual and not coarse_clusters:
+        raise ValueError("residual=True requires coarse_clusters > 0")
     coarse = (train_centroids(sample, coarse_clusters, coarse_seed)
               if coarse_clusters else [])
-    enc = _pq_encode(base, books, encode)
+    if residual:
+        train = [[x - c for x, c in
+                  zip(v_, coarse[_assign_py(v_, coarse) - 1])]
+                 for v_ in sample]
+    else:
+        train = sample
+    books = train_pq_codebooks(train, m, k_codes, seed)
+    codes_f, vecs_f = _pq_assign_encode(base, books, coarse, residual,
+                                        encode)
     if coarse:
-        enc = enc.withColumn("cluster",
-                             _cluster_expr(F.col("vec"), coarse))
-        (enc.select("id", "codes", "cluster").repartition("cluster")
+        (codes_f.repartition("cluster")
          .write.mode("overwrite").partitionBy("cluster")
          .parquet(f"{path}/codes/seg=base"))
-        (enc.select("id", "vec", "cluster").repartition("cluster")
+        (vecs_f.repartition("cluster")
          .write.mode("overwrite").partitionBy("cluster")
          .parquet(f"{path}/vectors/seg=base"))
     else:
-        enc.select("id", "codes").write.mode("overwrite") \
+        codes_f.write.mode("overwrite") \
            .parquet(f"{path}/codes/seg=base")
-        enc.select("id", "vec").write.mode("overwrite") \
+        vecs_f.write.mode("overwrite") \
            .parquet(f"{path}/vectors/seg=base")
     meta = {"books": books, "coarse": coarse, "m": m, "k": k_codes,
-            "seed": seed, "metric": metric}
+            "seed": seed, "metric": metric, "residual": bool(residual)}
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/pq_meta.json", "w") as fh:
         json.dump(meta, fh)

@@ -637,3 +637,48 @@ def test_pq_arrow_encode_equals_expr(spark, tmp_path, embeddings):
     with pytest.raises(ValueError, match="unknown encode"):
         build_pq_index(embeddings.filter("vec_id <> 0"), "vec_id",
                        "embedding", str(tmp_path / "pq_x"), encode="nope")
+
+
+def test_ivf_pq_residual_recall_and_accuracy(spark, tmp_path, embeddings):
+    """Residual IVF-PQ (Jegou et al. 2011): codes quantize x - c_cell,
+    so ADC uses per-probed-cell tables.  On the same m/k budget the
+    residual estimate must be at least as accurate as raw-vector PQ on
+    average, insert/topk keep working, and the clone cluster survives
+    a 1-cell probe."""
+    from sparksearch.pipeline import build_pq_index
+    from sparksearch.pipeline.similarity import vector_topk
+    q = embeddings.filter("vec_id = 0").first()["embedding"]
+    exact = {r["vec_id"]: r["dist"] ** 2 for r in vector_topk(
+        embeddings.filter("vec_id <> 0"), "embedding", q, 59,
+        metric="l2", tiebreak=[F.col("vec_id").asc()]).collect()}
+
+    def mean_abs_err(idx):
+        est = {r["id"]: r["dist"]
+               for r in idx.topk(q, k=59, max_probe=1.0).collect()}
+        return sum(abs(est[i] - exact[i]) for i in est) / len(est)
+
+    raw = build_pq_index(embeddings.filter("vec_id <> 0"), "vec_id",
+                         "embedding", str(tmp_path / "pq_raw"), m=4,
+                         k_codes=8, seed=11, coarse_clusters=4)
+    res = build_pq_index(embeddings.filter("vec_id <> 0"), "vec_id",
+                         "embedding", str(tmp_path / "pq_res"), m=4,
+                         k_codes=8, seed=11, coarse_clusters=4,
+                         residual=True)
+    assert res.meta["residual"] is True
+    assert mean_abs_err(res) <= mean_abs_err(raw)
+    got = [r["id"] for r in res.topk(q, k=8, nprobe=1, rerank=3).collect()]
+    assert {10, 20, 30, 40, 50} <= set(got)
+    # insert under residual encoding: new rows searchable, old stable
+    res2 = build_pq_index(embeddings.filter("vec_id <> 0 AND vec_id < 40"),
+                          "vec_id", "embedding", str(tmp_path / "pq_res2"),
+                          m=4, k_codes=8, seed=11, coarse_clusters=4,
+                          residual=True)
+    res2.insert(embeddings.filter("vec_id >= 40"), "vec_id", "embedding",
+                epoch_id=1)
+    got2 = {r["id"] for r in res2.topk(q, k=8, rerank=3,
+                                       max_probe=1.0).collect()}
+    assert {40, 50} <= got2
+    with pytest.raises(ValueError, match="requires coarse_clusters"):
+        build_pq_index(embeddings.filter("vec_id <> 0"), "vec_id",
+                       "embedding", str(tmp_path / "pq_bad"),
+                       residual=True)
