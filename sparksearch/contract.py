@@ -312,6 +312,33 @@ SELECT vec_id AS id, round({adc}, 4) AS dist
 FROM c ORDER BY {adc} ASC, vec_id ASC LIMIT {k}"""
 
 
+_SAMPLE_RANK = ("md5(concat(CAST({key} AS VARCHAR), ':', '{seed}'))")
+
+
+def _temperature_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                            alpha: float = 0.5, seed: int = 7) -> str:
+    """SQL twin of temperature_resample over documents.lang: the
+    per-group targets are computed by the SAME pure python function the
+    operator uses (python round semantics differ from SQL ROUND) and
+    inlined as a CASE; row selection is the identical seeded-md5 rank.
+    Data-coupled to the sf under check (tools/check_contract.py
+    re-derives for non-sf0.01)."""
+    import pyarrow.parquet as pq
+    from sparksearch.pipeline.sampling import temperature_targets
+    tb = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["lang"]).to_pandas()
+    counts = tb["lang"].value_counts().to_dict()
+    targets = temperature_targets(
+        {str(k): int(v) for k, v in counts.items()}, alpha)
+    case = " ".join(f"WHEN '{g}' THEN {t}" for g, t in targets.items())
+    rank = _SAMPLE_RANK.format(key="doc_id", seed=seed)
+    return f"""SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang ORDER BY {rank}, doc_id) AS r
+  FROM documents)
+WHERE r <= (CASE lang {case} ELSE 0 END)"""
+
+
 def _bm25_multi_cte(terms: list) -> str:
     """CTE computing per-doc BM25 score columns s0..s{n-1} (0 when the
     term is absent) for several terms — shared by the compound-query
@@ -949,6 +976,32 @@ def q_pq_adc_topk(spark, sf_dir):
     idx = _INDEX_CACHE[key]
     return (idx.topk(qv, k=10)
             .select("id", F.round("dist", 4).alias("dist")))
+
+
+
+
+def q_balanced_sample(spark, sf_dir):
+    """Dataset-curation balanced sampling (pipeline/sampling.py): cap
+    every source at EXACTLY 10 documents, rows chosen by a seeded-md5
+    uniform permutation — deterministic, so the DuckDB twin verifies
+    the SELECTED ROWS, not just the counts.  One hash + one window over
+    the group key; no driver state — the 100 TB "cap over-represented
+    sources" op."""
+    from sparksearch.pipeline.sampling import balanced_sample
+    docs = _t(spark, sf_dir, "documents")
+    return balanced_sample(docs, "source", 10, "doc_id", seed=3) \
+        .select("doc_id", "source")
+
+
+def q_temperature_resample(spark, sf_dir):
+    """Temperature-resampled language mix (alpha=0.5, the multilingual
+    training-data recipe): group targets ∝ share^alpha computed by a
+    pure function shared with the oracle, rows selected by the seeded
+    md5 rank — fully deterministic, row-level value-checked."""
+    from sparksearch.pipeline.sampling import temperature_resample
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_resample(docs, "lang", "doc_id", alpha=0.5,
+                                seed=7).select("doc_id", "lang")
 
 
 def q_vector_l2_topk(spark, sf_dir):
@@ -1602,6 +1655,8 @@ QUERIES = {
     "heap_or": q_heap_or,
     "ivf_ann_topk": q_ivf_ann_topk,
     "pq_adc_topk": q_pq_adc_topk,
+    "balanced_sample": q_balanced_sample,
+    "temperature_resample": q_temperature_resample,
     "vector_l2_topk": q_vector_l2_topk,
     "vector_ip_topk": q_vector_ip_topk,
     "bm25_topk": q_bm25_topk,
@@ -1756,6 +1811,8 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_oracle_sql(),
         "pq_adc_topk": _pq_oracle_sql(),
+        "balanced_sample": """SELECT doc_id, source FROM (\n  SELECT doc_id, source, row_number() OVER (\n    PARTITION BY source ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', '3')), doc_id) AS r\n  FROM documents)\nWHERE r <= 10""",
+        "temperature_resample": _temperature_oracle_sql(),
         "vector_l2_topk": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
             "FROM embeddings WHERE vec_id = 0) "

@@ -682,3 +682,58 @@ def test_ivf_pq_residual_recall_and_accuracy(spark, tmp_path, embeddings):
         build_pq_index(embeddings.filter("vec_id <> 0"), "vec_id",
                        "embedding", str(tmp_path / "pq_bad"),
                        residual=True)
+
+
+def test_balanced_sample_exact_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 40 else ("mid" if i < 52 else "small"))
+         for i in range(55)], "id int, src string").cache()
+    from sparksearch.pipeline import balanced_sample
+    a = balanced_sample(docs, "src", 5, "id", seed=3)
+    counts = {r["src"]: r["count"] for r in
+              a.groupBy("src").count().collect()}
+    assert counts == {"big": 5, "mid": 5, "small": 3}  # capped at size
+    b = balanced_sample(docs, "src", 5, "id", seed=3)
+    assert sorted(r["id"] for r in a.collect()) == \
+           sorted(r["id"] for r in b.collect())
+    c = balanced_sample(docs, "src", 5, "id", seed=4)
+    assert sorted(r["id"] for r in a.collect()) != \
+           sorted(r["id"] for r in c.collect())
+
+
+def test_temperature_resample_flattens(spark):
+    """alpha=0 balances the mix; alpha=1 keeps it; targets never exceed
+    group sizes and the selection is deterministic."""
+    rows = [(i, "en") for i in range(80)] + \
+           [(80 + i, "de") for i in range(16)] + \
+           [(96 + i, "yo") for i in range(4)]
+    docs = spark.createDataFrame(rows, "id int, lang string").cache()
+    from sparksearch.pipeline import temperature_resample
+    flat = temperature_resample(docs, "lang", "id", alpha=0.0, total=30)
+    fc = {r["lang"]: r["count"] for r in
+          flat.groupBy("lang").count().collect()}
+    assert fc["yo"] == 4 and fc["de"] == 10 and fc["en"] == 10
+    keep = temperature_resample(docs, "lang", "id", alpha=1.0)
+    kc = {r["lang"]: r["count"] for r in
+          keep.groupBy("lang").count().collect()}
+    assert kc == {"en": 80, "de": 16, "yo": 4}
+    mid = temperature_resample(docs, "lang", "id", alpha=0.5, total=50)
+    mc = {r["lang"]: r["count"] for r in
+          mid.groupBy("lang").count().collect()}
+    assert mc["en"] > mc["de"] > mc["yo"] >= 4 * 50 // 100
+    again = temperature_resample(docs, "lang", "id", alpha=0.5, total=50)
+    assert sorted(r["id"] for r in mid.collect()) == \
+           sorted(r["id"] for r in again.collect())
+
+
+def test_stratified_sample_fractions(spark):
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)],
+        "id int, s string").cache()
+    from sparksearch.pipeline import stratified_sample
+    out = stratified_sample(docs, "s", {"a": 0.5, "b": 0.1}, seed=11)
+    c = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    assert 400 < c["a"] < 600 and 40 < c["b"] < 170
+    out2 = stratified_sample(docs, "s", {"a": 0.5, "b": 0.1}, seed=11)
+    assert sorted(r["id"] for r in out.collect()) == \
+           sorted(r["id"] for r in out2.collect())
