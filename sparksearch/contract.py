@@ -980,6 +980,22 @@ def q_pq_adc_topk(spark, sf_dir):
 
 
 
+
+
+def q_ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination (pipeline/dedup.ngram_contamination):
+    every 50th document plays the EVAL SET; the remaining docs are
+    flagged with their count of DISTINCT word 3-grams shared with it —
+    the pre-training leak check.  The DuckDB twin recomputes the same
+    tokenize→shingle→semi-join→count, so the flagged set AND the hit
+    counts are value-checked."""
+    from sparksearch.pipeline import ngram_contamination
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(train, evals, "doc_id")
+
+
 def q_balanced_sample(spark, sf_dir):
     """Dataset-curation balanced sampling (pipeline/sampling.py): cap
     every source at EXACTLY 10 documents, rows chosen by a seeded-md5
@@ -1656,6 +1672,7 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "pq_adc_topk": q_pq_adc_topk,
     "balanced_sample": q_balanced_sample,
+    "ngram_contamination": q_ngram_contamination,
     "temperature_resample": q_temperature_resample,
     "vector_l2_topk": q_vector_l2_topk,
     "vector_ip_topk": q_vector_ip_topk,
@@ -1811,6 +1828,17 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_oracle_sql(),
         "pq_adc_topk": _pq_oracle_sql(),
+        "ngram_contamination": (f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents), "
+         "sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
+         "list_distinct(list_transform(range(1, len(ts) - 1), "
+         "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) "
+         "ELSE [array_to_string(ts, ' ')] END AS s FROM t), "
+         "ev AS (SELECT DISTINCT unnest(s) AS g FROM sh "
+         "WHERE doc_id % 50 = 0), "
+         "tr AS (SELECT doc_id, unnest(s) AS g FROM sh "
+         "WHERE doc_id % 50 <> 0) "
+         "SELECT tr.doc_id, count(DISTINCT tr.g) AS n_hits "
+         "FROM tr JOIN ev USING (g) GROUP BY tr.doc_id"),
         "balanced_sample": """SELECT doc_id, source FROM (\n  SELECT doc_id, source, row_number() OVER (\n    PARTITION BY source ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', '3')), doc_id) AS r\n  FROM documents)\nWHERE r <= 10""",
         "temperature_resample": _temperature_oracle_sql(),
         "vector_l2_topk": (

@@ -11,6 +11,7 @@ from sparksearch.pipeline.dedup import (  # noqa: F401
     exact_duplicates, minhash_signatures, lsh_candidate_pairs,
     minhash_near_duplicates, simhash64, simhash_near_duplicates,
     shingle_jaccard_pairs, embedding_near_duplicates, dedup_keep_first,
+    ngram_contamination, decontaminate,
 )
 from sparksearch.pipeline.similarity import (  # noqa: F401
     cosine_topk, lsh_cosine_topk, build_ivf_index, load_ivf_index,

@@ -295,3 +295,45 @@ def dedup_keep_first(docs: DataFrame, pairs: DataFrame, key: str) -> DataFrame:
     per duplicate group; the standard drop-the-newer policy)."""
     drop = pairs.select(F.col("b").alias(key)).distinct()
     return docs.join(drop, key, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(docs: DataFrame, eval_docs: DataFrame, key: str,
+                        text_col: str = "text",
+                        eval_text_col: str | None = None,
+                        n: int = 3) -> DataFrame:
+    """(key, n_hits): training docs sharing ≥1 word n-gram with the
+    eval/benchmark set, with the count of DISTINCT shared n-grams —
+    the standard pre-training decontamination check (an eval question
+    leaking into the corpus shows up as a long exact n-gram overlap).
+
+    Scale shape: the eval side is tiny (benchmarks are thousands of
+    rows) — its distinct n-gram set broadcasts; the training side is
+    one tokenize+explode pass, join, and a groupBy on the doc key.  No
+    driver-side state; same tokenizer as the dedup family so one
+    DuckDB twin covers both."""
+    ec = eval_text_col or text_col
+    eval_sh = (_spread(eval_docs)
+               .select(F.explode(_shingles(F.col(ec), n)).alias("g"))
+               .distinct())
+    doc_sh = (_spread(docs)
+              .select(F.col(key),
+                      F.explode(_shingles(F.col(text_col), n)).alias("g")))
+    return (doc_sh.join(eval_sh, "g")
+            .groupBy(key)
+            .agg(F.count_distinct("g").alias("n_hits")))
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, key: str,
+                  text_col: str = "text",
+                  eval_text_col: str | None = None,
+                  n: int = 3, min_hits: int = 1) -> DataFrame:
+    """Drop training docs whose eval n-gram overlap reaches
+    ``min_hits`` (anti-join on the contamination set)."""
+    hits = ngram_contamination(docs, eval_docs, key, text_col,
+                               eval_text_col, n)
+    dirty = hits.filter(F.col("n_hits") >= min_hits).select(key)
+    return docs.join(dirty, key, "left_anti")

@@ -737,3 +737,30 @@ def test_stratified_sample_fractions(spark):
     out2 = stratified_sample(docs, "s", {"a": 0.5, "b": 0.1}, seed=11)
     assert sorted(r["id"] for r in out.collect()) == \
            sorted(r["id"] for r in out2.collect())
+
+
+def test_ngram_contamination_and_decontaminate(spark):
+    """Docs sharing an exact 3-gram with the eval set are flagged with
+    the DISTINCT shared-gram count; decontaminate drops exactly those."""
+    from sparksearch.pipeline import ngram_contamination, decontaminate
+    train = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely novel text about spark clusters tonight"),
+        (3, "quick brown fox appears here too with more words"),
+        (4, "short doc"),
+    ], "id int, text string")
+    evals = spark.createDataFrame([
+        (100, "benchmark asks about the quick brown fox behavior"),
+    ], "eid int, text string")
+    hits = {r["id"]: r["n_hits"] for r in
+            ngram_contamination(train, evals, "id").collect()}
+    # doc1 shares "the quick brown" + "quick brown fox"; doc3 shares
+    # "quick brown fox"; docs 2/4 share nothing
+    assert hits[1] == 2 and hits[3] == 1
+    assert 2 not in hits and 4 not in hits
+    clean = {r["id"] for r in decontaminate(train, evals, "id").collect()}
+    assert clean == {2, 4}
+    # min_hits=2 keeps the single-gram overlap
+    loose = {r["id"] for r in
+             decontaminate(train, evals, "id", min_hits=2).collect()}
+    assert loose == {2, 3, 4}
