@@ -339,6 +339,33 @@ def _temperature_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
 WHERE r <= (CASE lang {case} ELSE 0 END)"""
 
 
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of q_redact_pii: same augmented text, same patterns
+    applied in the same order with sequential attribution (each count
+    runs on the text already redacted by earlier patterns)."""
+    from sparksearch.pipeline.scrub import PII_PATTERNS
+    aug = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+           "'@example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR) "
+           "|| '.7'")
+    sql = f"WITH s0 AS (SELECT doc_id, {aug} AS t0 FROM documents)"
+    cols = []
+    for i, (label, rx) in enumerate(PII_PATTERNS):
+        r = rx.replace("'", "''")
+        sql += (f", s{i+1} AS (SELECT doc_id, "
+                + ", ".join(f"n_{l}" for l in cols) + (", " if cols else "")
+                + f"len(regexp_extract_all(t{i}, '{r}')) AS "
+                f"n_{label.lower()}, "
+                f"regexp_replace(t{i}, '{r}', '<{label}>', 'g') AS "
+                f"t{i+1} FROM s{i})")
+        cols.append(label.lower())
+    n = len(PII_PATTERNS)
+    return (sql + f" SELECT doc_id, " + ", ".join(f"n_{l}" for l in cols)
+            + ", " + " + ".join(f"n_{l}" for l in cols)
+            + f" AS pii_total, t{n} AS text_redacted FROM s{n}")
+
+
 def _bm25_multi_cte(terms: list) -> str:
     """CTE computing per-doc BM25 score columns s0..s{n-1} (0 when the
     term is absent) for several terms — shared by the compound-query
@@ -994,6 +1021,29 @@ def q_ngram_contamination(spark, sf_dir):
     evals = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     return ngram_contamination(train, evals, "doc_id")
+
+
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing (pipeline/scrub.redact_pii): the corpus is
+    augmented with deterministic synthetic PII (an email and an IP
+    derived from doc_id — the test tables contain none by design), then
+    redacted with the RE2-compatible pattern chain; the DuckDB twin
+    runs the IDENTICAL regexes with the same sequential attribution, so
+    counts AND the redacted strings are value-checked row by row."""
+    from sparksearch.pipeline import redact_pii
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com at 10.0."),
+                 (F.col("doc_id") % 200).cast("string"),
+                 F.lit(".7")).alias("text"))
+    return redact_pii(aug).select("doc_id", "n_email", "n_ip", "n_ssn",
+                                  "n_phone", "pii_total",
+                                  "text_redacted")
 
 
 def q_balanced_sample(spark, sf_dir):
@@ -1673,6 +1723,7 @@ QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "balanced_sample": q_balanced_sample,
     "ngram_contamination": q_ngram_contamination,
+    "redact_pii": q_redact_pii,
     "temperature_resample": q_temperature_resample,
     "vector_l2_topk": q_vector_l2_topk,
     "vector_ip_topk": q_vector_ip_topk,
@@ -1828,6 +1879,7 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_oracle_sql(),
         "pq_adc_topk": _pq_oracle_sql(),
+        "redact_pii": _pii_oracle_sql(),
         "ngram_contamination": (f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents), "
          "sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
          "list_distinct(list_transform(range(1, len(ts) - 1), "

@@ -23,3 +23,4 @@ from sparksearch.pipeline.text import (  # noqa: F401
 from sparksearch.pipeline.sampling import (  # noqa: F401
     stratified_sample, balanced_sample, temperature_resample,
 )
+from sparksearch.pipeline.scrub import redact_pii, PII_PATTERNS  # noqa: F401

@@ -764,3 +764,23 @@ def test_ngram_contamination_and_decontaminate(spark):
     loose = {r["id"] for r in
              decontaminate(train, evals, "id", min_hits=2).collect()}
     assert loose == {2, 3, 4}
+
+
+def test_redact_pii(spark):
+    from sparksearch.pipeline import redact_pii
+    docs = spark.createDataFrame([
+        (1, "reach me at jane.doe+spam@corp.example.org or 10.1.2.3"),
+        (2, "ssn 123-45-6789 phone +1 (555) 123-4567 end"),
+        (3, "clean text with no identifiers at all"),
+    ], "id int, text string")
+    out = {r["id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 1
+    assert out[1]["text_redacted"] == "reach me at <EMAIL> or <IP>"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+    # the SSN string also matches the phone shape — attributed ONCE,
+    # to the earlier (more specific) SSN pattern
+    assert "<SSN>" in out[2]["text_redacted"]
+    assert "<PHONE>" in out[2]["text_redacted"]
+    assert out[3]["pii_total"] == 0
+    assert out[3]["text_redacted"] == out[3]["text"]
+    assert out[1]["pii_total"] == 2 and out[2]["pii_total"] == 2
