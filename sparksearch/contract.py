@@ -1046,6 +1046,23 @@ def q_redact_pii(spark, sf_dir):
                                   "text_redacted")
 
 
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-rules repetition signals (pipeline/text.repetition_stats):
+    duplicate-line fraction + most-frequent-2-gram coverage per doc,
+    computed with a shuffle-free sorted-array run-length fold; the
+    DuckDB twin recomputes both via unnest+groupBy — values row-exact
+    to 4 decimals."""
+    from sparksearch.pipeline import repetition_stats
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "doc_id")
+    return out.select("doc_id",
+                      F.round("dup_line_frac", 4).alias("dup_line_frac"),
+                      F.round("top_2gram_frac", 4).alias("top_2gram_frac"),
+                      "max_2gram_count")
+
+
 def q_balanced_sample(spark, sf_dir):
     """Dataset-curation balanced sampling (pipeline/sampling.py): cap
     every source at EXACTLY 10 documents, rows chosen by a seeded-md5
@@ -1724,6 +1741,7 @@ QUERIES = {
     "balanced_sample": q_balanced_sample,
     "ngram_contamination": q_ngram_contamination,
     "redact_pii": q_redact_pii,
+    "repetition_stats": q_repetition_stats,
     "temperature_resample": q_temperature_resample,
     "vector_l2_topk": q_vector_l2_topk,
     "vector_ip_topk": q_vector_ip_topk,
@@ -1880,6 +1898,22 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
         "ivf_ann_topk": _ivf_oracle_sql(),
         "pq_adc_topk": _pq_oracle_sql(),
         "redact_pii": _pii_oracle_sql(),
+        "repetition_stats": (f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts, "
+         "list_filter(string_split(text, chr(10)), "
+         "x -> trim(x) <> '') AS ls FROM documents), "
+         "g AS (SELECT doc_id, ts, ls, CASE WHEN len(ts) >= 2 THEN "
+         "list_transform(range(1, len(ts)), "
+         "i -> ts[i] || ' ' || ts[i+1]) ELSE [] END AS gs FROM t), "
+         "m AS (SELECT doc_id, max(c) AS mx FROM ("
+         "SELECT doc_id, count(*) AS c FROM ("
+         "SELECT doc_id, unnest(gs) AS gg FROM g) GROUP BY doc_id, gg"
+         ") GROUP BY doc_id) "
+         "SELECT g.doc_id, "
+         "round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) "
+         "/ greatest(len(ls), 1), 4) AS dup_line_frac, "
+         "round(coalesce(mx, 0) * 2.0 / greatest(len(ts), 1), 4) "
+         "AS top_2gram_frac, coalesce(mx, 0) AS max_2gram_count "
+         "FROM g LEFT JOIN m USING (doc_id)"),
         "ngram_contamination": (f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents), "
          "sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
          "list_distinct(list_transform(range(1, len(ts) - 1), "

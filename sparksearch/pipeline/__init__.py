@@ -19,6 +19,7 @@ from sparksearch.pipeline.similarity import (  # noqa: F401
 )
 from sparksearch.pipeline.text import (  # noqa: F401
     language_id, quality_scores, token_counts, fingerprint64,
+    repetition_stats,
 )
 from sparksearch.pipeline.sampling import (  # noqa: F401
     stratified_sample, balanced_sample, temperature_resample,

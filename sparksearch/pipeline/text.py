@@ -103,3 +103,51 @@ def kgram_min_fingerprint(text_col, k: int = 3) -> Column:
     so external systems (and the DuckDB oracle) reproduce it exactly."""
     return F.array_min(F.transform(_kgram_shingles(text_col, k),
                                    lambda s: F.md5(s)))
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Max multiplicity of any element — a fold over the SORTED array
+    tracking (prev, current run, best run): pure codegen, no explode,
+    no shuffle (the Gopher-rules repetition counters need the mode
+    count per document, and a groupBy-per-doc would shuffle the corpus
+    to compute a per-row number)."""
+    s = F.array_sort(arr)
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+    def step(acc, x):
+        run = (F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+               .otherwise(F.lit(1)))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(docs: DataFrame, key: str,
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public), per document:
+
+    - ``dup_line_frac``  — fraction of lines that are repeats of an
+      earlier line (boilerplate/nav-chrome detector);
+    - ``top_2gram_frac`` — fraction of tokens covered by the single
+      most frequent word 2-gram (template/spam detector);
+    - ``max_2gram_count`` — that 2-gram's raw count.
+
+    Everything is per-row column expressions over split arrays — one
+    projection, embarrassingly parallel, no shuffle at any corpus size.
+    """
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda x: F.trim(x) != "")
+    toks = _tokens(F.col(text_col))
+    grams = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    max2 = _max_multiplicity(grams)
+    return docs.select(
+        F.col(key),
+        ((F.size(lines) - F.size(F.array_distinct(lines)))
+         / F.greatest(F.size(lines), F.lit(1))).alias("dup_line_frac"),
+        (max2 * 2.0 / F.greatest(F.size(toks), F.lit(1)))
+        .alias("top_2gram_frac"),
+        max2.alias("max_2gram_count"))

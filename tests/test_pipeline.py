@@ -784,3 +784,22 @@ def test_redact_pii(spark):
     assert out[3]["pii_total"] == 0
     assert out[3]["text_redacted"] == out[3]["text"]
     assert out[1]["pii_total"] == 2 and out[2]["pii_total"] == 2
+
+
+def test_repetition_stats(spark):
+    from sparksearch.pipeline import repetition_stats
+    docs = spark.createDataFrame([
+        (1, "nav home\nabout us\nnav home\nnav home\ncontact"),
+        (2, "buy now buy now buy now buy now totally legit"),
+        (3, "a perfectly normal sentence with no repetition at all"),
+        (4, ""),
+    ], "id int, text string")
+    out = {r["id"]: r for r in repetition_stats(docs, "id").collect()}
+    assert out[1]["dup_line_frac"] == pytest.approx(2 / 5)
+    # "buy now" appears 4x in 10 tokens -> 8/10 of tokens covered
+    assert out[2]["max_2gram_count"] == 4
+    assert out[2]["top_2gram_frac"] == pytest.approx(0.8)
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["max_2gram_count"] == 1
+    assert out[4]["max_2gram_count"] == 0
+    assert out[4]["top_2gram_frac"] == 0.0
