@@ -12,9 +12,15 @@ PLANS.md):
 1. exact dedup: md5 groupBy, keep the smallest key per hash group;
 2. near dedup: MinHash + banded LSH candidates, exact-Jaccard verify,
    drop the larger key of each pair ≥ threshold;
-3. annotate: language id, quality scores, token counts;
-4. filter: configurable floors (tokens, distinct-token ratio);
-5. write partitioned parquet (by lang_pred) + one JSON line of counters.
+3. decontaminate (optional): drop docs sharing word n-grams with an
+   eval/benchmark parquet (--eval-set);
+4. annotate: language id, quality scores, token counts, repetition
+   signals; optional PII redaction (--redact-pii);
+5. filter: configurable floors (tokens, distinct-token ratio) and
+   repetition ceilings (dup-line / top-2-gram fractions);
+6. re-balance (optional): per-source caps (--cap-per-source) and/or
+   language temperature resampling (--lang-temperature);
+7. write partitioned parquet (by lang_pred) + one JSON line of counters.
 """
 
 from __future__ import annotations
@@ -35,6 +41,17 @@ def main() -> None:
     ap.add_argument("--skip-near-dedup", action="store_true")
     ap.add_argument("--min-quality-tokens", type=int, default=0)
     ap.add_argument("--min-distinct-ratio", type=float, default=0.0)
+    ap.add_argument("--eval-set", help="parquet of benchmark docs to "
+                    "decontaminate against (same text column)")
+    ap.add_argument("--contamination-ngram", type=int, default=8)
+    ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--max-dup-line-frac", type=float, default=1.0)
+    ap.add_argument("--max-top2gram-frac", type=float, default=1.0)
+    ap.add_argument("--cap-per-source", type=int, default=0)
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--lang-temperature", type=float, default=0.0,
+                    help="alpha for share^alpha language re-balancing "
+                    "(0 = off)")
     args = ap.parse_args()
 
     spark = (SparkSession.builder.appName("sparksearch-pipeline")
@@ -43,7 +60,10 @@ def main() -> None:
     from sparksearch.pipeline import (exact_duplicates,
                                       minhash_near_duplicates,
                                       dedup_keep_first, language_id,
-                                      quality_scores, token_counts)
+                                      quality_scores, token_counts,
+                                      decontaminate, redact_pii,
+                                      repetition_stats, balanced_sample,
+                                      temperature_resample)
 
     docs = spark.read.parquet(args.input)
     counters = {"input": docs.count()}
@@ -61,19 +81,43 @@ def main() -> None:
         docs = dedup_keep_first(docs, pairs, args.key)
         counters["after_near_dedup"] = docs.count()
 
-    # 3. annotate (all JVM column expressions appended in one pass —
+    # 3. decontaminate against an eval/benchmark set
+    if args.eval_set:
+        evals = spark.read.parquet(args.eval_set)
+        docs = decontaminate(docs, evals, args.key, args.text,
+                             n=args.contamination_ngram)
+        counters["after_decontaminate"] = docs.count()
+
+    # 4. annotate (all JVM column expressions appended in one pass —
     # no python and no joins on the hot path)
     ann = token_counts(quality_scores(language_id(docs, args.text),
                                       args.text), args.text)
+    rep = repetition_stats(docs, args.key, args.text)
+    ann = ann.join(rep, args.key)
+    if args.redact_pii:
+        ann = redact_pii(ann, args.text)
 
-    # 4. quality floors
+    # 5. quality floors + repetition ceilings
     if args.min_quality_tokens:
         ann = ann.filter(F.col("word_tokens") >= args.min_quality_tokens)
     if args.min_distinct_ratio:
         ann = ann.filter(F.col("distinct_token_ratio")
                          >= args.min_distinct_ratio)
+    if args.max_dup_line_frac < 1.0:
+        ann = ann.filter(F.col("dup_line_frac") <= args.max_dup_line_frac)
+    if args.max_top2gram_frac < 1.0:
+        ann = ann.filter(F.col("top_2gram_frac")
+                         <= args.max_top2gram_frac)
 
-    # 5. partitioned write (lang partitioning → downstream jobs prune)
+    # 6. re-balance the mix
+    if args.cap_per_source and args.source_col in ann.columns:
+        ann = balanced_sample(ann, args.source_col, args.cap_per_source,
+                              args.key)
+    if args.lang_temperature:
+        ann = temperature_resample(ann, "lang_pred", args.key,
+                                   alpha=args.lang_temperature)
+
+    # 7. partitioned write (lang partitioning → downstream jobs prune)
     ann.write.mode("overwrite").partitionBy("lang_pred").parquet(args.output)
     counters["output"] = spark.read.parquet(args.output).count()
     print(json.dumps(counters))
