@@ -93,7 +93,16 @@ def temperature_resample(docs: DataFrame, group_col: str,
     hash rank as :func:`balanced_sample`, so the full output is
     deterministic and SQL-twin-checkable."""
     counts = {r[0]: r[1] for r in
-              docs.groupBy(group_col).count().collect()}
+              docs.groupBy(group_col).count()
+              .limit(100_001).collect()}
+    if len(counts) > 100_000:
+        # the targets map is driver-side state and a literal in the
+        # plan: temperature re-balancing is for LOW-cardinality mix
+        # columns (language, source); a high-cardinality group column
+        # is almost certainly a mistake (e.g. the doc key)
+        raise ValueError(
+            f"temperature_resample: {group_col!r} has >100000 distinct "
+            "values; use a low-cardinality mix column (lang/source)")
     targets = temperature_targets(counts, alpha, total)
     r = _rank_in_group(docs, group_col, key_col, seed)
     tgt = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
