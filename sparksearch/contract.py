@@ -929,6 +929,22 @@ def q_simhash_pairs(spark, sf_dir):
                                    base_hash="md5_60")
 
 
+def q_dedup_groups(spark, sf_dir):
+    """duplicate clusters over the simhash near-dup pair graph:
+    distributed connected components (alternating large-star/small-star,
+    Kiveris et al. 2014 — O(log² n) join+groupBy-min rounds, no
+    neighborhood collect) label every paired doc with its cluster
+    minimum; the oracle recomputes components with a recursive
+    reachability CTE over the identical md5-simhash pair set."""
+    from sparksearch.pipeline.dedup import (simhash_near_duplicates,
+                                            duplicate_groups)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(docs, "doc_id", max_hamming=8,
+                                    base_hash="md5_60")
+    return (duplicate_groups(pairs)
+            .select(F.col("id").alias("doc_id"), "component", "group_size"))
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     """ANN top-k over the PERSISTED LSH layout (value-checked against a
     full SQL oracle twin — seeded hyperplanes inlined as literals, band
@@ -1688,6 +1704,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_groups": q_dedup_groups,
     "lsh_ann_topk": q_lsh_ann_topk,
     "snippet_topk": q_snippet_topk,
     "fingerprint": q_fingerprint,
@@ -2374,6 +2391,24 @@ SELECT a, b, hamming FROM (
          CAST(bit_count(xor(la.sh, lb.sh)) AS INT) AS hamming
   FROM s la JOIN s lb ON la.doc_id < lb.doc_id)
 WHERE hamming <= 8"""),
+        "dedup_groups": (
+            f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents),
+h AS (SELECT doc_id, list_transform(ts, tk ->
+      CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT)) AS hs FROM t),
+s AS (SELECT doc_id, {_simhash60_bits_expr()} AS sh FROM h),
+p AS (SELECT la.doc_id AS a, lb.doc_id AS b
+      FROM s la JOIN s lb ON la.doc_id < lb.doc_id
+      WHERE bit_count(xor(la.sh, lb.sh)) <= 8),
+edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+SELECT c.doc_id, c.component, g.group_size
+FROM comp c JOIN (SELECT component, count(*) AS group_size
+                  FROM comp GROUP BY component) g USING (component)"""),
         "tokenized_phrase": (
             # alignment width = |p_data - (p_join - 1)| <= 2 with distinct
             # raw positions → p_join - p_data in {-1,1,2,3}

@@ -11,6 +11,7 @@ from sparksearch.pipeline.dedup import (  # noqa: F401
     exact_duplicates, minhash_signatures, lsh_candidate_pairs,
     minhash_near_duplicates, simhash64, simhash_near_duplicates,
     shingle_jaccard_pairs, embedding_near_duplicates, dedup_keep_first,
+    connected_components, duplicate_groups, dedup_canonical,
     ngram_contamination, decontaminate,
 )
 from sparksearch.pipeline.similarity import (  # noqa: F401

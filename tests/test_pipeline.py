@@ -88,6 +88,74 @@ def test_dedup_keep_first(dup_docs):
     assert 1 not in ids
 
 
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_shapes(spark):
+    from sparksearch.pipeline import connected_components
+    # chain 1-3, 2-3: keep_first keeps {1,2} (both non-b-side) but they
+    # are one cluster; components must label all three with min id 1
+    pairs = spark.createDataFrame([(1, 3), (2, 3), (10, 11), (11, 12),
+                                   (12, 13), (20, 21)], "a long, b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                    20: 20, 21: 20}
+
+
+def test_connected_components_empty_and_string_keys(spark):
+    from sparksearch.pipeline import connected_components
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components(empty).count() == 0
+    sp = spark.createDataFrame([("x", "y"), ("y", "z")],
+                               "a string, b string")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(sp).collect()}
+    assert comp == {"x": "x", "y": "x", "z": "x"}
+
+
+def test_connected_components_matches_union_find(spark):
+    from sparksearch.pipeline import connected_components
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = simhash_near_duplicates(docs, "doc_id", max_hamming=10)
+    edges = [(r["a"], r["b"]) for r in pairs.collect()]
+    assert len(edges) > 5  # the graph must be non-trivial for this test
+    want = _union_find(edges)
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_dedup_canonical_one_per_cluster(spark):
+    from sparksearch.pipeline import dedup_canonical, duplicate_groups
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 25)],
+                                 "id long, text string")
+    pairs = spark.createDataFrame([(1, 3), (2, 3), (10, 11), (11, 12)],
+                                  "a long, b long")
+    kept = {r["id"] for r in dedup_canonical(docs, pairs, "id").collect()}
+    # exactly one survivor per cluster ({1,2,3} -> 1, {10,11,12} -> 10),
+    # untouched docs all survive
+    assert kept == set(range(1, 25)) - {2, 3, 11, 12}
+    groups = duplicate_groups(pairs).collect()
+    sizes = {r["component"]: r["group_size"] for r in groups}
+    assert sizes == {1: 3, 10: 3}
+    assert len(groups) == 6
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     import random
