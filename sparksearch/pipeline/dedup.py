@@ -26,6 +26,8 @@ def _spread(docs: DataFrame) -> DataFrame:
     tasks; the tokenize/shingle stage is CPU-heavy, so spread it across
     the cluster first.  At scale inputs already have ≥ parallelism
     partitions and this is a no-op (no shuffle added)."""
+    if docs.isStreaming:  # micro-batch sizing is the trigger's job
+        return docs
     p = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < p:
         return docs.repartition(p)
@@ -92,6 +94,17 @@ def minhash_signatures(docs: DataFrame, key: str, text_col: str = "text",
     return hashed.select("id", sig.alias("sig"))
 
 
+def band_hashes(sig_col, bands: int, r: int) -> Column:
+    """Array of LSH band-bucket hashes for a signature: one transform
+    loop, not ``bands`` separate concat/hash expressions (same
+    generated-code-size rationale as minhash_signatures); the band hash
+    value is concat_ws over the sliced signature fed to xxhash64."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.xxhash64(F.concat_ws(",", F.transform(
+            F.slice(sig_col, i * r + 1, r), lambda x: x.cast("string")))))
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
                         n_hashes: int | None = None) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing ≥1 band bucket.
@@ -108,17 +121,9 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
     n = n_hashes if n_hashes is not None else \
         len(sigs.select("sig").first()["sig"])
     r = n // bands
-    # one transform loop, not `bands` separate concat/hash expressions
-    # (same generated-code-size rationale as minhash_signatures); the
-    # band hash value is unchanged: concat_ws over the sliced array
-    # yields the identical string fed to xxhash64
     banded = sigs.select(
-        "id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda i: F.xxhash64(F.concat_ws(",", F.transform(
-                F.slice("sig", i * r + 1, r),
-                lambda x: x.cast("string")))))).alias("band", "bh"))
+        "id", F.posexplode(band_hashes(F.col("sig"), bands, r))
+        .alias("band", "bh"))
     a = banded.select(F.col("id").alias("a"), "band", "bh")
     b = banded.select(F.col("id").alias("b"), "band", "bh")
     return (a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))

@@ -18,3 +18,4 @@ from sparksearch.streaming.indexer import (  # noqa: F401
 from sparksearch.streaming.sessions import conversation_docs  # noqa: F401
 from sparksearch.streaming.term_stats import salted_term_stats  # noqa: F401
 from sparksearch.streaming.enrich import enrich_with_tool_context  # noqa: F401
+from sparksearch.streaming.dedup import streaming_near_duplicates  # noqa: F401

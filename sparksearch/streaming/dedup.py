@@ -1,0 +1,125 @@
+"""Streaming near-duplicate detection: ingest-time MinHash+LSH dedup.
+
+Batch dedup (pipeline/dedup.py) answers "which docs in this corpus are
+near-dups"; a continuous ingest pipeline needs the streaming twin:
+"is this arriving doc a near-dup of anything seen so far" — the shape a
+10^12-turn transcript stream requires, where re-running an all-corpus
+LSH join per micro-batch is impossible.
+
+Design (north-star analog: applyInPandasWithState keyed by salted token
+— here keyed by LSH band bucket):
+
+- Every arriving doc is MinHash-signed by the SAME codegen'd expression
+  chain as the batch path (``minhash_signatures``), then exploded to its
+  ``bands`` LSH bucket keys (``band_hashes`` — the identical routing the
+  batch join buckets on).
+- ``applyInPandasWithState`` keyed by ``(band, bh)`` holds the bucket's
+  member signatures (the streaming dedup "index": ~8·n_hashes bytes per
+  member — the signature store IS the state, exactly what a batch LSH
+  join would shuffle).  Each new member is compared against the bucket's
+  members (estimated Jaccard = signature agreement rate) and appended.
+- CROSS-BAND pair dedup without a second stateful stage: a colliding
+  pair meets in every band whose signature slices agree, so each bucket
+  emits the pair only if ITS band is the smallest agreeing band —
+  exactly-one emission, decided locally from the two signatures (no
+  shuffle, no distinct()).
+- REPLAY idempotence: a doc id already in the bucket's member list is
+  skipped entirely — neither re-emitted nor re-counted — so micro-batch
+  replays after failure cannot duplicate pairs (the sink-side analog of
+  the indexer's epoch-keyed segments).
+- SKEW: boilerplate near-identical docs all land in the same buckets;
+  ``max_members`` caps the per-bucket state and per-arrival work.  A doc
+  arriving at a full bucket is still compared (pairs emitted) but not
+  stored, so the cap bounds cost at O(max_members) per arrival with a
+  documented recall trade beyond it.  Batch parity therefore holds
+  exactly while every bucket stays under the cap.
+
+Parity with the batch path is exact modulo one negligible case: the
+batch join admits xxhash64 band-hash collisions as candidates; the
+streaming emitter requires the band SLICES to agree (hash equality
+without slice equality — p ≈ 2^-64 per band pair — is dropped).
+
+State never expires (NoTimeout): the member store is the dedup index
+itself.  At cluster scale, bound it the way the batch corpus would be —
+key the stream by corpus epoch, or add a GroupStateTimeout eviction if
+only a rolling window of history must be matched.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
+                               StructType)
+
+
+def streaming_near_duplicates(docs: DataFrame, key: str,
+                              text_col: str = "text",
+                              threshold: float = 0.7, n_hashes: int = 64,
+                              bands: int = 16, shingle_k: int = 3,
+                              seed: int = 13,
+                              max_members: int = 512) -> DataFrame:
+    """(a, b, est_jaccard) pairs, emitted as docs arrive; the streamed
+    twin of :func:`sparksearch.pipeline.dedup.minhash_near_duplicates`
+    (identical parameters → identical pair set, proven in
+    tests/test_streaming.py)."""
+    from sparksearch.pipeline.dedup import band_hashes, minhash_signatures
+
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
+    r = n_hashes // bands
+    key_t = docs.schema[key].dataType
+    sigs = minhash_signatures(docs, key, text_col, n_hashes, shingle_k, seed)
+    banded = sigs.select(
+        "id", "sig",
+        F.posexplode(band_hashes(F.col("sig"), bands, r)).alias("band", "bh"))
+
+    out_schema = StructType([
+        StructField("a", key_t), StructField("b", key_t),
+        StructField("est_jaccard", DoubleType())])
+    state_schema = StructType([
+        StructField("ids", ArrayType(key_t)),
+        StructField("sigs", ArrayType(ArrayType(LongType())))])
+
+    def update(key_, pdfs, state):
+        band_idx = int(key_[0])
+        # accumulate every chunk of the batch BEFORE touching state:
+        # arrow chunking must not split one batch's group across
+        # membership decisions (same rationale as term_stats bloom fix)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            st_ids, st_sigs = state.get
+            ids = list(st_ids)
+            sigs_ = [list(s) for s in st_sigs]
+        else:
+            ids, sigs_ = [], []
+        seen = set(ids)
+        out_a, out_b, out_e = [], [], []
+        for doc_id, sig in zip(rows["id"], rows["sig"]):
+            if doc_id in seen:
+                continue  # replayed micro-batch: fully idempotent
+            sig = [int(x) for x in sig]
+            for mid, msig in zip(ids, sigs_):
+                first = next((i for i in range(bands)
+                              if sig[i * r:(i + 1) * r]
+                              == msig[i * r:(i + 1) * r]), None)
+                if first != band_idx:
+                    continue  # another (smaller) band emits this pair
+                est = sum(x == y for x, y in zip(sig, msig)) / n_hashes
+                if est >= threshold:
+                    a, b = sorted((doc_id, mid))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_e.append(est)
+            if len(ids) < max_members:
+                ids.append(doc_id)
+                sigs_.append(sig)
+            seen.add(doc_id)
+        state.update((ids, sigs_))
+        if out_a:
+            yield pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_e})
+
+    return (banded.groupBy("band", "bh")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

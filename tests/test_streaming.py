@@ -225,6 +225,52 @@ def test_streaming_session_windows_emit_on_watermark(spark, tdir):
     assert emitted > 0, "no sessions emitted — watermark never advanced"
 
 
+def test_streaming_near_duplicates_matches_batch(spark, tdir):
+    """Streamed≡batch parity for ingest-time LSH dedup, plus replay
+    idempotence (re-arriving doc ids emit nothing new)."""
+    from sparksearch.pipeline import minhash_near_duplicates
+    from sparksearch.streaming import streaming_near_duplicates
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    flat = f"{tdir}/docs_flat"
+    os.makedirs(flat, exist_ok=True)
+    chunk = (len(pdf) + 3) // 4
+    n = 0
+    for i in range(4):
+        part = pdf.iloc[i * chunk:(i + 1) * chunk]
+        spark.createDataFrame(part, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{tdir}/dsrc/f{i}")
+        for p in sorted(glob.glob(f"{tdir}/dsrc/f{i}/*.parquet")):
+            dst = f"{flat}/part{n:03d}.parquet"
+            shutil.copy(p, dst)
+            os.utime(dst, (1_700_000_000 + n,) * 2)
+            n += 1
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    q = (streaming_near_duplicates(stream, "doc_id", threshold=0.7)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("sdedup").option("checkpointLocation", f"{tdir}/sd_ckpt")
+         .start())
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM sdedup").collect()
+    got = {(r["a"], r["b"]): r["est_jaccard"] for r in rows}
+    assert len(rows) == len(got), "a pair was emitted more than once"
+    want = {(r["a"], r["b"]): r["est_jaccard"]
+            for r in minhash_near_duplicates(docs, "doc_id",
+                                             threshold=0.7).collect()}
+    assert got == want and len(got) > 0
+    # replay: the first arrival file re-appears as a new file — every
+    # doc id is already in bucket state, so nothing new is emitted
+    shutil.copy(f"{flat}/part000.parquet", f"{flat}/part_replay.parquet")
+    os.utime(f"{flat}/part_replay.parquet", (1_700_000_000 + n,) * 2)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) c FROM sdedup").first()["c"] == len(rows)
+
+
 def test_salted_term_stats(spark, tdir):
     flat, full_df = _write_stream_files(spark, tdir, n_convs=10, parts=2, seed=41)
     out = (salted_term_stats(
