@@ -267,6 +267,52 @@ FROM a, q WHERE cluster IN ({",".join(str(p) for p in probe)})
 ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC LIMIT {k}"""
 
 
+def _semantic_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                         n_clusters: int = 16, seed: int = 7,
+                         eps: float = 0.55,
+                         train_limit: int = 4096) -> str:
+    """SQL twin of semantic_dedup: retrains the IDENTICAL deterministic
+    centroids (same ordered sample), recomputes every assignment with
+    the same first-max argmax, rebuilds the within-cluster cosine pairs,
+    and resolves transitive clusters with a recursive reachability CTE —
+    keeping the minimum id per component, exactly the Spark policy.
+    Data-coupled to the checked sf's corpus (like the IVF/PQ oracles);
+    tools/check_contract.py re-derives it at other scales."""
+    import math
+    import pyarrow.parquet as pq
+    from sparksearch.pipeline.similarity import train_centroids
+    tb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    allv = tb.sort_values("vec_id")
+    cents = train_centroids(
+        [list(map(float, v)) for v in allv.embedding.iloc[:train_limit]],
+        n_clusters, seed)
+
+    def arr(c):
+        return "[" + ",".join(repr(float(x)) for x in c) + "]"
+
+    dot_terms = ", ".join(
+        f"list_dot_product(e, {arr(c)})"
+        f" / {math.sqrt(sum(x * x for x in c)) or 1.0!r}"
+        for c in cents)
+    return f"""WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), a AS (
+  SELECT vec_id, e, list_indexof(l, list_max(l)) AS cluster
+  FROM (SELECT vec_id, e, [{dot_terms}] AS l FROM v)
+), p AS (
+  SELECT x.vec_id AS pa, y.vec_id AS pb
+  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE CAST(list_cosine_similarity(x.e, y.e) AS DOUBLE) >= {1.0 - eps!r}
+), edges AS (SELECT pa AS u, pb AS w FROM p UNION SELECT pb, pa FROM p),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT reach.id, e2.w FROM reach JOIN edges e2 ON e2.u = reach.r),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT vec_id FROM v
+WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)"""
+
+
 def _pq_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
                    m: int = 8, k_codes: int = 16, seed: int = 11,
                    k: int = 10, train_limit: int = 4096) -> str:
@@ -1688,6 +1734,19 @@ def q_embedding_near_dup(spark, sf_dir):
     return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_semantic_dedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-blocked within-cluster
+    cosine pairs → connected components → keep the minimum id per
+    semantic cluster.  Composes the deterministic spherical k-means the
+    IVF index trains, the cluster-blocked self-join, and the large-star/
+    small-star component contraction — the oracle recomputes all three
+    stages in SQL (centroids inlined, recursive reachability CTE)."""
+    from sparksearch.pipeline.dedup import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding",
+                          eps=0.55).select("vec_id")
+
+
 QUERIES = {
     # The driver verifies the FIRST 50 entries in dict order.  This
     # static dict is the STABLE BASE ORDER; the driver-facing window is
@@ -1735,6 +1794,7 @@ QUERIES = {
     # --- r3-checked below (remaining window slots, then tail) ---
     "cube_agg": q_cube_agg,
     "embedding_near_dup": q_embedding_near_dup,
+    "semantic_dedup_keep": q_semantic_dedup_keep,
     "filters_agg": q_filters_agg,
     "grouping_sets_agg": q_grouping_sets_agg,
     "join_window_facet": q_join_window_facet,
@@ -1913,6 +1973,7 @@ ORDER BY (s.exact_score + e.escore) DESC, e.event_id ASC LIMIT 10"""),
             "ORDER BY w.value DESC, event_id ASC LIMIT 10"),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_oracle_sql(),
+        "semantic_dedup_keep": _semantic_oracle_sql(),
         "pq_adc_topk": _pq_oracle_sql(),
         "redact_pii": _pii_oracle_sql(),
         "repetition_stats": (f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts, "

@@ -12,6 +12,7 @@ from sparksearch.pipeline.dedup import (  # noqa: F401
     minhash_near_duplicates, simhash64, simhash_near_duplicates,
     shingle_jaccard_pairs, embedding_near_duplicates, dedup_keep_first,
     connected_components, duplicate_groups, dedup_canonical,
+    semantic_duplicate_pairs, semantic_dedup,
     ngram_contamination, decontaminate,
 )
 from sparksearch.pipeline.similarity import (  # noqa: F401

@@ -427,6 +427,62 @@ def dedup_canonical(docs: DataFrame, pairs: DataFrame, key: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster, then within-cluster cosine balls)
+# ---------------------------------------------------------------------------
+
+def semantic_duplicate_pairs(emb: DataFrame, key: str, vec_col: str,
+                             n_clusters: int = 16, eps: float = 0.15,
+                             seed: int = 7,
+                             train_limit: int = 4096) -> DataFrame:
+    """(a, b, cosine) pairs with cosine ≥ 1-eps, compared only WITHIN a
+    k-means cluster — the SemDeDup recipe (Abbas et al. 2023): semantic
+    duplicates are same-meaning documents whose embeddings cluster
+    together, so the quadratic comparison is blocked by cluster and the
+    cost is Σ (cluster size)², bounded by choosing n_clusters ∝ corpus
+    size (the 100-TB shape: the self-join shuffles on the cluster id, so
+    every block is one co-partitioned join, and a near-dup pair split
+    across clusters is by construction not a SEMANTIC duplicate — that
+    boundary is the published algorithm's recall trade, not an
+    implementation shortcut).
+
+    Clustering reuses the IVF index's deterministic spherical k-means
+    (same ordered-sample recipe), so a DuckDB oracle can retrain
+    identical centroids and recompute the assignment."""
+    from pyspark import StorageLevel
+    from sparksearch.pipeline.similarity import (_cluster_expr, _cos,
+                                                 train_centroids)
+    sample = (emb.orderBy(key).limit(train_limit)
+              .select(F.col(vec_col).cast("array<double>").alias("v"))
+              .collect())
+    cents = train_centroids([r["v"] for r in sample], n_clusters, seed)
+    d = (emb.select(F.col(key).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+         .withColumn("cluster", _cluster_expr(F.col("v"), cents))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    a = d.select(F.col("id").alias("a"), F.col("v").alias("va"), "cluster")
+    b = d.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cluster")
+    cos = _cos(F.col("va"), F.col("vb"))
+    return (a.join(b, "cluster").filter(F.col("a") < F.col("b"))
+            .select("a", "b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= 1.0 - eps))
+
+
+def semantic_dedup(emb: DataFrame, key: str, vec_col: str,
+                   n_clusters: int = 16, eps: float = 0.15, seed: int = 7,
+                   train_limit: int = 4096) -> DataFrame:
+    """Keep exactly one doc per semantic-duplicate cluster (transitive
+    closure of :func:`semantic_duplicate_pairs` via connected
+    components, minimum ``key`` kept — SemDeDup keeps one point per
+    ε-ball; min-id is the deterministic, oracle-checkable choice)."""
+    pairs = semantic_duplicate_pairs(emb, key, vec_col, n_clusters, eps,
+                                     seed, train_limit)
+    comp = connected_components(pairs)
+    drop = (comp.filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(key)))
+    return emb.join(drop, key, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap vs an eval set)
 # ---------------------------------------------------------------------------
 

@@ -171,6 +171,22 @@ def embeddings(spark):
     return spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
 
 
+def test_semantic_dedup_collapses_clones(spark, embeddings):
+    from sparksearch.pipeline import semantic_dedup, semantic_duplicate_pairs
+    # the fixture plants 6 clones of one base vector (i % 10 == 0) at
+    # cosine ≈ 1; they must all pair within one k-means cluster and
+    # collapse to the single minimum id
+    clones = {0, 10, 20, 30, 40, 50}
+    pairs = semantic_duplicate_pairs(embeddings, "vec_id", "embedding",
+                                     n_clusters=4, eps=0.05)
+    got_pairs = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert got_pairs == {(a, b) for a in clones for b in clones if a < b}
+    kept = {r["vec_id"] for r in
+            semantic_dedup(embeddings, "vec_id", "embedding", n_clusters=4,
+                           eps=0.05).select("vec_id").collect()}
+    assert kept == (set(range(60)) - clones) | {0}
+
+
 def test_cosine_topk_and_lsh_recall(embeddings):
     q = embeddings.filter("vec_id = 0").first()["embedding"]
     exact = [r["id"] for r in cosine_topk(embeddings.filter("vec_id <> 0"),

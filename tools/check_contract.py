@@ -68,9 +68,11 @@ def main():
         # pinned to the sf the driver checks (sf0.01); re-derive them for
         # the sf under test so the sweep stays value-exact at any scale
         from sparksearch.contract import (_ivf_oracle_sql, _pq_oracle_sql,
+                                          _semantic_oracle_sql,
                                           _temperature_oracle_sql)
         os_["ivf_ann_topk"] = _ivf_oracle_sql(sf_dir=sf_dir)
         os_["pq_adc_topk"] = _pq_oracle_sql(sf_dir=sf_dir)
+        os_["semantic_dedup_keep"] = _semantic_oracle_sql(sf_dir=sf_dir)
         os_["temperature_resample"] = _temperature_oracle_sql(sf_dir=sf_dir)
     n_pass = n_fail = 0
     for name, fn in qs.items():
