@@ -965,6 +965,40 @@ def q_minhash_pairs(spark, sf_dir):
             .select("a", "b", F.round("jaccard", 4).alias("jaccard")))
 
 
+def q_incremental_dedup_pairs(spark, sf_dir):
+    """Incremental dedup: the even-keyed half of the corpus is persisted
+    as a SigIndex (hive-partitioned LSH buckets + signatures); the
+    odd-keyed half probes it — candidates exact-verified to 3-gram
+    Jaccard ≥ 0.8.  The oracle computes the same cross-set ≥0.8 pair
+    set all-pairs, so this row proves the persisted-index probe's
+    recall the way minhash_pairs proves the in-memory join's."""
+    import tempfile
+    from pyspark import StorageLevel
+    from sparksearch.pipeline.dedup import build_sig_index, _shingles
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    newb = docs.filter(F.col("doc_id") % 2 == 1)
+    # n_buckets scaled to the corpus: 4096 hive dirs of near-empty
+    # files dominate wall-clock at sf≤0.1 (the default 256 is the
+    # cluster-scale grain)
+    idx = build_sig_index(corpus, "doc_id",
+                          tempfile.mkdtemp(prefix="sigidx_"), n_buckets=16)
+    cands = (idx.near_duplicates_of(newb, "doc_id", threshold=0.5)
+             .select("a", "b").persist(StorageLevel.MEMORY_AND_DISK))
+    cand_ids = (cands.select(F.col("a").alias("doc_id"))
+                .union(cands.select(F.col("b").alias("doc_id"))).distinct())
+    d = (docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+         .select("doc_id", _shingles(F.col("text"), 3).alias("sh")))
+    da = d.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    db = d.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    return (cands.join(da, "a").join(db, "b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.8)
+            .select("a", "b", F.round("jaccard", 4).alias("jaccard")))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs over the md5-derived 60-bit hash — fully
     reproducible by the DuckDB oracle (bit construction + pigeonhole
@@ -1764,6 +1798,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "dedup_groups": q_dedup_groups,
+    "incremental_dedup_pairs": q_incremental_dedup_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
     "snippet_topk": q_snippet_topk,
     "fingerprint": q_fingerprint,
@@ -2438,6 +2473,18 @@ WHERE list_has_any(ts, tl)"""),
             "e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), "
             "p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb, "
             "count(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "GROUP BY 1,2,3,4) "
+            "SELECT a, b, round(CAST(inter AS DOUBLE)/(na+nb-inter), 4) AS jaccard "
+            "FROM p WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8"),
+        "incremental_dedup_pairs": (
+            f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))"
+            " AS s FROM t WHERE len(ts) >= 3), "
+            "e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb, "
+            "count(*) AS inter FROM e a JOIN e b ON a.g = b.g "
+            "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 "
             "GROUP BY 1,2,3,4) "
             "SELECT a, b, round(CAST(inter AS DOUBLE)/(na+nb-inter), 4) AS jaccard "
             "FROM p WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8"),

@@ -427,6 +427,119 @@ def dedup_canonical(docs: DataFrame, pairs: DataFrame, key: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# persisted signature index: incremental dedup of new batches vs a corpus
+# ---------------------------------------------------------------------------
+
+class SigIndex:
+    """Persisted MinHash+LSH signature index — the batch twin of
+    ``streaming.dedup``'s state store: dedup a NEW batch against an
+    already-signed corpus without re-joining the corpus with itself.
+
+    Layout (mirrors AnnIndex / the text index's segment lifecycle):
+    ``{path}/buckets/seg=E/band=i/tb=j`` rows ``(bh, id)`` hive-
+    partitioned by band and ``tb = pmod(bh, n_buckets)`` so a small
+    probe batch prunes the bucket scan to its own tb dirs, and
+    ``{path}/sigs/seg=E`` rows ``(id, sig)`` for the agreement
+    verification.  ``insert`` writes epoch-keyed segments (idempotent
+    overwrite per epoch — replay-safe exactly like the text/vector
+    index inserts); readers union segments."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark, self.path, self.meta = spark, path, meta
+
+    def buckets(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/buckets")
+
+    def sigs(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/sigs")
+
+    def _write_segment(self, docs: DataFrame, key: str, text_col: str,
+                       epoch: str) -> None:
+        m = self.meta
+        sigs = minhash_signatures(docs, key, text_col, m["n_hashes"],
+                                  m["shingle_k"], m["seed"])
+        r = m["n_hashes"] // m["bands"]
+        banded = sigs.select(
+            "id", F.posexplode(band_hashes(F.col("sig"), m["bands"], r))
+            .alias("band", "bh"))
+        (banded.withColumn("tb", F.pmod("bh", F.lit(m["n_buckets"])))
+         .repartition("band", "tb")
+         .write.mode("overwrite").partitionBy("band", "tb")
+         .parquet(f"{self.path}/buckets/seg={epoch}"))
+        sigs.write.mode("overwrite").parquet(f"{self.path}/sigs/seg={epoch}")
+
+    def insert(self, docs: DataFrame, key: str, epoch: str,
+               text_col: str = "text") -> None:
+        """Append a corpus segment; re-running the same epoch overwrites
+        it in place (exactly-once under replay)."""
+        if "=" in epoch or "/" in epoch:
+            raise ValueError(f"invalid epoch {epoch!r}")
+        self._write_segment(docs, key, text_col, epoch)
+
+    def near_duplicates_of(self, new_docs: DataFrame, key: str,
+                           text_col: str = "text",
+                           threshold: float = 0.7) -> DataFrame:
+        """(a, b, est_jaccard): a = new-batch doc, b = corpus doc with
+        estimated Jaccard ≥ threshold.  The probe signs ONLY the new
+        batch, collects its (bounded ≤ n_buckets) tb set, and prunes the
+        corpus bucket scan to those partitions — probe cost scales with
+        the batch, not the corpus.  Intra-batch duplicates are not
+        reported; insert the batch and self-probe, or run the batch
+        dedup, for those."""
+        from pyspark import StorageLevel
+        m = self.meta
+        r = m["n_hashes"] // m["bands"]
+        sigs_new = (minhash_signatures(new_docs, key, text_col,
+                                       m["n_hashes"], m["shingle_k"],
+                                       m["seed"])
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+        banded = (sigs_new.select(
+            "id", F.posexplode(band_hashes(F.col("sig"), m["bands"], r))
+            .alias("band", "bh"))
+            .withColumn("tb", F.pmod("bh", F.lit(m["n_buckets"]))))
+        tbs = [row["tb"] for row in banded.select("tb").distinct().collect()]
+        cands = (banded.select(F.col("id").alias("a"), "band", "tb", "bh")
+                 .join(self.buckets().filter(F.col("tb").isin(tbs))
+                       .select(F.col("id").alias("b"), "band", "tb", "bh"),
+                       ["band", "tb", "bh"])
+                 .filter(F.col("a") != F.col("b"))
+                 .select("a", "b").distinct())
+        sa = sigs_new.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+        sb = self.sigs().select(F.col("id").alias("b"),
+                                F.col("sig").alias("sig_b"))
+        est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                          lambda x, y: x == y), lambda v: v))
+               .cast("double") / F.lit(float(m["n_hashes"])))
+        return (cands.join(sa, "a").join(sb, "b")
+                .select("a", "b", est.alias("est_jaccard"))
+                .filter(F.col("est_jaccard") >= threshold))
+
+
+def build_sig_index(docs: DataFrame, key: str, path: str,
+                    text_col: str = "text", n_hashes: int = 64,
+                    bands: int = 16, shingle_k: int = 3, seed: int = 13,
+                    n_buckets: int = 256) -> SigIndex:
+    import json
+    import os
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
+    meta = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k,
+            "seed": seed, "n_buckets": n_buckets}
+    idx = SigIndex(docs.sparkSession, path, meta)
+    idx._write_segment(docs, key, text_col, "b0")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/sig_meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return idx
+
+
+def load_sig_index(spark, path: str) -> SigIndex:
+    import json
+    with open(f"{path}/sig_meta.json") as fh:
+        return SigIndex(spark, path, json.load(fh))
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup: cluster, then within-cluster cosine balls)
 # ---------------------------------------------------------------------------
 

@@ -171,6 +171,45 @@ def embeddings(spark):
     return spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
 
 
+def test_sig_index_incremental_dedup(spark, tmp_path):
+    """Probing a persisted signature index with a new batch finds the
+    SAME cross-set pairs as running the full batch LSH dedup, the probe
+    plan prunes to the batch's tb partitions, and re-inserting an epoch
+    is idempotent."""
+    from sparksearch.pipeline import (build_sig_index, load_sig_index,
+                                      minhash_near_duplicates)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    newb = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "sig_idx")
+    build_sig_index(corpus, "doc_id", path, n_buckets=16)
+    idx = load_sig_index(spark, path)
+    got = {(r["a"], r["b"]): r["est_jaccard"]
+           for r in idx.near_duplicates_of(newb, "doc_id",
+                                           threshold=0.7).collect()}
+    # batch twin: full-corpus LSH pairs restricted to odd-even pairs,
+    # reoriented to (new, corpus)
+    full = minhash_near_duplicates(docs, "doc_id", threshold=0.7).collect()
+    want = {}
+    for r in full:
+        a, b = r["a"], r["b"]
+        if a % 2 != b % 2:
+            na, nb = (a, b) if a % 2 == 1 else (b, a)
+            want[(na, nb)] = r["est_jaccard"]
+    assert got == want and len(got) > 0
+    # replayed insert epoch: same segment overwritten, results unchanged
+    idx.insert(corpus.limit(50), "doc_id", epoch="e1")
+    idx.insert(corpus.limit(50), "doc_id", epoch="e1")
+    got2 = {(r["a"], r["b"]): r["est_jaccard"]
+            for r in idx.near_duplicates_of(newb, "doc_id",
+                                            threshold=0.7).collect()}
+    assert got2 == want
+    # layout really is hive-partitioned by (band, tb)
+    import glob as _g
+    assert _g.glob(f"{path}/buckets/seg=b0/band=0/tb=*"), "missing tb dirs"
+
+
 def test_semantic_dedup_collapses_clones(spark, embeddings):
     from sparksearch.pipeline import semantic_dedup, semantic_duplicate_pairs
     # the fixture plants 6 clones of one base vector (i % 10 == 0) at
