@@ -10,8 +10,12 @@ document corpus as a spark-submit entry point (the 100 TB curation path).
 Stages (each a bounded, shuffle-conscious DataFrame plan — see
 PLANS.md):
 1. exact dedup: md5 groupBy, keep the smallest key per hash group;
-2. near dedup: MinHash + banded LSH candidates, exact-Jaccard verify,
-   drop the larger key of each pair ≥ threshold;
+2. near dedup: MinHash + banded LSH candidates ≥ threshold, then
+   --dedup-policy: ``canonical`` (default) closes the pair graph with
+   distributed connected components and keeps exactly the minimum key
+   per duplicate cluster; ``pairwise`` is the old drop-the-larger-key
+   policy (cheaper by O(log² n) contraction rounds, but a cluster
+   linked only through a dropped middle doc can survive twice);
 3. decontaminate (optional): drop docs sharing word n-grams with an
    eval/benchmark parquet (--eval-set);
 4. annotate: language id, quality scores, token counts, repetition
@@ -38,6 +42,8 @@ def main() -> None:
     ap.add_argument("--key", default="doc_id")
     ap.add_argument("--text", default="text")
     ap.add_argument("--minhash-threshold", type=float, default=0.8)
+    ap.add_argument("--dedup-policy", choices=["canonical", "pairwise"],
+                    default="canonical")
     ap.add_argument("--skip-near-dedup", action="store_true")
     ap.add_argument("--min-quality-tokens", type=int, default=0)
     ap.add_argument("--min-distinct-ratio", type=float, default=0.0)
@@ -59,7 +65,8 @@ def main() -> None:
              .config("spark.sql.session.timeZone", "UTC").getOrCreate())
     from sparksearch.pipeline import (exact_duplicates,
                                       minhash_near_duplicates,
-                                      dedup_keep_first, language_id,
+                                      dedup_keep_first, dedup_canonical,
+                                      language_id,
                                       quality_scores, token_counts,
                                       decontaminate, redact_pii,
                                       repetition_stats, balanced_sample,
@@ -78,7 +85,10 @@ def main() -> None:
     if not args.skip_near_dedup:
         pairs = minhash_near_duplicates(docs, args.key, text_col=args.text,
                                         threshold=args.minhash_threshold)
-        docs = dedup_keep_first(docs, pairs, args.key)
+        if args.dedup_policy == "canonical":
+            docs = dedup_canonical(docs, pairs, args.key)
+        else:
+            docs = dedup_keep_first(docs, pairs, args.key)
         counters["after_near_dedup"] = docs.count()
 
     # 3. decontaminate against an eval/benchmark set
