@@ -140,6 +140,30 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_connected_components_random_graphs(spark, seed):
+    """Differential fuzz vs union-find: random graphs mixing isolated
+    pairs, chains, cliques, hubs, duplicate and reversed edges."""
+    import random
+    from sparksearch.pipeline import connected_components
+    rng = random.Random(seed)
+    n = rng.randint(30, 120)
+    edges = []
+    for _ in range(rng.randint(20, 150)):
+        a, b = rng.randrange(n), rng.randrange(n)
+        edges.append((a, b))
+        if rng.random() < 0.3:
+            edges.append((b, a))  # reversed duplicate
+    hub = rng.randrange(n)
+    for _ in range(rng.randint(0, 20)):
+        edges.append((hub, rng.randrange(n)))  # power-law-ish hub
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    want = _union_find([(a, b) for a, b in edges if a != b])
+    assert got == want
+
+
 def test_dedup_canonical_one_per_cluster(spark):
     from sparksearch.pipeline import dedup_canonical, duplicate_groups
     docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 25)],
