@@ -965,6 +965,16 @@ def q_minhash_pairs(spark, sf_dir):
             .select("a", "b", F.round("jaccard", 4).alias("jaccard")))
 
 
+def q_shared_token_spans(spark, sf_dir):
+    """Exact substring-level duplication (Lee et al. 2022): maximal
+    cross-doc runs of ≥8 verbatim-shared tokens via anchor-gram join +
+    diagonal merge; the oracle rebuilds grams, the df cap, the diagonal
+    islands (row_number window), and the span arithmetic in SQL."""
+    from sparksearch.pipeline.dedup import shared_token_spans
+    docs = _t(spark, sf_dir, "documents")
+    return shared_token_spans(docs, "doc_id", gram_len=8, max_df=100)
+
+
 def q_incremental_dedup_pairs(spark, sf_dir):
     """Incremental dedup: the even-keyed half of the corpus is persisted
     as a SigIndex (hive-partitioned LSH buckets + signatures); the
@@ -1799,6 +1809,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_groups": q_dedup_groups,
     "incremental_dedup_pairs": q_incremental_dedup_pairs,
+    "shared_token_spans": q_shared_token_spans,
     "lsh_ann_topk": q_lsh_ann_topk,
     "snippet_topk": q_snippet_topk,
     "fingerprint": q_fingerprint,
@@ -2476,6 +2487,26 @@ WHERE list_has_any(ts, tl)"""),
             "GROUP BY 1,2,3,4) "
             "SELECT a, b, round(CAST(inter AS DOUBLE)/(na+nb-inter), 4) AS jaccard "
             "FROM p WHERE CAST(inter AS DOUBLE)/(na+nb-inter) >= 0.8"),
+        "shared_token_spans": (
+            f"""
+WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents),
+d AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 8),
+e0 AS (SELECT doc_id, CAST(i AS INT) AS p,
+              array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+       FROM d, unnest(range(1, len(ts) - 6)) AS u(i)),
+keep AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= 100),
+e AS (SELECT e0.doc_id, e0.p, e0.g FROM e0 JOIN keep USING (g)),
+m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.p AS pa, y.p AS pb,
+             x.p - y.p AS diag
+      FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id),
+runs AS (SELECT a, b, pa, pb, diag,
+                pa - row_number() OVER (PARTITION BY a, b, diag
+                                        ORDER BY pa) AS island
+         FROM m)
+SELECT a, b, CAST(min(pa) AS INT) AS a_start,
+       CAST(min(pb) AS INT) AS b_start,
+       CAST(count(*) + 7 AS INT) AS length
+FROM runs GROUP BY a, b, diag, island"""),
         "incremental_dedup_pairs": (
             f"WITH t AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents), "
             "sh AS (SELECT doc_id, list_distinct(list_transform("

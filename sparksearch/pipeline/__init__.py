@@ -13,7 +13,7 @@ from sparksearch.pipeline.dedup import (  # noqa: F401
     shingle_jaccard_pairs, embedding_near_duplicates, dedup_keep_first,
     connected_components, duplicate_groups, dedup_canonical,
     semantic_duplicate_pairs, semantic_dedup,
-    SigIndex, build_sig_index, load_sig_index,
+    SigIndex, build_sig_index, load_sig_index, shared_token_spans,
     ngram_contamination, decontaminate,
 )
 from sparksearch.pipeline.similarity import (  # noqa: F401

@@ -427,6 +427,62 @@ def dedup_canonical(docs: DataFrame, pairs: DataFrame, key: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact shared-substring spans (substring-level dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def shared_token_spans(docs: DataFrame, key: str, text_col: str = "text",
+                       gram_len: int = 8,
+                       max_df: int | None = 100) -> DataFrame:
+    """(a, b, a_start, b_start, length): maximal runs of ≥ ``gram_len``
+    consecutive tokens shared verbatim between two documents — the
+    substring-level duplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), whose
+    suffix-array construction is replaced by the Spark-natural
+    equivalent: ``gram_len``-token anchor grams joined across docs, then
+    merged along match diagonals (pa − pb) into maximal spans.  Every
+    shared substring of length ≥ gram_len contains an anchor at each
+    offset, so with ``max_df=None`` the merged spans are exactly the
+    maximal shared substrings ≥ gram_len (no approximation); the
+    default df cap drops boilerplate-hot anchors, which splits or
+    suppresses spans running through them (the exactness/scale trade,
+    applied to anchors instead of whole shingle sets).
+
+    Scale shape: one tokenize+gram pass (narrow), a df-capped inverted
+    join on the gram (``max_df`` drops boilerplate grams the way the
+    Jaccard verifier does — they dominate Σ df² while signalling
+    boilerplate, not cloned passages), and one window per (a, b,
+    diagonal) — partitioned aggregation, no driver state.  Positions
+    are 1-based token offsets."""
+    from pyspark.sql import Window
+    docs = _spread(docs)
+    toks = _tokens(F.col(text_col))
+    d = (docs.select(F.col(key).alias("id"), toks.alias("ts"))
+         .filter(F.size("ts") >= gram_len))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - gram_len + 1),
+        lambda i: F.struct(
+            i.cast("int").alias("p"),
+            F.concat_ws(" ", F.slice("ts", i, gram_len)).alias("g")))
+    e = (d.select("id", F.explode(grams).alias("e"))
+         .select("id", F.col("e.p").alias("p"), F.col("e.g").alias("g")))
+    if max_df is not None:
+        keep = (e.groupBy("g").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("g"))
+        e = e.join(keep, "g", "left_semi")
+    a = e.select(F.col("id").alias("a"), F.col("p").alias("pa"), "g")
+    b = e.select(F.col("id").alias("b"), F.col("p").alias("pb"), "g")
+    m = (a.join(b, "g").filter(F.col("a") < F.col("b"))
+         .select("a", "b", "pa", "pb",
+                 (F.col("pa") - F.col("pb")).alias("diag")))
+    w = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    runs = m.withColumn("island", F.col("pa") - F.row_number().over(w))
+    return (runs.groupBy("a", "b", "diag", "island")
+            .agg(F.min("pa").alias("a_start"), F.min("pb").alias("b_start"),
+                 (F.count("*") + gram_len - 1).cast("int").alias("length"))
+            .select("a", "b", "a_start", "b_start", "length"))
+
+
+# ---------------------------------------------------------------------------
 # persisted signature index: incremental dedup of new batches vs a corpus
 # ---------------------------------------------------------------------------
 

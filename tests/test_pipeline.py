@@ -140,6 +140,89 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def _brute_spans(ta, tb, L):
+    """All maximal shared token runs ≥ L between token lists ta/tb,
+    1-based (a_start, b_start, length)."""
+    out = set()
+    for i in range(len(ta)):
+        for j in range(len(tb)):
+            if ta[i] != tb[j]:
+                continue
+            if i and j and ta[i - 1] == tb[j - 1]:
+                continue  # not maximal-left
+            k = 0
+            while (i + k < len(ta) and j + k < len(tb)
+                   and ta[i + k] == tb[j + k]):
+                k += 1
+            if k >= L:
+                out.add((i + 1, j + 1, k))
+    return out
+
+
+def test_shared_token_spans_exact(spark):
+    from sparksearch.pipeline import shared_token_spans
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # shares the full 10-token run with 1, embedded mid-doc
+        (2, "x y alpha beta gamma delta epsilon zeta eta theta iota kappa z"),
+        # shares two separate 4-token runs with 1 (split by a mismatch)
+        (3, "alpha beta gamma delta MISMATCH zeta eta theta iota q r s"),
+        (4, "totally unrelated words only here nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    got = {(r["a"], r["b"]): set() for r in []}
+    res = shared_token_spans(docs, "id", gram_len=4, max_df=None).collect()
+    got = {}
+    for r in res:
+        got.setdefault((r["a"], r["b"]), set()).add(
+            (r["a_start"], r["b_start"], r["length"]))
+    texts = {i: t.lower().split() for i, t in rows}
+    want = {}
+    for ai in texts:
+        for bi in texts:
+            if ai < bi:
+                s = _brute_spans(texts[ai], texts[bi], 4)
+                if s:
+                    want[(ai, bi)] = s
+    assert got == want
+    # the headline expectations, spelled out
+    assert got[(1, 2)] == {(1, 3, 10)}
+    assert got[(1, 3)] == {(1, 1, 4), (6, 6, 4)}
+    assert (1, 4) not in got
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_shared_token_spans_fuzz(spark, seed):
+    """Random shared-fragment corpora vs the brute-force span oracle."""
+    import random
+    from sparksearch.pipeline import shared_token_spans
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    frag = [rng.choice(vocab) for _ in range(rng.randint(6, 12))]
+    rows = []
+    for i in range(8):
+        words = [rng.choice(vocab) for _ in range(rng.randint(10, 25))]
+        if rng.random() < 0.6:  # plant the shared fragment somewhere
+            at = rng.randint(0, len(words))
+            words = words[:at] + frag + words[at:]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "id long, text string")
+    res = shared_token_spans(docs, "id", gram_len=5, max_df=None).collect()
+    got = {}
+    for r in res:
+        got.setdefault((r["a"], r["b"]), set()).add(
+            (r["a_start"], r["b_start"], r["length"]))
+    texts = {i: t.split() for i, t in rows}
+    want = {}
+    for ai in texts:
+        for bi in texts:
+            if ai < bi:
+                s = _brute_spans(texts[ai], texts[bi], 5)
+                if s:
+                    want[(ai, bi)] = s
+    assert got == want
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
 def test_connected_components_random_graphs(spark, seed):
     """Differential fuzz vs union-find: random graphs mixing isolated
