@@ -623,6 +623,9 @@ def semantic_duplicate_pairs(emb: DataFrame, key: str, vec_col: str,
     sample = (emb.orderBy(key).limit(train_limit)
               .select(F.col(vec_col).cast("array<double>").alias("v"))
               .collect())
+    # tiny-corpus clamp (the PQ/IVF discipline): k-means seeding samples
+    # k distinct vectors, so fewer docs than clusters would raise
+    n_clusters = max(1, min(n_clusters, len(sample)))
     cents = train_centroids([r["v"] for r in sample], n_clusters, seed)
     d = (emb.select(F.col(key).alias("id"),
                     F.col(vec_col).cast("array<double>").alias("v"))

@@ -333,6 +333,16 @@ def test_semantic_dedup_collapses_clones(spark, embeddings):
     assert kept == (set(range(60)) - clones) | {0}
 
 
+def test_semantic_dedup_tiny_corpus_clamps(spark):
+    from sparksearch.pipeline import semantic_dedup
+    import random
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(3)]
+    tiny = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    # 3 docs < 16 clusters: must clamp, not raise in k-means seeding
+    assert semantic_dedup(tiny, "vec_id", "embedding").count() == 3
+
+
 def test_cosine_topk_and_lsh_recall(embeddings):
     q = embeddings.filter("vec_id = 0").first()["embedding"]
     exact = [r["id"] for r in cosine_topk(embeddings.filter("vec_id <> 0"),
