@@ -43,6 +43,15 @@ State never expires (NoTimeout): the member store is the dedup index
 itself.  At cluster scale, bound it the way the batch corpus would be —
 key the stream by corpus epoch, or add a GroupStateTimeout eviction if
 only a rolling window of history must be matched.
+
+WARM START against an existing corpus: play the corpus files through
+the stream source FIRST (a file source orders batches by mtime), then
+let live arrivals follow — the corpus docs populate bucket state and
+their replay is idempotent, so a restart from checkpoint never
+double-emits.  Corpus-vs-corpus pairs emitted during the warm-up are
+the batch dedup result and can be kept or discarded downstream.  The
+batch-side twin of this state store is ``pipeline.dedup.SigIndex``
+(same signatures, persisted + partition-pruned).
 """
 
 from __future__ import annotations
