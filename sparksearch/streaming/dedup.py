@@ -67,8 +67,8 @@ def streaming_near_duplicates(docs: DataFrame, key: str,
                               text_col: str = "text",
                               threshold: float = 0.7, n_hashes: int = 64,
                               bands: int = 16, shingle_k: int = 3,
-                              seed: int = 13,
-                              max_members: int = 512) -> DataFrame:
+                              seed: int = 13, max_members: int = 512,
+                              output_mode: str = "update") -> DataFrame:
     """(a, b, est_jaccard) pairs, emitted as docs arrive; the streamed
     twin of :func:`sparksearch.pipeline.dedup.minhash_near_duplicates`
     (identical parameters → identical pair set, proven in
@@ -129,6 +129,10 @@ def streaming_near_duplicates(docs: DataFrame, key: str,
         if out_a:
             yield pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_e})
 
+    # emissions are append-only facts (each pair exactly once), so the
+    # operator is sound under either declared mode; pass "append" when
+    # sinking to files (parquet sinks reject Update queries)
     return (banded.groupBy("band", "bh")
             .applyInPandasWithState(update, out_schema, state_schema,
-                                    "update", GroupStateTimeout.NoTimeout))
+                                    output_mode,
+                                    GroupStateTimeout.NoTimeout))
