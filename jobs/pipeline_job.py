@@ -105,7 +105,12 @@ def main() -> None:
     rep = repetition_stats(docs, args.key, args.text)
     ann = ann.join(rep, args.key)
     if args.redact_pii:
-        ann = redact_pii(ann, args.text)
+        # the redacted value REPLACES the text column — the shipped
+        # corpus must not carry the original PII under the standard
+        # column name downstream consumers read
+        ann = (redact_pii(ann, args.text)
+               .drop(args.text)
+               .withColumnRenamed(f"{args.text}_redacted", args.text))
 
     # 5. quality floors + repetition ceilings
     if args.min_quality_tokens:

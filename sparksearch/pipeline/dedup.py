@@ -530,6 +530,11 @@ class SigIndex:
         it in place (exactly-once under replay)."""
         if "=" in epoch or "/" in epoch:
             raise ValueError(f"invalid epoch {epoch!r}")
+        if epoch == "b0":
+            # "b0" is the base segment written by build_sig_index —
+            # accepting it would silently destroy the original corpus
+            raise ValueError("epoch 'b0' is reserved for the base "
+                             "segment written by build_sig_index")
         self._write_segment(docs, key, text_col, epoch)
 
     def near_duplicates_of(self, new_docs: DataFrame, key: str,
@@ -542,13 +547,16 @@ class SigIndex:
         the batch, not the corpus.  Intra-batch duplicates are not
         reported; insert the batch and self-probe, or run the batch
         dedup, for those."""
-        from pyspark import StorageLevel
         m = self.meta
         r = m["n_hashes"] // m["bands"]
+        # eager localCheckpoint (not persist): the frame feeds both the
+        # tb-set collect below and the returned lazy join — checkpoint
+        # blocks are GC-reclaimed with the result, so repeated probes
+        # don't accumulate CacheManager entries nobody unpersists
         sigs_new = (minhash_signatures(new_docs, key, text_col,
                                        m["n_hashes"], m["shingle_k"],
                                        m["seed"])
-                    .persist(StorageLevel.MEMORY_AND_DISK))
+                    .localCheckpoint(eager=True))
         banded = (sigs_new.select(
             "id", F.posexplode(band_hashes(F.col("sig"), m["bands"], r))
             .alias("band", "bh"))
@@ -617,7 +625,6 @@ def semantic_duplicate_pairs(emb: DataFrame, key: str, vec_col: str,
     Clustering reuses the IVF index's deterministic spherical k-means
     (same ordered-sample recipe), so a DuckDB oracle can retrain
     identical centroids and recompute the assignment."""
-    from pyspark import StorageLevel
     from sparksearch.pipeline.similarity import (_cluster_expr, _cos,
                                                  train_centroids)
     sample = (emb.orderBy(key).limit(train_limit)
@@ -627,10 +634,15 @@ def semantic_duplicate_pairs(emb: DataFrame, key: str, vec_col: str,
     # k distinct vectors, so fewer docs than clusters would raise
     n_clusters = max(1, min(n_clusters, len(sample)))
     cents = train_centroids([r["v"] for r in sample], n_clusters, seed)
+    # eager localCheckpoint, not persist(): the frame is referenced
+    # twice by the returned (lazy) join, so an in-function unpersist
+    # would defeat the cache — checkpoint blocks are instead reclaimed
+    # automatically by the ContextCleaner once the result is dropped,
+    # where a CacheManager entry would leak until session end
     d = (emb.select(F.col(key).alias("id"),
                     F.col(vec_col).cast("array<double>").alias("v"))
          .withColumn("cluster", _cluster_expr(F.col("v"), cents))
-         .persist(StorageLevel.MEMORY_AND_DISK))
+         .localCheckpoint(eager=True))
     a = d.select(F.col("id").alias("a"), F.col("v").alias("va"), "cluster")
     b = d.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cluster")
     cos = _cos(F.col("va"), F.col("vb"))

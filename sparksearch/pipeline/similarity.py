@@ -227,6 +227,24 @@ def lsh_cosine_topk(emb: DataFrame, key: str, vec_col: str, query_vec,
     return cosine_topk(cands, key, vec_col, query_vec, k)
 
 
+def _write_tombstones(spark, path: str, ids,
+                      data_dir: str = "vectors") -> None:
+    """Append tombstones under ``{path}/tombstones``.  An iterable takes
+    its id TYPE from the stored ``data_dir`` table's parquet footer (a
+    string-keyed index tombstones correctly instead of raising on a
+    hardcoded ``id long``); a DataFrame must carry an ``id`` column of
+    the stored type."""
+    from pyspark.sql.types import StructField, StructType
+    if isinstance(ids, DataFrame):
+        df = ids.select("id")
+    else:
+        id_t = spark.read.parquet(f"{path}/{data_dir}") \
+            .schema["id"].dataType
+        df = spark.createDataFrame([(i,) for i in ids],
+                                   StructType([StructField("id", id_t)]))
+    df.write.mode("append").parquet(f"{path}/tombstones")
+
+
 class AnnIndex:
     """Persisted LSH-ANN layout (reference analog: pgvector IVF — an
     inverted list per coarse bucket; here random-hyperplane sign-bit
@@ -288,11 +306,7 @@ class AnnIndex:
 
     def delete(self, ids) -> None:
         """Tombstone docs (DELETE visibility, as IvfIndex.delete)."""
-        df = (ids if isinstance(ids, DataFrame)
-              else self.spark.createDataFrame([(int(i),) for i in ids],
-                                              "id long"))
-        df.select("id").write.mode("append").parquet(
-            f"{self.path}/tombstones")
+        _write_tombstones(self.spark, self.path, ids)
 
     def compact(self) -> None:
         """``amvacuumcleanup`` analog, as :meth:`IvfIndex.compact`."""
@@ -483,11 +497,7 @@ class IvfIndex:
         subsequent merges/queries see them as dead).  Deleting every
         vector-bearing doc leaves a valid, empty vector field — ORDER BY
         returns zero rows, no error."""
-        df = (ids if isinstance(ids, DataFrame)
-              else self.spark.createDataFrame([(int(i),) for i in ids],
-                                              "id long"))
-        df.select("id").write.mode("append").parquet(
-            f"{self.path}/tombstones")
+        _write_tombstones(self.spark, self.path, ids, data_dir="clusters")
 
     def insert(self, emb: DataFrame, key: str, vec_col: str,
                validate_finite: bool = True,
@@ -936,11 +946,7 @@ class PqIndex:
 
     def delete(self, ids) -> None:
         """Tombstone docs (DELETE + VACUUM visibility, as IvfIndex)."""
-        df = (ids if isinstance(ids, DataFrame)
-              else self.spark.createDataFrame([(int(i),) for i in ids],
-                                              "id long"))
-        df.select("id").write.mode("append").parquet(
-            f"{self.path}/tombstones")
+        _write_tombstones(self.spark, self.path, ids)
 
     def compact(self) -> None:
         """``amvacuumcleanup`` analog: merge all segments into one base
@@ -1105,9 +1111,10 @@ def _compact_segmented(spark, data_path: str, tomb_path: str,
     """Rewrite a seg=*-partitioned parquet layout as a single base
     segment: tombstoned ids physically removed, insert segments merged,
     the tombstone list cleared once the last table referencing it is
-    rewritten.  The write lands in a temp dir first and is swapped in
-    with directory renames — a crash before the swap leaves the old
-    layout fully intact."""
+    rewritten.  The write lands in a temp dir first; the live layout is
+    renamed aside before the new one moves in, so a crash at ANY point
+    leaves either the old layout live or a recoverable ``__old`` copy —
+    never a window with no data on disk."""
     import os
     import shutil
     import uuid
@@ -1124,8 +1131,14 @@ def _compact_segmented(spark, data_path: str, tomb_path: str,
     if parts:
         w = w.partitionBy(*parts)
     w.parquet(tmp)
-    shutil.rmtree(data_path)
+    # crash-safe swap: the live layout is renamed ASIDE (cheap, atomic
+    # on one filesystem) before the new one moves in — a crash between
+    # any two steps leaves either the old layout live or a recoverable
+    # __old copy next to the new one; the destructive delete runs last
+    old = f"{data_path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(data_path, old)
     os.makedirs(data_path)
     os.rename(tmp, os.path.join(data_path, "seg=base"))
+    shutil.rmtree(old)
     if drop_tombstones and os.path.exists(tomb_path):
         shutil.rmtree(tomb_path)

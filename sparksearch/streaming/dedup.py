@@ -29,10 +29,12 @@ Design (north-star analog: applyInPandasWithState keyed by salted token
   the indexer's epoch-keyed segments).
 - SKEW: boilerplate near-identical docs all land in the same buckets;
   ``max_members`` caps the per-bucket state and per-arrival work.  A doc
-  arriving at a full bucket is still compared (pairs emitted) but not
-  stored, so the cap bounds cost at O(max_members) per arrival with a
-  documented recall trade beyond it.  Batch parity therefore holds
-  exactly while every bucket stays under the cap.
+  arriving at a full bucket is still compared (pairs emitted) but its
+  SIGNATURE is not stored, so the cap bounds cost at O(max_members) per
+  arrival with a documented recall trade beyond it.  Its id IS recorded
+  (``overflow_ids`` state field, ~8 B/doc), so replayed micro-batches
+  skip it and exactly-once emission holds even at the cap.  Batch
+  parity holds exactly while every bucket stays under the cap.
 
 Parity with the batch path is exact modulo one negligible case: the
 batch join admits xxhash64 band-hash collisions as candidates; the
@@ -89,7 +91,11 @@ def streaming_near_duplicates(docs: DataFrame, key: str,
         StructField("est_jaccard", DoubleType())])
     state_schema = StructType([
         StructField("ids", ArrayType(key_t)),
-        StructField("sigs", ArrayType(ArrayType(LongType())))])
+        StructField("sigs", ArrayType(ArrayType(LongType()))),
+        # ids compared while the bucket was at max_members (pairs
+        # emitted, signature NOT stored): kept so a replayed
+        # micro-batch skips them too — exactly-once holds at the cap
+        StructField("overflow_ids", ArrayType(key_t))])
 
     def update(key_, pdfs, state):
         band_idx = int(key_[0])
@@ -98,12 +104,14 @@ def streaming_near_duplicates(docs: DataFrame, key: str,
         # membership decisions (same rationale as term_stats bloom fix)
         rows = pd.concat(list(pdfs), ignore_index=True)
         if state.exists:
-            st_ids, st_sigs = state.get
+            st_ids, st_sigs, st_over = state.get
             ids = list(st_ids)
             sigs_ = [list(s) for s in st_sigs]
+            overflow = list(st_over) if st_over is not None else []
         else:
-            ids, sigs_ = [], []
+            ids, sigs_, overflow = [], [], []
         seen = set(ids)
+        seen.update(overflow)
         out_a, out_b, out_e = [], [], []
         for doc_id, sig in zip(rows["id"], rows["sig"]):
             if doc_id in seen:
@@ -124,8 +132,10 @@ def streaming_near_duplicates(docs: DataFrame, key: str,
             if len(ids) < max_members:
                 ids.append(doc_id)
                 sigs_.append(sig)
+            else:
+                overflow.append(doc_id)
             seen.add(doc_id)
-        state.update((ids, sigs_))
+        state.update((ids, sigs_, overflow))
         if out_a:
             yield pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_e})
 

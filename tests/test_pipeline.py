@@ -315,6 +315,10 @@ def test_sig_index_incremental_dedup(spark, tmp_path):
     # layout really is hive-partitioned by (band, tb)
     import glob as _g
     assert _g.glob(f"{path}/buckets/seg=b0/band=0/tb=*"), "missing tb dirs"
+    # the base segment's epoch name is reserved: accepting it would
+    # silently overwrite the original corpus (ADVICE r4)
+    with pytest.raises(ValueError, match="b0"):
+        idx.insert(newb, "doc_id", epoch="b0")
 
 
 def test_semantic_dedup_collapses_clones(spark, embeddings):
@@ -856,6 +860,27 @@ def test_lsh_index_lifecycle(spark, tmp_path, embeddings):
     assert [r["id"] for r in idx.topk(q, k=6).collect()] == after
 
 
+def test_string_keyed_index_delete(spark, tmp_path, embeddings):
+    """delete() over a string-keyed index must tombstone correctly —
+    the tombstone schema derives from the stored id type instead of a
+    hardcoded ``id long`` (ADVICE r4)."""
+    from sparksearch.pipeline.similarity import build_ann_index
+    path = str(tmp_path / "str_keys")
+    emb = embeddings.filter("vec_id < 40").select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("doc_key"),
+        "embedding")
+    idx = build_ann_index(emb, "doc_key", "embedding", path)
+    q = embeddings.filter("vec_id = 0").first()["embedding"]
+    got = [r["id"] for r in idx.topk(q, k=5).collect()]
+    assert got and all(isinstance(i, str) for i in got)
+    idx.delete(got[:2])                   # plain python strings
+    after = [r["id"] for r in idx.topk(q, k=5).collect()]
+    assert not set(got[:2]) & set(after)
+    idx.delete(spark.createDataFrame([(got[2],)], "id string"))
+    assert got[2] not in {r["id"]
+                          for r in idx.topk(q, k=5).collect()}
+
+
 def test_pq_arrow_encode_equals_expr(spark, tmp_path, embeddings):
     """encode="arrow" (vectorized numpy argmin in Arrow workers — the
     k=256-codebook scale hatch) produces byte-identical codes and
@@ -1024,6 +1049,21 @@ def test_redact_pii(spark):
     assert out[3]["pii_total"] == 0
     assert out[3]["text_redacted"] == out[3]["text"]
     assert out[1]["pii_total"] == 2 and out[2]["pii_total"] == 2
+
+
+def test_redact_pii_job_replaces_text(spark):
+    """The pipeline job's --redact-pii composition must SHIP the
+    redacted value under the standard text column — not append a
+    text_redacted sibling while the raw PII sails through (ADVICE r4,
+    medium)."""
+    from sparksearch.pipeline import redact_pii
+    docs = spark.createDataFrame(
+        [(1, "mail jane.doe@corp.example.org now")], "id int, text string")
+    shipped = (redact_pii(docs, "text").drop("text")
+               .withColumnRenamed("text_redacted", "text"))
+    row = shipped.first()
+    assert row["text"] == "mail <EMAIL> now"
+    assert "text_redacted" not in shipped.columns
 
 
 def test_repetition_stats(spark):

@@ -271,6 +271,45 @@ def test_streaming_near_duplicates_matches_batch(spark, tdir):
     assert spark.sql("SELECT count(*) c FROM sdedup").first()["c"] == len(rows)
 
 
+def test_streaming_near_duplicates_replay_at_cap(spark, tdir):
+    """Exactly-once emission must survive replay even when a bucket is
+    AT max_members: the overflowed doc's signature is not stored, but
+    its id is (overflow_ids), so a replayed micro-batch re-emits
+    nothing (ADVICE r4: compared-but-unstored ids broke idempotence)."""
+    from sparksearch.streaming import streaming_near_duplicates
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    flat = f"{tdir}/cap_flat"
+    os.makedirs(flat, exist_ok=True)
+    for i, doc_id in enumerate([1, 2, 3]):
+        spark.createDataFrame([(doc_id, text)], "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tdir}/cap_src/{i}")
+        src = sorted(glob.glob(f"{tdir}/cap_src/{i}/*.parquet"))[0]
+        dst = f"{flat}/part{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i,) * 2)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(flat))
+    q = (streaming_near_duplicates(stream, "doc_id", threshold=0.7,
+                                   max_members=1)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("capdedup")
+         .option("checkpointLocation", f"{tdir}/cap_ckpt").start())
+    q.processAllAvailable()
+    rows = spark.sql("SELECT a, b FROM capdedup").collect()
+    # bucket holds doc 1 only (cap=1); docs 2 and 3 each compare
+    # against it → pairs (1,2), (1,3); (2,3) is the documented recall
+    # trade at the cap
+    assert sorted((r["a"], r["b"]) for r in rows) == [(1, 2), (1, 3)]
+    # replay the OVERFLOWED doc (id 2, never stored as a member): its
+    # id must still be remembered, so nothing is re-emitted
+    shutil.copy(f"{flat}/part001.parquet", f"{flat}/part_replay.parquet")
+    os.utime(f"{flat}/part_replay.parquet", (1_700_000_000 + 9,) * 2)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) c FROM capdedup").first()["c"] == 2
+
+
 def test_salted_term_stats(spark, tdir):
     flat, full_df = _write_stream_files(spark, tdir, n_convs=10, parts=2, seed=41)
     out = (salted_term_stats(
