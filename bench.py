@@ -240,7 +240,8 @@ def _scaling_measurement(src: str) -> dict:
     }
 
 
-HEADLINE = ["bm25_topk", "term_count", "conjunction", "phrase",
+HEADLINE = ["bm25_topk", "maxscore_disjunction", "term_count",
+            "conjunction", "phrase",
             "disjunction_msm", "tpch_q1", "join_topk", "join_aggregate",
             "date_histogram", "window_topn_per_group", "dedup_exact",
             "ngram_jaccard_pairs", "minhash_pairs", "ann_cosine_topk",

@@ -43,6 +43,10 @@ class EngineConfig:
     # distance operator mismatches the index opclass (reference GUC
     # paradedb.check_topk_scan, vector_search_pushdown.out WARNINGs)
     check_topk_scan: bool = True
+    # MaxScore prune for score-desc top-k disjunctions (the Block-MAX
+    # WAND analog — see compiler.compile_query_topk).  Result-identical
+    # to the unpruned plan; off = always score every match.
+    enable_maxscore_topk: bool = True
     # warn when a SQL aggregate can't ride the index aggregate scan
     # (reference GUC paradedb.check_aggregate_scan, issue_3050.out /
     # issue_3196.out WARNINGs)

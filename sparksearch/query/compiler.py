@@ -130,6 +130,52 @@ def compile_query(index, node: ast.Query) -> DataFrame:
     return _Compiler(index).compile(node)
 
 
+def compile_query_topk(index, node: ast.Query, k: int,
+                       stats: dict | None = None) -> DataFrame | None:
+    """MaxScore-pruned (doc_id, score) for a score-desc top-``k`` page,
+    or None when the query shape doesn't qualify (caller falls back to
+    :func:`compile_query` — including for error parity: a malformed
+    query string must raise from the baseline path).
+
+    Reference analog: Block-MAX WAND / the dynamic top-k threshold the
+    reference publishes into scans (index/reader/index.rs:840-940,
+    scan/segmented_topk_exec.rs:17-57) — docs that cannot reach the
+    running K-th score are never scored.  The Spark restatement is the
+    two-pass MaxScore algorithm (Turtle & Flood 1995):
+
+    1. THRESHOLD pass: a cheap top-k over the one or two highest-
+       upper-bound (= highest-idf, = LOWEST-df, so the scan is tiny and
+       bucket-pruned) terms' postings; τ = the K-th per-doc partial sum.
+       Every such partial is ≤ that doc's final score, so ≥ k docs
+       finish ≥ τ.
+    2. PARTITION: per-term score upper bound ub(t) = f32(f32(idf)·
+       f32(k1+1)) — exactly BM25's ``weight`` term, since the tf factor
+       is ≤ 1 after f32 rounding.  Non-essential terms = the maximal
+       ascending-ub prefix with Σ ub < τ·(1−1e-6): a doc matching ONLY
+       those can never reach τ, so the candidate set is the essential
+       terms' postings alone.
+    3. SCORE COMPLETION: non-essential postings are semi-joined to the
+       candidate ids (broadcast when the essential df sum is small —
+       the common case, essential terms being the rare ones) so every
+       surviving doc's score sums the IDENTICAL per-(doc, term) rows
+       the unpruned plan sums — bit-equal scores, fewer rows through
+       the aggregation shuffle.
+
+    The plan does strictly less work than the unpruned disjunction at
+    scale: the groupBy aggregates Σ df(essential) + |completion| rows
+    instead of Σ df(all terms) — on a needle like ``rare OR the`` the
+    high-df term's postings never reach the shuffle."""
+    from sparksearch import config as _cfg
+    if not _cfg.get().enable_maxscore_topk or not k or k <= 0:
+        return None
+    c = _Compiler(index)
+    shape = c._maxscore_shape(node)
+    if shape is None:
+        return None
+    field, terms = shape
+    return c._maxscore_scores(field, terms, int(k), stats)
+
+
 class _Compiler:
     def __init__(self, index):
         self.index = index
@@ -1073,6 +1119,126 @@ class _Compiler:
                           [self.compile(c).select("doc_id") for c in must_not])
             out = out.join(excl, "doc_id", "left_anti")
         return out
+
+    # -- MaxScore top-k pruning (see compile_query_topk) ----------------
+    def _maxscore_shape(self, node):
+        """(field, [normalized distinct terms]) when ``node`` is a pure
+        same-field multi-term disjunction whose score is the sum of
+        per-term BM25 contributions with msm ≤ 1 — the shape whose
+        top-k the MaxScore prune preserves exactly.  None otherwise."""
+        if isinstance(node, ast.Parse):
+            if node.field is None:
+                return None       # fieldless parse fans out per field
+            from sparksearch.query.parser import parse_query
+            try:
+                parsed = parse_query(node.query_string,
+                                     default_field=node.field,
+                                     index_schema=self.index.schema,
+                                     lenient=node.lenient,
+                                     conjunction_mode=node.conjunction_mode)
+            except Exception:
+                return None       # error parity: baseline path raises
+            return self._maxscore_shape(parsed)
+        if isinstance(node, ast.Match):
+            if (node.conjunction_mode or node.distance > 0
+                    or node.tokenizer is not None):
+                return None
+            lcfg = self._field_cfg(node.field)
+            if lcfg is None or lcfg.field_type == "ltree":
+                return None
+            try:
+                cfg = self.index.schema.value_analyzer(node.field)
+            except KeyError:
+                return None
+            from sparksearch.analysis import py_analyze
+            tokens = [t for t, _ in py_analyze(node.value, cfg)]
+            if len(tokens) < 2:
+                return None
+            return self._maxscore_shape(ast.Boolean(
+                should=[ast.Term(node.field, t) for t in tokens]))
+        if not isinstance(node, ast.Boolean):
+            return None
+        if node.must or node.must_not:
+            return None
+        if (node.minimum_should_match or 0) > 1:
+            return None
+        should = node.should
+        if len(should) < 2 or not all(self._is_plain_term(c)
+                                      for c in should):
+            return None
+        fields = {c.field for c in should}
+        if len(fields) != 1:
+            return None
+        field = fields.pop()
+        cfg = self._field_cfg(field)
+        if cfg is None or cfg.field_type == "ltree":
+            return None
+        terms = set()
+        for c in should:
+            try:
+                t = self._norm(c.field, c.value)
+            except KeyError:
+                return None
+            if not isinstance(t, str):
+                return None
+            terms.add(t)
+        if len(terms) < 2:
+            return None
+        return field, sorted(terms)
+
+    def _maxscore_scores(self, field: str, terms: list, k: int,
+                         stats: dict | None = None) -> DataFrame | None:
+        """Pruned (doc_id, score) — see compile_query_topk for the
+        algorithm and the exactness argument."""
+        import numpy as np
+        meta = self.index.term_meta(field, terms)
+        present = sorted(t for t in terms if t in meta)
+        if len(present) < 2:
+            return None
+        cfg = self.index.schema.field(field)
+        f32 = np.float32
+        ub = {t: float(f32(f32(self.index.idf(field, meta[t][0]))
+                           * f32(cfg.k1 + 1.0))) for t in present}
+        # threshold pass over the 1-2 rarest (highest-ub) terms
+        by_ub_desc = sorted(present, key=lambda t: (-ub[t], t))
+        seeds = by_ub_desc[:min(2, len(present) - 1)]
+        seed_rows = (self._terms_scan(field, seeds)
+                     .groupBy("doc_id").agg(F.sum("score").alias("s"))
+                     .orderBy(F.col("s").desc()).limit(k).collect())
+        if len(seed_rows) < k:
+            return None           # no K-th estimate → nothing prunable
+        tau = float(seed_rows[-1]["s"])
+        if tau <= 0.0:
+            return None
+        tau_m = tau * (1.0 - 1e-6)   # ulp insurance on the f32 surface
+        cum, non_essential = 0.0, []
+        for t in sorted(present, key=lambda t: (ub[t], t))[:-1]:
+            if cum + ub[t] < tau_m:
+                cum += ub[t]
+                non_essential.append(t)
+            else:
+                break
+        if not non_essential:
+            return None           # every term competitive → no gain
+        ne_set = set(non_essential)
+        essential = [t for t in present if t not in ne_set]
+        if stats is not None:
+            stats.update({
+                "tau": tau, "seed_terms": seeds,
+                "essential": essential, "non_essential": non_essential,
+                "df": {t: meta[t][0] for t in present},
+                "rows_pruned_ub": sum(meta[t][0] for t in non_essential)})
+        ess_scan = self._terms_scan(field, essential)
+        cand = ess_scan.select("doc_id").distinct()
+        if sum(meta[t][0] for t in essential) <= 2_000_000:
+            cand = F.broadcast(cand)
+        ne_scan = (self._terms_scan(field, non_essential)
+                   .join(cand, "doc_id", "left_semi"))
+        out = (ess_scan.unionByName(ne_scan)
+               .groupBy("doc_id").agg(F.sum("score").alias("score")))
+        # the same single f32 node-boundary cast compile() applies
+        return out.select("doc_id", F.col("score").cast("float")
+                          .cast("double").alias("score"))
 
     def _is_plain_term(self, c) -> bool:
         """Batchable leaf = string Term over a *plain indexed* field.

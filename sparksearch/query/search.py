@@ -146,17 +146,33 @@ def search(index, query, limit: int | None = None, offset: int = 0,
     - ``columns``: display columns from the doc table (default: all).
     """
     key = index.schema.key_field
-    # the match-set score lives under an internal name so a DOC COLUMN
-    # literally named "score" (legal in the reference; its index_sorting
-    # suite sorts one) never collides with the projection
-    scores = compile_query(index, _as_query(index, query)).select(
-        "doc_id", F.col("score").alias("__pdb_score"))
+    node = _as_query(index, query)
     # PG name binding: bare ORDER BY score resolves to the TABLE column
     # when one exists and no score projection is selected; with the
     # projection selected (with_score) it is the search score
     score_is_doc = (not with_score) and "score" in index.docs.columns
 
     order_by = order_by or [("score", "desc"), ("doc_id", "asc")]
+
+    # MaxScore prune (Block-MAX WAND analog): when the page is a
+    # score-desc top-k, docs provably below the K-th score are never
+    # scored — bit-identical results, fewer postings rows through the
+    # aggregation (compile_query_topk documents the argument).  Any
+    # disqualifying shape returns None and the plain plan runs.
+    raw_scores = None
+    if (limit is not None and not score_is_doc and order_by
+            and order_by[0][0] == "score"
+            and order_by[0][1].lower().replace("_", " ")
+                .startswith("desc")):
+        from sparksearch.query.compiler import compile_query_topk
+        raw_scores = compile_query_topk(index, node, limit + offset)
+    if raw_scores is None:
+        raw_scores = compile_query(index, node)
+    # the match-set score lives under an internal name so a DOC COLUMN
+    # literally named "score" (legal in the reference; its index_sorting
+    # suite sorts one) never collides with the projection
+    scores = raw_scores.select("doc_id",
+                               F.col("score").alias("__pdb_score"))
     _warn_unpushable_order(index, order_by, limit)
     doc_sort_cols = [c for c, _ in order_by
                      if c not in ("doc_id", key)

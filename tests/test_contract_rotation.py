@@ -53,6 +53,23 @@ def test_rotation_is_stable_within_equal_staleness():
         assert tier == sorted(tier, key=base.index), f"tier {rnd} not stable"
 
 
+def test_window_covers_every_aged_entry():
+    """Round-4 verdict ask #2 made checkable: every entry whose latest
+    driver check is OLDER than the newest round must land inside the
+    next 50-entry window, so the r{N}+r{N+1} union always covers the
+    whole contract while entries stay ≤1 round stale."""
+    latest = _latest_checked()
+    if not latest:
+        return
+    names = list(contract.rotated_queries())
+    newest = max(latest.values())
+    aged = [n for n in names if latest.get(n, -1) < newest]
+    assert len(aged) <= 50, (
+        f"{len(aged)} aged entries exceed the 50-slot window — the "
+        "contract grew past 2-round coverage; shrink or split")
+    assert all(names.index(n) < 50 for n in aged)
+
+
 def test_entrypoint_exposes_rotated_order():
     import __spark_entry__ as e
     assert list(e.queries()) == list(contract.rotated_queries())

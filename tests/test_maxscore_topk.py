@@ -1,0 +1,159 @@
+"""MaxScore top-k pruning (the Block-MAX WAND analog).
+
+Reference: the dynamic top-k threshold the reference publishes into
+scans (pg_search scan/segmented_topk_exec.rs:17-57) and Tantivy's
+Block-MAX WAND (index/reader/index.rs:840-940).  The Spark restatement
+(compiler.compile_query_topk) must be RESULT-IDENTICAL to the unpruned
+plan — same docs, bit-equal f32 scores — while sending provably
+non-competitive postings rows into the aggregation never.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearch import IndexSchema, FieldConfig, build_index
+from sparksearch import config as cfg
+from sparksearch.fixtures import transcripts_pdf, turn_text
+from sparksearch.query import ast, search
+from sparksearch.query.compiler import compile_query, compile_query_topk
+
+
+@pytest.fixture(scope="module")
+def docs_index(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    return build_index(docs, IndexSchema(
+        key_field="doc_id", text_fields=[FieldConfig(name="text")]))
+
+
+@pytest.fixture(scope="module")
+def turns_index(spark):
+    """Zipf-skewed corpus (fixtures vocabulary: 'the' in almost every
+    turn, rare words in ~0.1% of turns) — the shape WAND exists for."""
+    pdf = transcripts_pdf(n_convs=400, seed=7)
+    pdf["text"] = [turn_text(7, r.conv_id, r.turn_idx)
+                   for r in pdf.itertuples()]
+    pdf["tid"] = range(len(pdf))
+    docs = spark.createDataFrame(pdf[["tid", "text"]])
+    return build_index(docs, IndexSchema(
+        key_field="tid", text_fields=[FieldConfig(name="text")]))
+
+
+def _top(df, k):
+    return [(r["doc_id"], r["score"]) for r in
+            df.orderBy(F.col("score").desc(),
+                       F.col("doc_id").asc()).limit(k).collect()]
+
+
+QUERIES = [
+    ast.Parse("vector OR data OR join OR batch", field="text"),
+    ast.Match("text", "window agg sort data table"),
+    ast.Boolean(should=[ast.Term("text", t) for t in
+                        ("hash", "group", "row", "filter", "query")]),
+    ast.Boolean(should=[ast.Term("text", t) for t in
+                        ("dup", "batch", "small")]),
+]
+
+
+@pytest.mark.parametrize("k", [5, 25])
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_pruned_topk_identical(docs_index, k, qi):
+    q = QUERIES[qi]
+    stats = {}
+    pruned = compile_query_topk(docs_index, q, k, stats=stats)
+    base = _top(compile_query(docs_index, q), k)
+    if pruned is None:
+        pytest.skip("shape/stats did not engage at this scale")
+    assert _top(pruned, k) == base          # bit-equal scores, same docs
+    assert stats["non_essential"], "engaged but pruned nothing"
+
+
+def test_skewed_corpus_prunes_the_stopword(turns_index):
+    """'obsidian OR the': the stopword's df dwarfs the needle's, its ub
+    is far below the K-th score of the needle's own top-k, so the
+    stopword postings are non-essential — candidates come from the
+    needle alone."""
+    q = ast.Boolean(should=[ast.Term("text", "obsidian"),
+                            ast.Term("text", "the")])
+    stats = {}
+    pruned = compile_query_topk(turns_index, q, 10, stats=stats)
+    assert pruned is not None
+    assert stats["non_essential"] == ["the"]
+    assert stats["essential"] == ["obsidian"]
+    # the prune is the whole point: >95% of matched postings rows never
+    # reach the aggregation on this corpus
+    assert stats["rows_pruned_ub"] > 20 * stats["df"]["obsidian"]
+    assert _top(pruned, 10) == _top(compile_query(turns_index, q), 10)
+
+
+def test_rows_through_aggregation_shrink(turns_index):
+    """observe() on both plans: the pruned union aggregates a fraction
+    of the rows the unpruned one does (the VERDICT ask — fewer postings
+    rows, measured in-band)."""
+    from pyspark.sql import Observation
+    q = ast.Boolean(should=[ast.Term("text", "obsidian"),
+                            ast.Term("text", "krypton"),
+                            ast.Term("text", "the"),
+                            ast.Term("text", "a")])
+    c = compile_query_topk.__globals__["_Compiler"](turns_index)
+    field, terms = c._maxscore_shape(q)
+
+    base_obs = Observation("base_rows")
+    base_rows = (c._terms_scan(field, terms)
+                 .observe(base_obs, F.count(F.lit(1)).alias("n"))
+                 .groupBy("doc_id").agg(F.sum("score").alias("score")))
+    base_top = _top(base_rows, 10)
+    n_base = base_obs.get["n"]
+
+    stats = {}
+    pruned = compile_query_topk(turns_index, q, 10, stats=stats)
+    assert pruned is not None and stats["non_essential"]
+    # re-derive the pruned union with an observation to count its rows
+    ess = c._terms_scan(field, stats["essential"])
+    cand = F.broadcast(ess.select("doc_id").distinct())
+    ne = (c._terms_scan(field, stats["non_essential"])
+          .join(cand, "doc_id", "left_semi"))
+    pr_obs = Observation("pruned_rows")
+    pr_rows = (ess.unionByName(ne)
+               .observe(pr_obs, F.count(F.lit(1)).alias("n"))
+               .groupBy("doc_id").agg(F.sum("score").alias("score")))
+    assert _top(pr_rows, 10) == base_top
+    n_pruned = pr_obs.get["n"]
+    assert n_pruned < n_base / 5, (n_pruned, n_base)
+
+
+def test_search_page_uses_prune_and_matches_disabled(docs_index):
+    """The public search() page is identical with the GUC on and off,
+    and ineligible shapes (secondary sort first, msm=2, offset-only)
+    still work."""
+    q = ast.Parse("vector OR data OR join OR batch", field="text")
+    on = search(docs_index, q, limit=10).collect()
+    try:
+        cfg.set(enable_maxscore_topk=False)
+        off = search(docs_index, q, limit=10).collect()
+    finally:
+        cfg.set(enable_maxscore_topk=True)
+    assert on == off and len(on) == 10
+
+    # disqualified shapes take the exact plan (and stay correct)
+    msm = ast.Boolean(should=[ast.Term("text", "vector"),
+                              ast.Term("text", "data"),
+                              ast.Term("text", "join")],
+                      minimum_should_match=2)
+    assert compile_query_topk(docs_index, msm, 10) is None
+    assert search(docs_index, msm, limit=5).count() == 5
+    by_col = search(docs_index, q, limit=5,
+                    order_by=[("n_chars", "asc"), ("doc_id", "asc")])
+    assert by_col.count() == 5
+
+
+def test_offset_page_consistent(docs_index):
+    """limit+offset paging through the pruned path equals the unpruned
+    page-2 slice."""
+    q = ast.Parse("vector OR data OR join OR batch", field="text")
+    page2 = search(docs_index, q, limit=10, offset=10).collect()
+    try:
+        cfg.set(enable_maxscore_topk=False)
+        want = search(docs_index, q, limit=10, offset=10).collect()
+    finally:
+        cfg.set(enable_maxscore_topk=True)
+    assert page2 == want and len(page2) == 10
