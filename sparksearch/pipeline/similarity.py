@@ -245,7 +245,64 @@ def _write_tombstones(spark, path: str, ids,
     df.write.mode("append").parquet(f"{path}/tombstones")
 
 
-class AnnIndex:
+class _SegmentedVectorIndex:
+    """Shared segment lifecycle for the three persisted vector layouts
+    (AnnIndex LSH buckets, IvfIndex inverted lists, PqIndex codes —
+    round-4 verdict ask #7): epoch-keyed insert segments (idempotent
+    overwrite per epoch → exactly-once under foreachBatch replay),
+    tombstone deletes, offline compaction to one base segment.
+    Subclasses own the layout-specific encode + scan; the lifecycle
+    plumbing — the part the kill-mid-insert soak exercises — lives
+    once, here."""
+
+    #: table whose parquet footer carries the stored id type (tombstone
+    #: schema derivation) — IvfIndex stores ids under clusters/
+    _id_table = "vectors"
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Tombstone visibility (vector_delete_all_docs.out: deleted
+        docs never surface, even under exhaustive probing)."""
+        import os
+        tomb = f"{self.path}/tombstones"
+        if os.path.exists(tomb):
+            dead = self.spark.read.parquet(tomb)
+            df = df.join(dead, "id", "left_anti")
+        return df
+
+    def delete(self, ids) -> None:
+        """Tombstone docs (the reference's DELETE + VACUUM visibility:
+        subsequent merges/queries see them as dead).  Deleting every
+        vector-bearing doc leaves a valid, empty vector field — ORDER
+        BY returns zero rows, no error."""
+        _write_tombstones(self.spark, self.path, ids,
+                          data_dir=self._id_table)
+
+    @staticmethod
+    def _segment(epoch_id) -> str:
+        """Segment dir name: ``e<epoch>`` (replayed micro-batch
+        overwrites its own segment) or a random one-shot name."""
+        import uuid
+        return (f"e{int(epoch_id)}" if epoch_id is not None
+                else f"i{uuid.uuid4().hex[:8]}")
+
+    def _prep(self, emb: DataFrame, key: str, vec_col: str,
+              validate_finite: bool):
+        """Shared insert head: null-vector filter, finite validation,
+        and the (id, vec double-array) projection every layout encodes
+        from."""
+        emb = emb.filter(F.col(vec_col).isNotNull())
+        if validate_finite:
+            assert_finite_vectors(emb, vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        return emb, v
+
+
+class AnnIndex(_SegmentedVectorIndex):
     """Persisted LSH-ANN layout (reference analog: pgvector IVF — an
     inverted list per coarse bucket; here random-hyperplane sign-bit
     bands, which map onto parquet partition pruning).
@@ -259,21 +316,10 @@ class AnnIndex:
     """
 
     def __init__(self, spark, path: str, meta: dict):
-        self.spark = spark
-        self.path = path
-        self.meta = meta
+        super().__init__(spark, path, meta)
         self.planes = meta["planes"]
         self.bands = meta["bands"]
         self.width = meta["n_planes"] // meta["bands"]
-
-    def _live(self, df: DataFrame) -> DataFrame:
-        """Tombstone visibility, as :meth:`IvfIndex._live`."""
-        import os
-        tomb = f"{self.path}/tombstones"
-        if os.path.exists(tomb):
-            dead = self.spark.read.parquet(tomb)
-            df = df.join(dead, "id", "left_anti")
-        return df
 
     def insert(self, emb: DataFrame, key: str, vec_col: str,
                validate_finite: bool = True,
@@ -281,11 +327,7 @@ class AnnIndex:
         """``aminsert`` analog: sign the NEW vectors with the FROZEN
         hyperplanes and land buckets + vectors as an epoch-keyed
         segment (replay-idempotent overwrite, as IvfIndex/PqIndex)."""
-        import uuid
-        emb = emb.filter(F.col(vec_col).isNotNull())
-        if validate_finite:
-            assert_finite_vectors(emb, vec_col)
-        v = F.col(vec_col).cast("array<double>")
+        emb, v = self._prep(emb, key, vec_col, validate_finite)
         sig = _sig_expr(v, self.planes)
         mask = (1 << self.width) - 1
         chunks = F.array(*[
@@ -294,8 +336,7 @@ class AnnIndex:
             for i in range(self.bands)])
         base = emb.select(F.col(key).alias("id"), v.alias("vec"),
                           F.posexplode(chunks).alias("band", "bv"))
-        seg = (f"e{int(epoch_id)}" if epoch_id is not None
-               else f"i{uuid.uuid4().hex[:8]}")
+        seg = self._segment(epoch_id)
         (base.select("id", "band", "bv")
          .repartition("band", "bv")
          .write.mode("overwrite").partitionBy("band", "bv")
@@ -303,10 +344,6 @@ class AnnIndex:
         (emb.select(F.col(key).alias("id"), v.alias("vec"))
          .write.mode("overwrite")
          .parquet(f"{self.path}/vectors/seg={seg}"))
-
-    def delete(self, ids) -> None:
-        """Tombstone docs (DELETE visibility, as IvfIndex.delete)."""
-        _write_tombstones(self.spark, self.path, ids)
 
     def compact(self) -> None:
         """``amvacuumcleanup`` analog, as :meth:`IvfIndex.compact`."""
@@ -465,39 +502,26 @@ def _cluster_ranks_expr(vec: Column, centroids: list, r: int) -> Column:
     return F.transform(F.slice(ranked, 1, r), lambda s: s["c"])
 
 
-class IvfIndex:
+class IvfIndex(_SegmentedVectorIndex):
     """Persisted IVF layout: vectors parquet-partitioned by cluster id;
     ``topk`` probes the nearest ``nprobe`` clusters (or a ``max_probe``
     fraction, the reference's vector_cluster_max_probe semantics) via
     partition filters, then exact cosine-ranks the probed vectors."""
 
+    _id_table = "clusters"
+
     def __init__(self, spark, path: str, meta: dict):
-        self.spark = spark
-        self.path = path
-        self.meta = meta
+        super().__init__(spark, path, meta)
         self.centroids = meta["centroids"]
 
     def _live(self, df: DataFrame) -> DataFrame:
-        """Filter tombstoned docs (vector_delete_all_docs.out: deleted
-        docs never surface, even under exhaustive probing) and collapse
-        replica memberships so every doc ranks at most once
-        (vector_merge.out: 'replicas deduped, nothing lost, nothing
-        doubled')."""
-        import os
-        tomb = f"{self.path}/tombstones"
-        if os.path.exists(tomb):
-            dead = self.spark.read.parquet(tomb)
-            df = df.join(dead, "id", "left_anti")
+        """Tombstone visibility, plus: collapse replica memberships so
+        every doc ranks at most once (vector_merge.out: 'replicas
+        deduped, nothing lost, nothing doubled')."""
+        df = super()._live(df)
         if self.meta.get("cluster_replication", 1) > 1:
             df = df.dropDuplicates(["id"])
         return df
-
-    def delete(self, ids) -> None:
-        """Tombstone docs (the reference's DELETE + VACUUM visibility:
-        subsequent merges/queries see them as dead).  Deleting every
-        vector-bearing doc leaves a valid, empty vector field — ORDER BY
-        returns zero rows, no error."""
-        _write_tombstones(self.spark, self.path, ids, data_dir="clusters")
 
     def insert(self, emb: DataFrame, key: str, vec_col: str,
                validate_finite: bool = True,
@@ -517,11 +541,7 @@ class IvfIndex:
         batch inserts).  Tombstones win over re-inserted ids until a
         rebuild — id reuse needs compaction, like the reference's
         VACUUM."""
-        import uuid
-        emb = emb.filter(F.col(vec_col).isNotNull())
-        if validate_finite:
-            assert_finite_vectors(emb, vec_col)
-        v = F.col(vec_col).cast("array<double>")
+        emb, v = self._prep(emb, key, vec_col, validate_finite)
         base = emb.select(F.col(key).alias("id"), v.alias("vec"))
         r = self.meta.get("cluster_replication", 1)
         if r == 1:
@@ -536,8 +556,7 @@ class IvfIndex:
                                 .alias("rank", "cluster"))
                         .withColumn("is_primary", F.col("rank") == 0)
                         .drop("rank"))
-        seg = (f"e{int(epoch_id)}" if epoch_id is not None
-               else f"i{uuid.uuid4().hex[:8]}")
+        seg = self._segment(epoch_id)
         (assigned.repartition("cluster")
          .write.mode("overwrite").partitionBy("cluster")
          .parquet(f"{self.path}/clusters/seg={seg}"))
@@ -868,7 +887,7 @@ def _pq_assign_encode(base: DataFrame, books: list, coarse: list,
             assigned.select("id", "vec", "cluster"))
 
 
-class PqIndex:
+class PqIndex(_SegmentedVectorIndex):
     """Persisted PQ layout:
 
     - ``{path}/codes``     — (id, codes array<int>[, cluster]) parquet,
@@ -881,26 +900,13 @@ class PqIndex:
     """
 
     def __init__(self, spark, path: str, meta: dict):
-        self.spark = spark
-        self.path = path
-        self.meta = meta
+        super().__init__(spark, path, meta)
         self.books = meta["books"]
         self.coarse = meta.get("coarse") or []
 
     def _probe(self, query_vec, nprobe: int) -> list:
         return IvfIndex(None, "", {"centroids": self.coarse}) \
             .probe_clusters(query_vec, nprobe)
-
-    def _live(self, df: DataFrame) -> DataFrame:
-        """Filter tombstoned docs — same visibility rule as
-        :meth:`IvfIndex._live` (vector_delete_all_docs.out: deleted
-        docs never surface, even under exhaustive probing)."""
-        import os
-        tomb = f"{self.path}/tombstones"
-        if os.path.exists(tomb):
-            dead = self.spark.read.parquet(tomb)
-            df = df.join(dead, "id", "left_anti")
-        return df
 
     def insert(self, emb: DataFrame, key: str, vec_col: str,
                validate_finite: bool = True,
@@ -915,11 +921,7 @@ class PqIndex:
         exactly-once streaming vector ingest, the same discipline as
         the epoch-keyed text segments.  Tombstones win over
         re-inserted ids until a rebuild."""
-        import uuid
-        emb = emb.filter(F.col(vec_col).isNotNull())
-        if validate_finite:
-            assert_finite_vectors(emb, vec_col)
-        v = F.col(vec_col).cast("array<double>")
+        emb, v = self._prep(emb, key, vec_col, validate_finite)
         if self.meta.get("metric") == "cosine":
             nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
                                      F.lit(0.0), lambda a, x: a + x))
@@ -929,8 +931,7 @@ class PqIndex:
         codes_f, vecs_f = _pq_assign_encode(
             base, self.books, self.coarse,
             bool(self.meta.get("residual")), encode)
-        seg = (f"e{int(epoch_id)}" if epoch_id is not None
-               else f"i{uuid.uuid4().hex[:8]}")
+        seg = self._segment(epoch_id)
         if self.coarse:
             (codes_f.repartition("cluster")
              .write.mode("overwrite").partitionBy("cluster")
@@ -943,10 +944,6 @@ class PqIndex:
                .parquet(f"{self.path}/codes/seg={seg}")
             vecs_f.write.mode("overwrite") \
                .parquet(f"{self.path}/vectors/seg={seg}")
-
-    def delete(self, ids) -> None:
-        """Tombstone docs (DELETE + VACUUM visibility, as IvfIndex)."""
-        _write_tombstones(self.spark, self.path, ids)
 
     def compact(self) -> None:
         """``amvacuumcleanup`` analog: merge all segments into one base

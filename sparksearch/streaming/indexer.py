@@ -80,11 +80,15 @@ class StreamingIndexer:
     def __init__(self, schema: IndexSchema, index_path: str, checkpoint: str,
                  watermark: str = "2 minutes", session_gap: str = "5 minutes",
                  mode: str = "turn", strategy: str = "local",
-                 n_buckets: int = 16):
+                 n_buckets: int = 16, prune_dedup_columns: bool = True):
         # n_buckets is fixed per index (not per segment) so bucket pruning
         # works across the whole LSM; micro-batch segments default to 16
         # buckets (commit cost is O(tasks x buckets) per batch)
         self.n_buckets = n_buckets
+        # prune_dedup_columns: drop columns the sink never reads BEFORE
+        # the stateful dedup exchange (turn mode) — disable only when a
+        # subclassed sink consumes extra stream columns
+        self.prune_dedup_columns = prune_dedup_columns
         self.schema = schema
         self.index_path = index_path
         self.checkpoint = checkpoint
@@ -96,13 +100,32 @@ class StreamingIndexer:
 
     # -- document assembly -------------------------------------------------
     def _docs_stream(self, stream: DataFrame) -> DataFrame:
-        wm = stream.withWatermark("ts", self.watermark)
         if self.mode == "turn":
+            # PRUNE dead columns before the stateful exchange: the
+            # dedup shuffle is the drain's one payload exchange (exact
+            # dedup requires duplicate keys to meet, so the indexed
+            # payload crosses the wire exactly once — that is the
+            # floor), and every column the sink never reads is pure
+            # shuffle-bandwidth overhead on it.  Kept: the natural key,
+            # the event time, and any column an indexed field (text or
+            # attribute) references by name in its name/source.
+            pruned = stream
+            if self.prune_dedup_columns:
+                refs = {c.source or c.name
+                        for c in self.schema.text_fields}
+                refs |= set(self.schema.field_names)
+                refs |= self.schema.indexed_attr_fields()
+                needed = [c for c in stream.columns
+                          if c in ("conv_id", "turn_idx", "ts")
+                          or any(c in r for r in refs)]
+                pruned = stream.select(*needed)
+            wm = pruned.withWatermark("ts", self.watermark)
             # late/duplicate turns: keep first arrival per natural key
             deduped = wm.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
             return deduped.withColumn(
                 "doc_id", F.concat_ws("#", "conv_id",
                                       F.col("turn_idx").cast("string")))
+        wm = stream.withWatermark("ts", self.watermark)
         from sparksearch.streaming.sessions import conversation_docs
         return conversation_docs(wm, gap=self.session_gap)
 

@@ -42,6 +42,9 @@ def main() -> None:
                     choices=["turn", "conversation"])
     ap.add_argument("--runs", type=int, default=2,
                     help="timed drains; best (max t/s) reported")
+    ap.add_argument("--no-prune", action="store_true",
+                    help="disable dead-column pruning before the dedup "
+                         "exchange (A/B baseline)")
     ap.add_argument("--local-cluster", action="store_true",
                     help="separate 2-core executor JVMs (cores/2 executors)"
                          " — the literal N-executors vs 4N-executors form")
@@ -100,7 +103,8 @@ def main() -> None:
         ckpt = f"{WORK}/ckpt_r{run}"
         shutil.rmtree(index_path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-        ix = StreamingIndexer(schema, index_path, ckpt, mode=args.mode)
+        ix = StreamingIndexer(schema, index_path, ckpt, mode=args.mode,
+                              prune_dedup_columns=not args.no_prune)
         stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
                   .option("maxFilesPerTrigger", args.files_per_trigger)
                   .parquet(src))
