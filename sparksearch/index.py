@@ -106,24 +106,38 @@ class SearchIndex:
     def avg_len(self, field: str) -> float:
         return self.meta[field]["avg_len"]
 
-    def term_meta(self, field: str, terms: list) -> dict:
+    def term_meta(self, field: str, terms: list,
+                  bounds: dict | None = None) -> dict:
         """{term: (df, bucket)} for a small set of query terms (driver-side
         collect — bounded by query size, not corpus size).  The bucket id
         is computed JVM-side in the same collect so the compiler can prune
-        the postings scan to matching ``tb`` partitions."""
+        the postings scan to matching ``tb`` partitions.
+
+        ``bounds``: optional dict filled (in the SAME collect, no extra
+        job) with {term: (max_tf, min_len_q)} when the dictionary
+        carries the Block-Max columns — absent on indexes saved before
+        round 5, in which case it stays empty and callers use the loose
+        idf·(k1+1) bound."""
         if not terms:
             return {}
         scan = self.corpus_stats
         if "tl" in scan.columns:
             scan = scan.filter(F.col("tl").isin(
                 sorted({_length_bucket_py(len(t)) for t in terms})))
+        has_bounds = {"max_tf", "min_len_q"} <= set(scan.columns)
+        sel = ["term", "df",
+               (F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
+                if self.n_buckets else F.lit(None)).alias("tb")]
+        if has_bounds:
+            sel += ["max_tf", "min_len_q"]
         rows = (scan
                 .filter((F.col("field") == field)
                         & F.col("term").isin(list(set(terms))))
-                .select("term", "df",
-                        (F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
-                         if self.n_buckets else F.lit(None)).alias("tb"))
+                .select(*sel)
                 .collect())
+        if bounds is not None and has_bounds:
+            bounds.update({r["term"]: (r["max_tf"], r["min_len_q"])
+                           for r in rows})
         return {r["term"]: (r["df"], r["tb"]) for r in rows}
 
     def term_dfs(self, field: str, terms: list) -> dict:
@@ -466,11 +480,16 @@ def _meta_from_postings(postings: DataFrame, n_total: int) -> dict:
 
 
 def corpus_stats_df(postings: DataFrame) -> DataFrame:
-    """(field, term, df, total_tf) — df for idf, total_tf so corpus-level
-    BM25 meta derives from this tiny table instead of re-scanning
-    postings."""
+    """(field, term, df, total_tf, max_tf, min_len_q) — df for idf,
+    total_tf for corpus-level BM25 meta, and the per-term BOUNDS
+    (max observed tf, min observed quantized length) that give the
+    MaxScore prune its tight score upper bound — the term-level
+    Block-Max metadata (compile_query_topk), riding the existing
+    dictionary groupBy for free."""
     return (postings.groupBy("field", "term")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf")))
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"),
+                 F.max("tf").alias("max_tf"),
+                 F.min("len_q").alias("min_len_q")))
 
 
 def _apply_predicate(docs: DataFrame, schema: IndexSchema) -> DataFrame:

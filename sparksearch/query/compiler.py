@@ -1191,14 +1191,35 @@ class _Compiler:
         """Pruned (doc_id, score) — see compile_query_topk for the
         algorithm and the exactness argument."""
         import numpy as np
-        meta = self.index.term_meta(field, terms)
+        bounds: dict = {}
+        meta = self.index.term_meta(field, terms, bounds=bounds)
         present = sorted(t for t in terms if t in meta)
         if len(present) < 2:
             return None
         cfg = self.index.schema.field(field)
         f32 = np.float32
-        ub = {t: float(f32(f32(self.index.idf(field, meta[t][0]))
-                           * f32(cfg.k1 + 1.0))) for t in present}
+        avgdl = f32(self.index.avg_len(field))
+
+        def _ub(t):
+            # per-term weight w = f32(f32(idf)·f32(k1+1)); the tf factor
+            # is ≤ 1 after f32 rounding, so w alone is always a bound
+            w = f32(f32(self.index.idf(field, meta[t][0]))
+                    * f32(cfg.k1 + 1.0))
+            if t in bounds:
+                # Block-Max tightening: every f32 step below is monotone
+                # in (tf, len), so the term's true max score over its
+                # postings is ≤ this value computed at (max_tf,
+                # min_len_q) through bm25_expr's EXACT rounding chain
+                max_tf, min_len_q = bounds[t]
+                lq = f32(min_len_q) if cfg.fieldnorms else f32(1.0)
+                cache = f32(f32(cfg.k1)
+                            * (f32(1.0 - cfg.b)
+                               + f32(cfg.b) * lq / avgdl))
+                tf_f = f32(max_tf)
+                return float(f32(w * f32(tf_f / f32(tf_f + cache))))
+            return float(w)
+
+        ub = {t: _ub(t) for t in present}
         # threshold pass over the 1-2 rarest (highest-ub) terms
         by_ub_desc = sorted(present, key=lambda t: (-ub[t], t))
         seeds = by_ub_desc[:min(2, len(present) - 1)]

@@ -121,6 +121,36 @@ def test_rows_through_aggregation_shrink(turns_index):
     assert n_pruned < n_base / 5, (n_pruned, n_base)
 
 
+def test_tight_upper_bound_dominates_every_posting(docs_index, turns_index):
+    """The Block-Max bound computed at (max_tf, min_len_q) through
+    bm25_expr's exact f32 chain must dominate EVERY per-posting score
+    of its term — the property the prune's correctness rests on."""
+    import numpy as np
+    c = compile_query_topk.__globals__["_Compiler"]
+    for index, terms in [(docs_index, ["dup", "batch", "data"]),
+                         (turns_index, ["the", "a", "obsidian"])]:
+        comp = c(index)
+        bounds = {}
+        meta = index.term_meta("text", terms, bounds=bounds)
+        assert set(bounds) == set(meta), "bounds missing from dictionary"
+        cfg = index.schema.field("text")
+        f32 = np.float32
+        avgdl = f32(index.avg_len("text"))
+        scan = comp._terms_scan("text", [t for t in terms if t in meta])
+        mx = {r["term"]: r["m"] for r in
+              scan.groupBy("term").agg(F.max("score").alias("m"))
+              .collect()}
+        for t, (max_tf, min_len_q) in bounds.items():
+            w = f32(f32(index.idf("text", meta[t][0]))
+                    * f32(cfg.k1 + 1.0))
+            cache = f32(f32(cfg.k1) * (f32(1.0 - cfg.b)
+                                       + f32(cfg.b) * f32(min_len_q)
+                                       / avgdl))
+            tf_f = f32(max_tf)
+            ub = float(f32(w * f32(tf_f / f32(tf_f + cache))))
+            assert mx[t] <= ub <= float(w), (t, mx[t], ub)
+
+
 def test_search_page_uses_prune_and_matches_disabled(docs_index):
     """The public search() page is identical with the GUC on and off,
     and ineligible shapes (secondary sort first, msm=2, offset-only)
