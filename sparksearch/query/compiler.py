@@ -169,11 +169,10 @@ def compile_query_topk(index, node: ast.Query, k: int,
     if not _cfg.get().enable_maxscore_topk or not k or k <= 0:
         return None
     c = _Compiler(index)
-    shape = c._maxscore_shape(node)
-    if shape is None:
+    pairs = c._maxscore_shape(node)
+    if pairs is None:
         return None
-    field, terms = shape
-    return c._maxscore_scores(field, terms, int(k), stats)
+    return c._maxscore_scores(pairs, int(k), stats)
 
 
 class _Compiler:
@@ -1122,10 +1121,13 @@ class _Compiler:
 
     # -- MaxScore top-k pruning (see compile_query_topk) ----------------
     def _maxscore_shape(self, node):
-        """(field, [normalized distinct terms]) when ``node`` is a pure
-        same-field multi-term disjunction whose score is the sum of
-        per-term BM25 contributions with msm ≤ 1 — the shape whose
-        top-k the MaxScore prune preserves exactly.  None otherwise."""
+        """Sorted [(field, normalized term), ...] when ``node`` is a
+        pure FLAT multi-term disjunction (one or several fields) whose
+        score is the sum of per-term BM25 contributions with msm ≤ 1 —
+        the shape whose top-k the MaxScore prune preserves exactly.
+        Flat only: nested should-Booleans round their per-child sums to
+        f32 at each child boundary, which a single flat aggregate
+        cannot reproduce bit-exactly.  None otherwise."""
         if isinstance(node, ast.Parse):
             if node.field is None:
                 return None       # fieldless parse fans out per field
@@ -1166,64 +1168,86 @@ class _Compiler:
         if len(should) < 2 or not all(self._is_plain_term(c)
                                       for c in should):
             return None
-        fields = {c.field for c in should}
-        if len(fields) != 1:
-            return None
-        field = fields.pop()
-        cfg = self._field_cfg(field)
-        if cfg is None or cfg.field_type == "ltree":
-            return None
-        terms = set()
+        pairs = set()
         for c in should:
+            cfg = self._field_cfg(c.field)
+            if cfg is None or cfg.field_type == "ltree":
+                return None
             try:
                 t = self._norm(c.field, c.value)
             except KeyError:
                 return None
             if not isinstance(t, str):
                 return None
-            terms.add(t)
-        if len(terms) < 2:
+            pairs.add((c.field, t))
+        if len(pairs) < 2:
             return None
-        return field, sorted(terms)
+        return sorted(pairs)
 
-    def _maxscore_scores(self, field: str, terms: list, k: int,
+    def _maxscore_scores(self, pairs: list, k: int,
                          stats: dict | None = None) -> DataFrame | None:
-        """Pruned (doc_id, score) — see compile_query_topk for the
-        algorithm and the exactness argument."""
+        """Pruned (doc_id, score) over (field, term) pairs — see
+        compile_query_topk for the algorithm and the exactness
+        argument.  Multi-field pairs mirror _c_boolean's batched
+        should path: one bucket-pruned scan per field, unioned into a
+        single sum aggregate."""
         import numpy as np
-        bounds: dict = {}
-        meta = self.index.term_meta(field, terms, bounds=bounds)
-        present = sorted(t for t in terms if t in meta)
+        from collections import defaultdict
+        by_field = defaultdict(list)
+        for f_, t in pairs:
+            by_field[f_].append(t)
+        meta, bounds, fcfg, avgl = {}, {}, {}, {}
+        for f_, ts in by_field.items():
+            b_: dict = {}
+            for t, v in self.index.term_meta(f_, ts, bounds=b_).items():
+                meta[(f_, t)] = v
+            for t, v in b_.items():
+                bounds[(f_, t)] = v
+            fcfg[f_] = self.index.schema.field(f_)
+            avgl[f_] = self.index.avg_len(f_)
+        present = sorted(p for p in pairs if p in meta)
         if len(present) < 2:
             return None
-        cfg = self.index.schema.field(field)
         f32 = np.float32
-        avgdl = f32(self.index.avg_len(field))
 
-        def _ub(t):
+        def _ub(p):
             # per-term weight w = f32(f32(idf)·f32(k1+1)); the tf factor
             # is ≤ 1 after f32 rounding, so w alone is always a bound
-            w = f32(f32(self.index.idf(field, meta[t][0]))
+            f_, t = p
+            cfg = fcfg[f_]
+            w = f32(f32(self.index.idf(f_, meta[p][0]))
                     * f32(cfg.k1 + 1.0))
-            if t in bounds:
+            if p in bounds:
                 # Block-Max tightening: every f32 step below is monotone
                 # in (tf, len), so the term's true max score over its
                 # postings is ≤ this value computed at (max_tf,
                 # min_len_q) through bm25_expr's EXACT rounding chain
-                max_tf, min_len_q = bounds[t]
+                max_tf, min_len_q = bounds[p]
                 lq = f32(min_len_q) if cfg.fieldnorms else f32(1.0)
                 cache = f32(f32(cfg.k1)
                             * (f32(1.0 - cfg.b)
-                               + f32(cfg.b) * lq / avgdl))
+                               + f32(cfg.b) * lq / f32(avgl[f_])))
                 tf_f = f32(max_tf)
                 return float(f32(w * f32(tf_f / f32(tf_f + cache))))
             return float(w)
 
-        ub = {t: _ub(t) for t in present}
+        ub = {p: _ub(p) for p in present}
+
+        def _scan(subset):
+            per = defaultdict(list)
+            for f_, t in subset:
+                per[f_].append(t)
+            scans = [self._terms_scan(f_, sorted(ts))
+                     for f_, ts in sorted(per.items())]
+            out = scans[0]
+            for s in scans[1:]:
+                out = out.unionByName(s)
+            return out
+
         # threshold pass over the 1-2 rarest (highest-ub) terms
-        by_ub_desc = sorted(present, key=lambda t: (-ub[t], t))
+        by_ub_desc = sorted(present, key=lambda p: (-ub[p], p))
         seeds = by_ub_desc[:min(2, len(present) - 1)]
-        seed_rows = (self._terms_scan(field, seeds)
+        seed_rows = (_scan(seeds)
                      .groupBy("doc_id").agg(F.sum("score").alias("s"))
                      .orderBy(F.col("s").desc()).limit(k).collect())
         if len(seed_rows) < k:
@@ -1233,27 +1257,32 @@ class _Compiler:
             return None
         tau_m = tau * (1.0 - 1e-6)   # ulp insurance on the f32 surface
         cum, non_essential = 0.0, []
-        for t in sorted(present, key=lambda t: (ub[t], t))[:-1]:
-            if cum + ub[t] < tau_m:
-                cum += ub[t]
-                non_essential.append(t)
+        for p in sorted(present, key=lambda p: (ub[p], p))[:-1]:
+            if cum + ub[p] < tau_m:
+                cum += ub[p]
+                non_essential.append(p)
             else:
                 break
         if not non_essential:
             return None           # every term competitive → no gain
         ne_set = set(non_essential)
-        essential = [t for t in present if t not in ne_set]
+        essential = [p for p in present if p not in ne_set]
         if stats is not None:
+            # single-field stats keep the bare-term shape (tests, logs)
+            lbl = ((lambda p: p[1]) if len(by_field) == 1
+                   else (lambda p: f"{p[0]}:{p[1]}"))
             stats.update({
-                "tau": tau, "seed_terms": seeds,
-                "essential": essential, "non_essential": non_essential,
-                "df": {t: meta[t][0] for t in present},
-                "rows_pruned_ub": sum(meta[t][0] for t in non_essential)})
-        ess_scan = self._terms_scan(field, essential)
+                "tau": tau, "seed_terms": [lbl(p) for p in seeds],
+                "essential": [lbl(p) for p in essential],
+                "non_essential": [lbl(p) for p in non_essential],
+                "df": {lbl(p): meta[p][0] for p in present},
+                "rows_pruned_ub": sum(meta[p][0]
+                                      for p in non_essential)})
+        ess_scan = _scan(essential)
         cand = ess_scan.select("doc_id").distinct()
-        if sum(meta[t][0] for t in essential) <= 2_000_000:
+        if sum(meta[p][0] for p in essential) <= 2_000_000:
             cand = F.broadcast(cand)
-        ne_scan = (self._terms_scan(field, non_essential)
+        ne_scan = (_scan(non_essential)
                    .join(cand, "doc_id", "left_semi"))
         out = (ess_scan.unionByName(ne_scan)
                .groupBy("doc_id").agg(F.sum("score").alias("score")))

@@ -95,7 +95,8 @@ def test_rows_through_aggregation_shrink(turns_index):
                             ast.Term("text", "the"),
                             ast.Term("text", "a")])
     c = compile_query_topk.__globals__["_Compiler"](turns_index)
-    field, terms = c._maxscore_shape(q)
+    pairs = c._maxscore_shape(q)
+    field, terms = pairs[0][0], [t for _, t in pairs]
 
     base_obs = Observation("base_rows")
     base_rows = (c._terms_scan(field, terms)
@@ -174,6 +175,36 @@ def test_search_page_uses_prune_and_matches_disabled(docs_index):
     by_col = search(docs_index, q, limit=5,
                     order_by=[("n_chars", "asc"), ("doc_id", "asc")])
     assert by_col.count() == 5
+
+
+def test_multi_field_flat_disjunction(spark, docs_index):
+    """A FLAT should across two fields prunes per (field, term) pair
+    and stays bit-identical to the unpruned batched plan; the nested
+    (fieldless-parse) form stays disqualified — per-child f32 casts
+    can't be reproduced by one flat aggregate."""
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .withColumn("title", F.concat_ws(
+                " ", F.col("lang"), F.col("source"))))
+    idx = build_index(docs, IndexSchema(
+        key_field="doc_id", text_fields=[FieldConfig(name="text"),
+                                         FieldConfig(name="title")]))
+    q = ast.Boolean(should=[ast.Term("text", "dup"),
+                            ast.Term("text", "batch"),
+                            ast.Term("title", "src3"),
+                            ast.Term("title", "de")])
+    stats = {}
+    pruned = compile_query_topk(idx, q, 10, stats=stats)
+    assert pruned is not None and stats["non_essential"]
+    assert all(":" in lbl for lbl in stats["essential"]), \
+        "multi-field stats label pairs as field:term"
+    assert _top(pruned, 10) == _top(compile_query(idx, q), 10)
+    # nested should-Booleans (the fieldless-parse shape) stay exact-path
+    nested = ast.Boolean(should=[
+        ast.Boolean(should=[ast.Term("text", "dup"),
+                            ast.Term("text", "batch")]),
+        ast.Boolean(should=[ast.Term("title", "src3"),
+                            ast.Term("title", "de")])])
+    assert compile_query_topk(idx, nested, 10) is None
 
 
 def test_offset_page_consistent(docs_index):
