@@ -270,10 +270,14 @@ class _Compiler:
         segment statistic; snippet_json_02_advanced.out scores)."""
         return F.col("len_q") if cfg.fieldnorms else F.lit(1.0)
 
-    def _terms_scan(self, field: str, terms: list, boost: float = 1.0) -> DataFrame:
+    def _terms_scan(self, field: str, terms: list, boost: float = 1.0,
+                    meta: dict | None = None) -> DataFrame:
         """One bucket-pruned postings scan scoring several terms:
-        (doc_id, term, score)."""
-        meta = self.index.term_meta(field, terms)
+        (doc_id, term, score).  ``meta``: a precomputed term_meta dict
+        (the MaxScore path threads its single collect through instead
+        of paying one tiny dictionary job per scan)."""
+        if meta is None:
+            meta = self.index.term_meta(field, terms)
         present = sorted(set(t for t in terms if t in meta))
         if not present:
             return self._empty().withColumn("term", F.lit(None).cast("string"))
@@ -1237,7 +1241,9 @@ class _Compiler:
             per = defaultdict(list)
             for f_, t in subset:
                 per[f_].append(t)
-            scans = [self._terms_scan(f_, sorted(ts))
+            scans = [self._terms_scan(
+                         f_, sorted(ts),
+                         meta={t: meta[(f_, t)] for t in ts})
                      for f_, ts in sorted(per.items())]
             out = scans[0]
             for s in scans[1:]:
@@ -1279,7 +1285,9 @@ class _Compiler:
                 "rows_pruned_ub": sum(meta[p][0]
                                       for p in non_essential)})
         ess_scan = _scan(essential)
-        cand = ess_scan.select("doc_id").distinct()
+        # no distinct: left_semi is dedup-agnostic, and skipping the
+        # aggregation removes one exchange from the candidate branch
+        cand = ess_scan.select("doc_id")
         if sum(meta[p][0] for p in essential) <= 2_000_000:
             cand = F.broadcast(cand)
         ne_scan = (_scan(non_essential)
