@@ -207,6 +207,52 @@ def test_multi_field_flat_disjunction(spark, docs_index):
     assert compile_query_topk(idx, nested, 10) is None
 
 
+@pytest.mark.parametrize("seed", range(30))
+def test_random_disjunction_fuzz(turns_index, docs_index, seed):
+    """Seeded random disjunctions (mixed rare/common vocab, random term
+    count and k) — the pruned top-k must equal the exact plan's
+    bit-for-bit whenever it engages.  30 seeds x 2 corpora cover the
+    engagement boundary (τ from few-match seeds, all-common queries,
+    absent terms, duplicate terms)."""
+    import random
+    rng = random.Random(1000 + seed)
+    vocab_turns = ["the", "a", "of", "to", "run", "data", "stream",
+                   "zephyr", "quasar", "obsidian", "krypton", "nimbus",
+                   "zzz_missing"]
+    vocab_docs = ["dup", "batch", "small", "data", "join", "vector",
+                  "hash", "window", "scan", "zzz_missing"]
+    for index, vocab in ((turns_index, vocab_turns),
+                         (docs_index, vocab_docs)):
+        n = rng.randint(2, 6)
+        terms = [rng.choice(vocab) for _ in range(n)]
+        k = rng.choice([1, 3, 10, 50])
+        q = ast.Boolean(should=[ast.Term("text", t) for t in terms])
+        pruned = compile_query_topk(index, q, k)
+        if pruned is None:
+            continue
+        assert _top(pruned, k) == _top(compile_query(index, q), k), \
+            (terms, k)
+
+
+def test_search_with_facets_guc_equivalence(docs_index):
+    """One-call page (pruned hits + FULL-match-set facets/aggregates)
+    is identical with the prune on and off — the facet side must never
+    see the pruned frame."""
+    from sparksearch.query.search import search_with_facets
+    q = ast.Parse("dup OR batch OR small", field="text")
+    kw = dict(limit=5, facets={"langs": {"terms": {"field": "lang"}}})
+    on = search_with_facets(docs_index, q, **kw)
+    try:
+        cfg.set(enable_maxscore_topk=False)
+        off = search_with_facets(docs_index, q, **kw)
+    finally:
+        cfg.set(enable_maxscore_topk=True)
+    assert on["hits"] == off["hits"] and len(on["hits"]) == 5
+    assert on["aggregates"] == off["aggregates"]
+    assert on["facets"] == off["facets"]
+    assert on["aggregates"]["total_count"] > 5   # full match set
+
+
 def test_offset_page_consistent(docs_index):
     """limit+offset paging through the pruned path equals the unpruned
     page-2 slice."""
