@@ -474,6 +474,25 @@ def q_term_count(spark, sf_dir):
             .agg(F.count("*").alias("cnt")))
 
 
+def q_maxscore_dismax(spark, sf_dir):
+    """DisjunctionMax top-10 through the MaxScore prune (round-5
+    extension: the dismax combine max + tie·(sum−max) is monotone in
+    each added term, so the same two-pass threshold/partition argument
+    holds with the dismax-specific bound).  Oracle = full unpruned
+    dismax recomputed in DuckDB."""
+    from sparksearch.query.compiler import compile_query_topk
+    idx = get_documents_index(spark, sf_dir)
+    q = ast.DisjunctionMax(
+        disjuncts=[ast.Term("text", t) for t in ("dup", "batch",
+                                                 "small")],
+        tie_breaker=0.3)
+    d = compile_query_topk(idx, q, 10)
+    if d is None:
+        d = compile_query(idx, q)
+    return _score4(d.orderBy(F.col("score").desc(),
+                             F.col("doc_id").asc()).limit(10))
+
+
 def q_maxscore_disjunction(spark, sf_dir):
     """Score-desc top-10 over a rare-OR-common disjunction through the
     MaxScore prune (the Block-MAX WAND analog — reference
@@ -1893,6 +1912,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "term_count": q_term_count,
     "maxscore_disjunction": q_maxscore_disjunction,
+    "maxscore_dismax": q_maxscore_dismax,
     "conjunction": q_conjunction,
     "disjunction_msm": q_disjunction_msm,
     "phrase": q_phrase,
@@ -1991,6 +2011,15 @@ def oracle_sql() -> dict:
             + " SELECT doc_id, round(s0 + s1 + s2, 4) AS score FROM sc"
               " WHERE s0 > 0 OR s1 > 0 OR s2 > 0"
               " ORDER BY (s0 + s1 + s2) DESC, doc_id ASC LIMIT 10"),
+        "maxscore_dismax": (
+            _bm25_multi_cte(["dup", "batch", "small"])
+            + " SELECT doc_id, round(greatest(s0, s1, s2)"
+              " + 0.3 * (s0 + s1 + s2 - greatest(s0, s1, s2)), 4)"
+              " AS score FROM sc"
+              " WHERE s0 > 0 OR s1 > 0 OR s2 > 0"
+              " ORDER BY (greatest(s0, s1, s2)"
+              " + 0.3 * (s0 + s1 + s2 - greatest(s0, s1, s2))) DESC,"
+              " doc_id ASC LIMIT 10"),
         "snippet_positions": _snippet_positions_oracle_sql("vector", topk=5),
         "snippet_occ_paged": _snippet_occ_paged_oracle_sql("vector", topk=20),
         "json_path_agg_dsl": (

@@ -169,10 +169,10 @@ def compile_query_topk(index, node: ast.Query, k: int,
     if not _cfg.get().enable_maxscore_topk or not k or k <= 0:
         return None
     c = _Compiler(index)
-    pairs = c._maxscore_shape(node)
-    if pairs is None:
+    shape = c._maxscore_shape(node)
+    if shape is None:
         return None
-    return c._maxscore_scores(pairs, int(k), stats)
+    return c._maxscore_scores(shape, int(k), stats)
 
 
 class _Compiler:
@@ -1162,6 +1162,23 @@ class _Compiler:
                 return None
             return self._maxscore_shape(ast.Boolean(
                 should=[ast.Term(node.field, t) for t in tokens]))
+        if isinstance(node, ast.DisjunctionMax):
+            # dismax combine: max + tie·(sum − max).  Single-term
+            # disjuncts' per-child f32 casts are no-ops (bm25_expr
+            # already emits f32-rounded values), so a flat union
+            # reproduces the unioned-children plan bit-for-bit.
+            if not (0.0 <= float(node.tie_breaker) <= 1.0):
+                return None
+            inner = self._maxscore_shape(
+                ast.Boolean(should=list(node.disjuncts)))
+            if inner is None or inner["combine"] != "sum":
+                return None
+            if len(inner["pairs"]) != len(node.disjuncts):
+                # duplicate disjuncts each contribute to the baseline's
+                # sum term — a deduped flat scan would under-count
+                return None
+            return {"combine": "dismax", "tie": float(node.tie_breaker),
+                    "pairs": inner["pairs"]}
         if not isinstance(node, ast.Boolean):
             return None
         if node.must or node.must_not:
@@ -1186,17 +1203,22 @@ class _Compiler:
             pairs.add((c.field, t))
         if len(pairs) < 2:
             return None
-        return sorted(pairs)
+        return {"combine": "sum", "pairs": sorted(pairs)}
 
-    def _maxscore_scores(self, pairs: list, k: int,
+    def _maxscore_scores(self, shape: dict, k: int,
                          stats: dict | None = None) -> DataFrame | None:
         """Pruned (doc_id, score) over (field, term) pairs — see
         compile_query_topk for the algorithm and the exactness
         argument.  Multi-field pairs mirror _c_boolean's batched
         should path: one bucket-pruned scan per field, unioned into a
-        single sum aggregate."""
+        single aggregate.  ``shape["combine"]`` picks the aggregate:
+        ``sum`` (Boolean should) or ``dismax`` (max + tie·(sum−max));
+        both are monotone in each term's contribution, which is all
+        the threshold-pass and partition arguments need."""
         import numpy as np
         from collections import defaultdict
+        pairs, combine = shape["pairs"], shape["combine"]
+        tie = shape.get("tie", 0.0)
         by_field = defaultdict(list)
         for f_, t in pairs:
             by_field[f_].append(t)
@@ -1250,21 +1272,40 @@ class _Compiler:
                 out = out.unionByName(s)
             return out
 
-        # threshold pass over the 1-2 rarest (highest-ub) terms
+        def _agg(rows):
+            """The EXACT combine the unpruned plan applies per doc."""
+            if combine == "dismax":
+                return (rows.groupBy("doc_id")
+                        .agg(F.max("score").alias("_mx"),
+                             F.sum("score").alias("_sm"))
+                        .select("doc_id",
+                                (F.col("_mx") + F.lit(tie)
+                                 * (F.col("_sm") - F.col("_mx")))
+                                .alias("score")))
+            return rows.groupBy("doc_id").agg(
+                F.sum("score").alias("score"))
+
+        # threshold pass over the 1-2 rarest (highest-ub) terms; the
+        # partial combine over a term subset never exceeds the full
+        # combine (both aggregates are monotone in added terms)
         by_ub_desc = sorted(present, key=lambda p: (-ub[p], p))
         seeds = by_ub_desc[:min(2, len(present) - 1)]
-        seed_rows = (_scan(seeds)
-                     .groupBy("doc_id").agg(F.sum("score").alias("s"))
-                     .orderBy(F.col("s").desc()).limit(k).collect())
+        seed_rows = (_agg(_scan(seeds))
+                     .orderBy(F.col("score").desc()).limit(k).collect())
         if len(seed_rows) < k:
             return None           # no K-th estimate → nothing prunable
-        tau = float(seed_rows[-1]["s"])
+        tau = float(seed_rows[-1]["score"])
         if tau <= 0.0:
             return None
         tau_m = tau * (1.0 - 1e-6)   # ulp insurance on the f32 surface
         cum, non_essential = 0.0, []
         for p in sorted(present, key=lambda p: (ub[p], p))[:-1]:
-            if cum + ub[p] < tau_m:
+            # best total of a doc matching ONLY the prefix incl. p:
+            # sum → Σ ub; dismax → ub_p (the running max, ascending
+            # order) + tie·Σ(others)
+            best = (ub[p] + tie * cum if combine == "dismax"
+                    else cum + ub[p])
+            if best < tau_m:
                 cum += ub[p]
                 non_essential.append(p)
             else:
@@ -1292,8 +1333,7 @@ class _Compiler:
             cand = F.broadcast(cand)
         ne_scan = (_scan(non_essential)
                    .join(cand, "doc_id", "left_semi"))
-        out = (ess_scan.unionByName(ne_scan)
-               .groupBy("doc_id").agg(F.sum("score").alias("score")))
+        out = _agg(ess_scan.unionByName(ne_scan))
         # the same single f32 node-boundary cast compile() applies
         return out.select("doc_id", F.col("score").cast("float")
                           .cast("double").alias("score"))

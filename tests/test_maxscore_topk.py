@@ -95,7 +95,7 @@ def test_rows_through_aggregation_shrink(turns_index):
                             ast.Term("text", "the"),
                             ast.Term("text", "a")])
     c = compile_query_topk.__globals__["_Compiler"](turns_index)
-    pairs = c._maxscore_shape(q)
+    pairs = c._maxscore_shape(q)["pairs"]
     field, terms = pairs[0][0], [t for _, t in pairs]
 
     base_obs = Observation("base_rows")
@@ -232,6 +232,43 @@ def test_random_disjunction_fuzz(turns_index, docs_index, seed):
             continue
         assert _top(pruned, k) == _top(compile_query(index, q), k), \
             (terms, k)
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_dismax_pruned_identical(turns_index, docs_index, tie):
+    """DisjunctionMax pages prune too: max + tie·(sum−max) is monotone
+    in each added term, so the same threshold/partition argument holds
+    with the dismax-specific bound ub_p + tie·Σ(others)."""
+    for index, terms in ((turns_index, ["obsidian", "krypton", "the",
+                                        "a"]),
+                         (docs_index, ["dup", "batch", "small"])):
+        q = ast.DisjunctionMax(
+            disjuncts=[ast.Term("text", t) for t in terms],
+            tie_breaker=tie)
+        stats = {}
+        pruned = compile_query_topk(index, q, 10, stats=stats)
+        if pruned is None:
+            continue
+        assert stats["non_essential"]
+        assert _top(pruned, 10) == _top(compile_query(index, q), 10), \
+            (terms, tie)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_dismax_fuzz(turns_index, seed):
+    import random
+    rng = random.Random(7000 + seed)
+    vocab = ["the", "a", "of", "run", "data", "zephyr", "quasar",
+             "obsidian", "zzz_missing"]
+    n = rng.randint(2, 5)
+    q = ast.DisjunctionMax(
+        disjuncts=[ast.Term("text", rng.choice(vocab))
+                   for _ in range(n)],
+        tie_breaker=rng.choice([0.0, 0.1, 0.5, 0.9]))
+    k = rng.choice([1, 5, 20])
+    pruned = compile_query_topk(turns_index, q, k)
+    if pruned is not None:
+        assert _top(pruned, k) == _top(compile_query(turns_index, q), k)
 
 
 def test_search_with_facets_guc_equivalence(docs_index):
