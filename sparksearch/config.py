@@ -47,6 +47,25 @@ class EngineConfig:
     # WAND analog — see compiler.compile_query_topk).  Result-identical
     # to the unpruned plan; off = always score every match.
     enable_maxscore_topk: bool = True
+    # COST GATE on the two-pass protocol (round-6): the seed threshold
+    # pass is an extra Spark job — a fixed per-query constant (~0.3 s
+    # measured in local mode, more on a real cluster's scheduler) —
+    # while the prune can remove at most Σ df(query terms) rows from
+    # the aggregation exchange.  Below this Σ df the exact single-job
+    # plan is provably cheaper (5M rows ≈ 0.1-0.25 s of aggregation at
+    # measured local throughput < the seed-job constant), so
+    # compile_query_topk falls back to it; the term dfs come from the
+    # dictionary collect the protocol already pays, so the gate itself
+    # costs nothing.  0 = always run the two-pass protocol.
+    maxscore_seed_gate_df: int = 5_000_000
+    # skip the prune for very deep pages: k = limit+offset this large
+    # makes τ (the K-th partial score) too small to prune much while
+    # the seed top-k job grows with k (ADVICE r5: deep-offset cliff)
+    maxscore_max_k: int = 10_000
+    # broadcast the essential-term candidate id set into the completion
+    # semi-join only below this essential-df row count (ADVICE r5:
+    # estimate-free 2M-row broadcast can reach 100MB+ with string ids)
+    maxscore_broadcast_df: int = 2_000_000
     # warn when a SQL aggregate can't ride the index aggregate scan
     # (reference GUC paradedb.check_aggregate_scan, issue_3050.out /
     # issue_3196.out WARNINGs)

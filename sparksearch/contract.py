@@ -500,7 +500,12 @@ def q_maxscore_disjunction(spark, sf_dir):
     compile_query_topk): common terms provably below the K-th score
     never reach the aggregation shuffle.  Bit-identical to the unpruned
     plan by construction, which the DuckDB oracle (full unpruned BM25
-    sum) independently confirms."""
+    sum) independently confirms.  Round-6: the two-pass protocol is
+    COST-GATED on Σ df (config.maxscore_seed_gate_df) — at bench/test
+    scale the gate routes to the exact single-job plan (the seed job's
+    fixed cost exceeds what the prune can save below ~5M postings
+    rows); at production scale the prune engages exactly as before
+    (tests/test_maxscore_topk.py pins both sides)."""
     from sparksearch.query.compiler import compile_query_topk
     idx = get_documents_index(spark, sf_dir)
     q = ast.Boolean(should=[ast.Term("text", t)
@@ -807,13 +812,20 @@ def q_token_count(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
-    """text-quality heuristics: mean word length + stopword ratio."""
+    """text-quality heuristics: mean word length + stopword ratio.
+
+    The tokenize expression is materialized ONCE into ``ts`` and ``n``
+    derives from the column (a second projection, so CollapseProject
+    cannot re-inline the split+filter chain): the HOF projections are
+    interpreted (no whole-stage codegen, no common-subexpression
+    elimination), so writing ``size(toks)`` beside ``toks`` ran the
+    regex tokenizer twice per row — measured 0.261 s vs 0.104 s for a
+    single tokenize pass at sf0.1 (guide §1.2 per-task work)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
     stop = ["the", "a", "of", "to", "and", "in"]
-    d = docs.select(
-        "doc_id", toks.alias("ts"),
-        F.size(toks).alias("n"))
+    d = (docs.select("doc_id", toks.alias("ts"))
+         .select("doc_id", "ts", F.size("ts").alias("n")))
     return d.select(
         "doc_id",
         F.round(F.aggregate("ts", F.lit(0).cast("bigint"),
@@ -948,7 +960,12 @@ def q_enrich_tool_context(spark, sf_dir):
     are no-ops batch-applied; the time-bound join condition — the state
     -pruning bound the stream relies on — is executed verbatim); the
     streaming pytest suite (tests/test_streaming.py stream-stream join
-    cases) proves streamed≡batch for this operator."""
+    cases) proves streamed≡batch for this operator.  Round-6 A/B: a
+    time-bucketed equi-join twin (enrich(bucketed=True)) measured
+    SLOWER on this corpus shape (0.79 s plain vs 1.73 s bucketed,
+    noop-sink, 1M events) — at bench scale the latency is dominated by
+    the driver collect of the ~|turns| result rows, not the join — so
+    the plain join stays."""
     from sparksearch.streaming.enrich import enrich_with_tool_context
     return enrich_with_tool_context(_event_turns(spark, sf_dir))
 

@@ -67,11 +67,31 @@ def _affine_params(n_hashes: int, seed: int = 13):
 
 def minhash_signatures(docs: DataFrame, key: str, text_col: str = "text",
                        n_hashes: int = 64, shingle_k: int = 3,
-                       seed: int = 13) -> DataFrame:
+                       seed: int = 13, engine: str = "arrow") -> DataFrame:
     """(key, sig array<long>[n_hashes]) — signature per doc.
 
-    h_i(s) = (a_i·xxhash64(s) + b_i) mod p, min over shingles; pure column
-    expressions, deterministic across runs.
+    h_i(s) = (a_i·xxhash64(s) + b_i) mod p, min over shingles;
+    deterministic across runs.
+
+    The tokenize → shingle → xxhash64 mod p chain is ALWAYS JVM column
+    expressions (the hash definition external systems and the DuckDB
+    oracle reproduce).  The n_hashes affine-min sweep over that base
+    array — pure int64 arithmetic, n_hashes·|shingles| ops/doc — runs
+    in one of two bit-identical engines:
+
+    - ``engine="arrow"`` (default; guide §4.2): the (id, base-hash
+      array) frame — only int64s, no text — crosses to vectorized
+      numpy workers that compute all signatures with one outer-product
+      + segmented min per batch.  Measured 12.5 s → 0.9 s for 5k docs
+      at sf0.1 (the interpreted HOF path evaluates ~n_hashes·|shingles|
+      boxed expression nodes per row).
+    - ``engine="expr"``: the round-4 nested-transform column expression
+      (one transform over a literal (a, b) param array — still the
+      JIT-friendly fold, kept for plans that must stay JVM-only).
+
+    int64 exactness: a, b, h < 2^31, so a·h + b < 2^62 — no overflow
+    in either engine; numpy's % on non-negative int64 equals Spark's
+    pmod.  tests/test_dedup.py pins engine parity element-for-element.
     """
     docs = _spread(docs)
     # materialize the base shingle-hash array ONCE in its own projection:
@@ -80,18 +100,51 @@ def minhash_signatures(docs: DataFrame, key: str, text_col: str = "text",
     base = F.transform(_shingles(F.col(text_col), shingle_k),
                        lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
     hashed = docs.select(F.col(key).alias("id"), base.alias("_mh_base"))
-    # ONE nested transform over a literal (a, b) param array, not
-    # n_hashes separate array_min expressions: 64 independent
-    # subexpressions blow the generated method past the JIT-friendly
-    # size and the stage drops to interpreted eval — measured 5.6×
-    # slower (0.73s vs 0.13s for 5k docs, local[8]) for identical
-    # output values/ordering (sig[i] still uses params[i])
+    params = _affine_params(n_hashes, seed)
+    if engine == "arrow":
+        return _minhash_arrow(hashed, params)
     pa = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-                   for (a, b) in _affine_params(n_hashes, seed)])
+                   for (a, b) in params])
     sig = F.transform(pa, lambda p: F.array_min(F.transform(
         F.col("_mh_base"),
         lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_P)))))
     return hashed.select("id", sig.alias("sig"))
+
+
+def _minhash_arrow(hashed: DataFrame, params: list) -> DataFrame:
+    """Vectorized numpy twin of the affine-min sweep: one
+    (Σ|shingles| × n_hashes) outer product + np.minimum.reduceat per
+    Arrow batch — C-speed, heavy init amortized per task (guide §4.5).
+    Bit-identical to the expression engine (see minhash_signatures)."""
+    import numpy as np
+
+    id_field = hashed.schema["id"]
+    out_schema = f"id {id_field.dataType.simpleString()}, sig array<long>"
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            bases = pdf["_mh_base"]
+            good = bases.map(lambda v: v is not None and len(v) > 0)
+            sigs = [None] * len(pdf)
+            idxs = [i for i, ok in enumerate(good) if ok]
+            if idxs:
+                arrs = [np.asarray(bases.iloc[i], dtype=np.int64)
+                        for i in idxs]
+                lens = np.fromiter((len(x) for x in arrs), dtype=np.int64,
+                                   count=len(arrs))
+                flat = np.concatenate(arrs)
+                prods = (flat[:, None] * A[None, :] + B[None, :]) % _P
+                offs = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                mins = np.minimum.reduceat(prods, offs, axis=0)
+                for j, i in enumerate(idxs):
+                    sigs[i] = mins[j]
+            yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+
+    return hashed.mapInPandas(gen, schema=out_schema)
 
 
 def band_hashes(sig_col, bands: int, r: int) -> Column:
@@ -250,29 +303,60 @@ def shingle_jaccard_pairs(docs: DataFrame, key: str, text_col: str = "text",
     ``max_df=N`` the Jaccard is computed over the informative shingle
     sets (df ≤ N dropped from BOTH numerator and denominator — a
     well-defined measure, the standard stopword-shingle treatment), and
-    the join cost is bounded by N·|shingles|."""
+    the join cost is bounded by N·|shingles|.
+
+    Round-6 plan shape (guide §2.3/§2.4 — same output, measured 14.7 s
+    → 8.7 s fresh-cache on a 50k-doc corpus-faithful twin of the bench
+    data; the r5 shape ran 6 wide operations over the exploded frame,
+    this one runs 4):
+
+    - the hot-shingle cap applies as an ANTI-join against the (small,
+      ≤ rows/max_df distinct values) hot set instead of a semi-join
+      against the (large) keep set — AQE executes it as a broadcast,
+      so the exploded frame is never shuffled for the cap;
+    - the per-doc informative-set size is attached by ONE window pass
+      (count over partitionBy(id) — per-partition volume bounded by
+      doc length, no skew surface) instead of a groupBy + join back,
+      and the frame is persisted WITH it, so the self-join reads it
+      straight from cache;
+    - the exact length-ratio bound — J ≥ t ⟹ min(na,nb) ≥ t·max(na,nb),
+      since inter ≤ min(na,nb) and union ≥ max(na,nb) — filters pairs
+      BEFORE the (a, b) aggregation, cutting the rows the partial
+      aggregate must hash (~3× on uniform 10–100-token docs; the 1e-9
+      slack makes float rounding strictly over-keep, and the final
+      exact Jaccard filter is unchanged).
+
+    A prefix-filtered variant (Bayardo et al. 2007) was measured and
+    REJECTED for this corpus family: with a ~30-word vocabulary every
+    shingle is common, so prefix-candidate pairs still number in the
+    millions and the per-pair array intersects cost more than the
+    counting aggregation they replace."""
     from pyspark import StorageLevel
+    from pyspark.sql import Window
     docs = _spread(docs)
     d = (docs.select(F.col(key).alias("id"),
                      _shingles(F.col(text_col), k).alias("sh"))
          .filter(F.size("sh") > 0))
-    # the exploded shingle frame feeds the df histogram, the per-doc
-    # size count, and BOTH sides of the pair self-join — persist it so
-    # tokenize+shingle+explode runs once, not four times (MEMORY_AND_DISK:
-    # ~|tokens| short strings per doc, spills safely at scale)
+    # the exploded shingle frame feeds the df histogram and the sized
+    # frame below — persist it so tokenize+shingle+explode runs once
+    # (MEMORY_AND_DISK: ~|tokens| short strings per doc, spills safely
+    # at scale)
     e = (d.select("id", F.explode("sh").alias("s"))
          .persist(StorageLevel.MEMORY_AND_DISK))
     if max_df is not None:
-        keep = (e.groupBy("s").agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_df).select("s"))
-        e = (e.join(keep, "s", "left_semi")
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    sized = e.groupBy("id").agg(F.count("*").alias("n"))
-    e = e.join(sized, "id")
+        hot = (e.groupBy("s").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("s"))
+        e = e.join(hot, "s", "left_anti")
+    e = (e.withColumn("n", F.count("*").over(Window.partitionBy("id")))
+         .persist(StorageLevel.MEMORY_AND_DISK))
     a = e.select(F.col("id").alias("a"), F.col("n").alias("na"), "s")
     b = e.select(F.col("id").alias("b"), F.col("n").alias("nb"), "s")
-    pairs = (a.join(b, "s").filter(F.col("a") < F.col("b"))
-             .groupBy("a", "b", "na", "nb").agg(F.count("*").alias("inter")))
+    lenok = (F.least("na", "nb")
+             >= F.lit(float(threshold)) * F.greatest("na", "nb")
+             - F.lit(1e-9))
+    pairs = (a.join(b, "s").filter((F.col("a") < F.col("b")) & lenok)
+             .groupBy("a", "b", "na", "nb")
+             .agg(F.count("*").alias("inter")))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return pairs.filter(jac >= threshold).select(
         "a", "b", jac.alias("jaccard"))

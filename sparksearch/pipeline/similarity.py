@@ -1108,10 +1108,15 @@ def _compact_segmented(spark, data_path: str, tomb_path: str,
     """Rewrite a seg=*-partitioned parquet layout as a single base
     segment: tombstoned ids physically removed, insert segments merged,
     the tombstone list cleared once the last table referencing it is
-    rewritten.  The write lands in a temp dir first; the live layout is
-    renamed aside before the new one moves in, so a crash at ANY point
-    leaves either the old layout live or a recoverable ``__old`` copy —
-    never a window with no data on disk."""
+    rewritten.  OFFLINE maintenance (like Lucene force-merge): the new
+    layout is fully staged as a sibling dir, then swapped in with two
+    renames — a crash at any point leaves every row recoverable on
+    disk (the old layout live, or in ``__old_*`` with the staged copy
+    in ``__new_*``; recover by renaming whichever back to the data
+    path), but the instant between the two renames has no dir at the
+    live path, so concurrent readers must be quiesced first (r5
+    ADVICE: the previous docstring overclaimed "never a window with no
+    data on disk")."""
     import os
     import shutil
     import uuid
@@ -1128,14 +1133,17 @@ def _compact_segmented(spark, data_path: str, tomb_path: str,
     if parts:
         w = w.partitionBy(*parts)
     w.parquet(tmp)
-    # crash-safe swap: the live layout is renamed ASIDE (cheap, atomic
-    # on one filesystem) before the new one moves in — a crash between
-    # any two steps leaves either the old layout live or a recoverable
-    # __old copy next to the new one; the destructive delete runs last
-    old = f"{data_path}__old_{uuid.uuid4().hex[:8]}"
+    # crash-safe swap: stage the COMPLETE new layout as a sibling dir
+    # first, then two renames — old aside, new in — so every step
+    # leaves all rows recoverable on disk (see docstring for the
+    # recovery path); the destructive delete runs last
+    token = uuid.uuid4().hex[:8]
+    new = f"{data_path}__new_{token}"
+    os.makedirs(new)
+    os.rename(tmp, os.path.join(new, "seg=base"))
+    old = f"{data_path}__old_{token}"
     os.rename(data_path, old)
-    os.makedirs(data_path)
-    os.rename(tmp, os.path.join(data_path, "seg=base"))
+    os.rename(new, data_path)
     shutil.rmtree(old)
     if drop_tombstones and os.path.exists(tomb_path):
         shutil.rmtree(tomb_path)

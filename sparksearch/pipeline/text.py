@@ -18,11 +18,22 @@ def _tokens(text_col) -> Column:
                     lambda x: x != "")
 
 
+# Perf note shared by the operators below: HOF projections are
+# interpreted (no whole-stage codegen, hence no common-subexpression
+# elimination), so every textual reference to the tokenize expression
+# re-runs the regex tokenizer per row.  Each operator therefore
+# materializes the token array ONCE into a temp column in its own
+# projection (referenced >1× by a non-cheap alias, so CollapseProject
+# keeps the two projections separate) and derives everything from the
+# column — measured 2.5× on q_quality_score at sf0.1 (guide §1.2).
+
 def language_id(docs: DataFrame, text_col: str = "text",
                 out_col: str = "lang_pred") -> DataFrame:
     """Stopword-ratio language heuristic over {en, de, fr, es}; 'und'
     (undetermined) when no language's stopwords appear."""
-    toks = _tokens(F.col(text_col))
+    tmp = "__li_ts"
+    d = docs.withColumn(tmp, _tokens(F.col(text_col)))
+    toks = F.col(tmp)
     n = F.greatest(F.size(toks), F.lit(1))
 
     def _ratio(words: list):
@@ -34,7 +45,7 @@ def language_id(docs: DataFrame, text_col: str = "text",
     for lang in reversed(list(scores)):
         pred = F.when((scores[lang] > 0) & (scores[lang] == best_score),
                       F.lit(lang)).otherwise(pred)
-    return docs.withColumn(out_col, pred)
+    return d.withColumn(out_col, pred).drop(tmp)
 
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -42,7 +53,9 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stopword ratio, punctuation ratio, digit ratio, distinct-token ratio
     (repetition signal)."""
     t = F.col(text_col)
-    toks = _tokens(t)
+    tmp = "__qs_ts"
+    d = docs.withColumn(tmp, _tokens(t))
+    toks = F.col(tmp)
     n = F.greatest(F.size(toks), F.lit(1))
     total_chars = F.greatest(F.length(t), F.lit(1))
     mean_wl = (F.aggregate(toks, F.lit(0).cast("bigint"),
@@ -54,8 +67,8 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     digit = (F.length(F.regexp_replace(t, r"[^0-9]", ""))
              .cast("double") / total_chars)
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
-    return docs.select(
-        "*",
+    return d.select(
+        *[c for c in docs.columns],
         F.size(toks).alias("n_tokens"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(stop, 6).alias("stopword_ratio"),
@@ -69,14 +82,17 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (word-chunks of ≤4 chars + punctuation marks — a deterministic proxy
     for tokenizer budget estimation)."""
     t = F.col(text_col)
+    tmp = "__tc_ts"
+    d = docs.withColumn(tmp, _tokens(t))
+    words = F.col(tmp)
     ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
-    words = _tokens(t)
     bpe_ish = (F.aggregate(words, F.lit(0).cast("bigint"),
                            lambda acc, x: acc + F.ceil(F.length(x) / 4.0)
                            .cast("bigint"))
                + F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")))
-    return docs.select(
-        "*", ws.alias("ws_tokens"), F.size(words).alias("word_tokens"),
+    return d.select(
+        *[c for c in docs.columns],
+        ws.alias("ws_tokens"), F.size(words).alias("word_tokens"),
         bpe_ish.cast("long").alias("bpe_ish_tokens"))
 
 
@@ -136,15 +152,21 @@ def repetition_stats(docs: DataFrame, key: str,
     Everything is per-row column expressions over split arrays — one
     projection, embarrassingly parallel, no shuffle at any corpus size.
     """
-    lines = F.filter(F.split(F.col(text_col), r"\n"),
-                     lambda x: F.trim(x) != "")
-    toks = _tokens(F.col(text_col))
+    d = docs.withColumn("__rs_ts", _tokens(F.col(text_col))) \
+            .withColumn("__rs_lines",
+                        F.filter(F.split(F.col(text_col), r"\n"),
+                                 lambda x: F.trim(x) != ""))
+    toks = F.col("__rs_ts")
+    lines = F.col("__rs_lines")
     grams = F.when(F.size(toks) >= 2, F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
     ).otherwise(F.array().cast("array<string>"))
-    max2 = _max_multiplicity(grams)
-    return docs.select(
+    # the fold result is referenced twice below — materialize it once
+    # (interpreted projections re-evaluate per textual reference)
+    d = d.withColumn("__rs_max2", _max_multiplicity(grams))
+    max2 = F.col("__rs_max2")
+    return d.select(
         F.col(key),
         ((F.size(lines) - F.size(F.array_distinct(lines)))
          / F.greatest(F.size(lines), F.lit(1))).alias("dup_line_frac"),

@@ -166,7 +166,12 @@ def compile_query_topk(index, node: ast.Query, k: int,
     instead of Σ df(all terms) — on a needle like ``rare OR the`` the
     high-df term's postings never reach the shuffle."""
     from sparksearch import config as _cfg
-    if not _cfg.get().enable_maxscore_topk or not k or k <= 0:
+    conf = _cfg.get()
+    if not conf.enable_maxscore_topk or not k or k <= 0:
+        return None
+    if k > conf.maxscore_max_k:
+        # deep page: τ is the K-th partial score — too small to prune
+        # much — while the seed top-k job grows with k (r5 ADVICE)
         return None
     c = _Compiler(index)
     shape = c._maxscore_shape(node)
@@ -1234,6 +1239,18 @@ class _Compiler:
         present = sorted(p for p in pairs if p in meta)
         if len(present) < 2:
             return None
+        from sparksearch import config as _cfg
+        conf = _cfg.get()
+        # COST GATE (round-6; r5 verdict "what's wrong" #1): the
+        # two-pass protocol pays an extra Spark job (the seed top-k) —
+        # a fixed per-query constant — to remove at most Σ df(terms)
+        # rows from the aggregation exchange.  When the dictionary
+        # metadata (already collected above) shows Σ df below the
+        # configured break-even, the exact single-job plan is cheaper:
+        # fall back.  At 100 TB any multi-term disjunction clears the
+        # gate and the prune engages exactly as before.
+        if sum(meta[p][0] for p in present) < conf.maxscore_seed_gate_df:
+            return None
         f32 = np.float32
 
         def _ub(p):
@@ -1290,11 +1307,18 @@ class _Compiler:
         # combine (both aggregates are monotone in added terms)
         by_ub_desc = sorted(present, key=lambda p: (-ub[p], p))
         seeds = by_ub_desc[:min(2, len(present) - 1)]
-        seed_rows = (_agg(_scan(seeds))
-                     .orderBy(F.col("score").desc()).limit(k).collect())
-        if len(seed_rows) < k:
+        # only the K-th score (τ) is needed: reduce it ON THE CLUSTER
+        # (count + min over the top-k cut) instead of collecting k rows
+        # to the driver — a deep page (k = limit+offset) no longer
+        # materializes k rows driver-side (r5 ADVICE #1)
+        seed_row = (_agg(_scan(seeds))
+                    .orderBy(F.col("score").desc()).limit(k)
+                    .agg(F.count("*").alias("n"),
+                         F.min("score").alias("kth"))
+                    .collect()[0])
+        if (seed_row["n"] or 0) < k:
             return None           # no K-th estimate → nothing prunable
-        tau = float(seed_rows[-1]["score"])
+        tau = float(seed_row["kth"])
         if tau <= 0.0:
             return None
         tau_m = tau * (1.0 - 1e-6)   # ulp insurance on the f32 surface
@@ -1329,7 +1353,7 @@ class _Compiler:
         # no distinct: left_semi is dedup-agnostic, and skipping the
         # aggregation removes one exchange from the candidate branch
         cand = ess_scan.select("doc_id")
-        if sum(meta[p][0] for p in essential) <= 2_000_000:
+        if sum(meta[p][0] for p in essential) <= conf.maxscore_broadcast_df:
             cand = F.broadcast(cand)
         ne_scan = (_scan(non_essential)
                    .join(cand, "doc_id", "left_semi"))

@@ -70,16 +70,35 @@ def streaming_near_duplicates(docs: DataFrame, key: str,
                               threshold: float = 0.7, n_hashes: int = 64,
                               bands: int = 16, shingle_k: int = 3,
                               seed: int = 13, max_members: int = 512,
-                              output_mode: str = "update") -> DataFrame:
+                              output_mode: str = "update",
+                              overflow_cap: int | None = None) -> DataFrame:
     """(a, b, est_jaccard) pairs, emitted as docs arrive; the streamed
     twin of :func:`sparksearch.pipeline.dedup.minhash_near_duplicates`
     (identical parameters → identical pair set, proven in
-    tests/test_streaming.py)."""
+    tests/test_streaming.py).
+
+    CHECKPOINT COMPATIBILITY (r5 ADVICE): the state schema gained the
+    ``overflow_ids`` field in round 5 — Structured Streaming does not
+    support state-schema evolution, so a checkpoint written by the
+    round-4 operator cannot be resumed by this one (start a fresh
+    checkpoint; the warm-start replay recipe in the module docstring
+    rebuilds state idempotently).
+
+    ``overflow_cap`` (default ``8 * max_members``) bounds the
+    ``overflow_ids`` replay-dedup list in exactly the hot-bucket skew
+    scenario ``max_members`` exists for: the oldest entries are dropped
+    first.  Replays only re-deliver recent (uncommitted) micro-batches,
+    whose ids are the NEWEST entries, so the cap is safe unless a
+    single bucket absorbs more than ``overflow_cap`` overflowed docs
+    within the replay window — a documented recall/exactly-once trade
+    at the same boundary as the member cap itself."""
     from sparksearch.pipeline.dedup import band_hashes, minhash_signatures
 
     if n_hashes % bands:
         raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
     r = n_hashes // bands
+    if overflow_cap is None:
+        overflow_cap = 8 * max_members
     key_t = docs.schema[key].dataType
     sigs = minhash_signatures(docs, key, text_col, n_hashes, shingle_k, seed)
     banded = sigs.select(
@@ -135,6 +154,8 @@ def streaming_near_duplicates(docs: DataFrame, key: str,
             else:
                 overflow.append(doc_id)
             seen.add(doc_id)
+        if len(overflow) > overflow_cap:
+            overflow = overflow[-overflow_cap:]   # drop oldest first
         state.update((ids, sigs_, overflow))
         if out_a:
             yield pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_e})

@@ -115,9 +115,15 @@ class StreamingIndexer:
                         for c in self.schema.text_fields}
                 refs |= set(self.schema.field_names)
                 refs |= self.schema.indexed_attr_fields()
+                # case-INSENSITIVE substring match (r5 ADVICE): Spark
+                # resolves columns case-insensitively, so a schema
+                # source like lower(Body) must keep stream column
+                # `body` — a case mismatch silently dropping the text
+                # column would index nothing
+                low_refs = [r.lower() for r in refs]
                 needed = [c for c in stream.columns
                           if c in ("conv_id", "turn_idx", "ts")
-                          or any(c in r for r in refs)]
+                          or any(c.lower() in r for r in low_refs)]
                 pruned = stream.select(*needed)
             wm = pruned.withWatermark("ts", self.watermark)
             # late/duplicate turns: keep first arrival per natural key

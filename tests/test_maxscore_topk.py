@@ -18,6 +18,20 @@ from sparksearch.query import ast, search
 from sparksearch.query.compiler import compile_query, compile_query_topk
 
 
+@pytest.fixture(autouse=True)
+def _no_seed_gate():
+    """These tests pin the PRUNE's correctness at pytest scale, below
+    the production cost gate (maxscore_seed_gate_df) that routes tiny
+    Σ df queries to the exact plan — zero the gate so the protocol
+    engages; test_seed_cost_gate pins the gate itself."""
+    prev = cfg.get().maxscore_seed_gate_df
+    cfg.set(maxscore_seed_gate_df=0)
+    try:
+        yield
+    finally:
+        cfg.set(maxscore_seed_gate_df=prev)
+
+
 @pytest.fixture(scope="module")
 def docs_index(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
@@ -288,6 +302,52 @@ def test_search_with_facets_guc_equivalence(docs_index):
     assert on["aggregates"] == off["aggregates"]
     assert on["facets"] == off["facets"]
     assert on["aggregates"]["total_count"] > 5   # full match set
+
+
+def test_seed_cost_gate(turns_index):
+    """Round-6 cost gate: below the configured Σ df the two-pass
+    protocol is skipped (the exact plan is cheaper than the extra seed
+    job); above it the prune engages exactly as before, with identical
+    pages on both sides of the gate."""
+    q = ast.Boolean(should=[ast.Term("text", "obsidian"),
+                            ast.Term("text", "the")])
+    dfs = turns_index.term_dfs("text", ["obsidian", "the"])
+    total = sum(dfs.values())
+    try:
+        # gate above this corpus's Σ df → protocol skipped
+        cfg.set(maxscore_seed_gate_df=total + 1)
+        assert compile_query_topk(turns_index, q, 10) is None
+        # gate at/below Σ df → prune engages and stays bit-identical
+        cfg.set(maxscore_seed_gate_df=total)
+        stats = {}
+        pruned = compile_query_topk(turns_index, q, 10, stats=stats)
+        assert pruned is not None and stats["non_essential"] == ["the"]
+        assert _top(pruned, 10) == _top(compile_query(turns_index, q), 10)
+    finally:
+        cfg.set(maxscore_seed_gate_df=0)   # module autouse value
+    # the production default is a real gate, not zero: a toy-scale
+    # disjunction must route to the exact plan out of the box
+    assert cfg.EngineConfig().maxscore_seed_gate_df > total
+
+
+def test_deep_page_k_cap(turns_index):
+    """r5 ADVICE: a deep page (k = limit+offset beyond maxscore_max_k)
+    skips the prune — and the K-th score is reduced cluster-side, so an
+    in-cap deep page never collects k rows to the driver (pinned here
+    by equality with the exact plan, the driver-side shape is covered
+    by code review of _maxscore_scores's one-row agg collect)."""
+    q = ast.Boolean(should=[ast.Term("text", "obsidian"),
+                            ast.Term("text", "the")])
+    prev = cfg.get().maxscore_max_k
+    try:
+        cfg.set(maxscore_max_k=50)
+        assert compile_query_topk(turns_index, q, 51) is None
+        pruned = compile_query_topk(turns_index, q, 50)
+        if pruned is not None:
+            assert _top(pruned, 50) == _top(
+                compile_query(turns_index, q), 50)
+    finally:
+        cfg.set(maxscore_max_k=prev)
 
 
 def test_offset_page_consistent(docs_index):

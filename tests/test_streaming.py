@@ -364,6 +364,46 @@ def test_stream_stream_join_tool_context(spark, tdir):
     assert got_set == want_set and want_set
 
 
+def test_enrich_batch_bucketed_twin(spark):
+    """Round-6: the opt-in time-bucketed batch twin
+    (enrich_with_tool_context(bucketed=True)) is row-for-row (multiset)
+    equal to the straight time-bound left-outer join, including
+    sub-second boundary times, duplicate input rows, null conv_ids,
+    and unmatched turns."""
+    import datetime as dt
+    rows = [
+        # match exactly AT the 120 s bound, with fractional seconds
+        ("c1", 1, "user", None, dt.datetime(2026, 1, 1, 0, 2, 0, 500000)),
+        ("c1", 2, "tool", "t1", dt.datetime(2026, 1, 1, 0, 0, 0, 500000)),
+        # 0.1 s OUTSIDE the bound but in the candidate bucket
+        ("c1", 3, "tool", "t2", dt.datetime(2026, 1, 1, 0, 0, 0, 400000)),
+        # duplicate base row: multiplicity must be preserved
+        ("c1", 1, "user", None, dt.datetime(2026, 1, 1, 0, 2, 0, 500000)),
+        # two tools in-window for one turn: two matched rows
+        ("c3", 1, "tool", "t3", dt.datetime(2026, 1, 1, 1, 0, 0)),
+        ("c3", 2, "tool", "t4", dt.datetime(2026, 1, 1, 1, 1, 0)),
+        ("c3", 3, "user", None, dt.datetime(2026, 1, 1, 1, 1, 30)),
+        # unmatched turn and null conv_id
+        ("c2", 1, "user", None, dt.datetime(2026, 1, 1, 0, 5, 0)),
+        (None, 9, "user", None, dt.datetime(2026, 1, 1, 0, 5, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, "
+              "ts timestamp")
+    got = enrich_with_tool_context(df, bucketed=True)
+    want = enrich_batch_oracle(df)
+    assert got.columns == want.columns
+
+    def _key(r):
+        return tuple(str(x) for x in r)
+    assert sorted(map(_key, got.collect())) == \
+        sorted(map(_key, want.collect()))
+    # the c1 turn matches t1 (boundary-inclusive) but not t2, twice
+    matched = [r for r in got.collect()
+               if r["conv_id"] == "c1" and r["role"] == "user"]
+    assert [r["tool"] for r in matched] == ["t1", "t1"]
+
+
 def test_watermark_drops_late_events(spark, tdir):
     """A row arriving with event time far behind the watermark is dropped
     (late-data semantics) — the streaming index intentionally misses it."""
