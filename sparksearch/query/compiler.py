@@ -1241,16 +1241,6 @@ class _Compiler:
             return None
         from sparksearch import config as _cfg
         conf = _cfg.get()
-        # COST GATE (round-6; r5 verdict "what's wrong" #1): the
-        # two-pass protocol pays an extra Spark job (the seed top-k) —
-        # a fixed per-query constant — to remove at most Σ df(terms)
-        # rows from the aggregation exchange.  When the dictionary
-        # metadata (already collected above) shows Σ df below the
-        # configured break-even, the exact single-job plan is cheaper:
-        # fall back.  At 100 TB any multi-term disjunction clears the
-        # gate and the prune engages exactly as before.
-        if sum(meta[p][0] for p in present) < conf.maxscore_seed_gate_df:
-            return None
         f32 = np.float32
 
         def _ub(p):
@@ -1302,6 +1292,34 @@ class _Compiler:
             return rows.groupBy("doc_id").agg(
                 F.sum("score").alias("score"))
 
+        def _exact_flat():
+            """The unpruned flat plan over the SAME scans/combine —
+            bit-identical to compile_query for every qualifying shape
+            (the exactness argument the prune itself rests on: flat
+            shapes only, so no per-child f32 boundary differs).  Used
+            when the protocol decides not to prune: it reuses the one
+            dictionary collect already paid, where returning None would
+            make the caller's compile_query fallback collect the term
+            metadata a second time."""
+            out_ = _agg(_scan(present))
+            return out_.select("doc_id", F.col("score").cast("float")
+                               .cast("double").alias("score"))
+
+        # COST GATE (round-6; r5 verdict "what's wrong" #1): the
+        # two-pass protocol pays an extra Spark job (the seed top-k) —
+        # a fixed per-query constant — to remove at most Σ df(terms)
+        # rows from the aggregation exchange.  When the dictionary
+        # metadata (already collected above) shows Σ df below the
+        # configured break-even, the exact single-job plan is cheaper —
+        # return it directly.  At 100 TB any multi-term disjunction
+        # clears the gate and the prune engages exactly as before.
+        if sum(meta[p][0] for p in present) < conf.maxscore_seed_gate_df:
+            if stats is not None:
+                stats.update({"gated_exact": True,
+                              "total_df": sum(meta[p][0]
+                                              for p in present)})
+            return _exact_flat()
+
         # threshold pass over the 1-2 rarest (highest-ub) terms; the
         # partial combine over a term subset never exceeds the full
         # combine (both aggregates are monotone in added terms)
@@ -1317,10 +1335,10 @@ class _Compiler:
                          F.min("score").alias("kth"))
                     .collect()[0])
         if (seed_row["n"] or 0) < k:
-            return None           # no K-th estimate → nothing prunable
+            return _exact_flat()  # no K-th estimate → nothing prunable
         tau = float(seed_row["kth"])
         if tau <= 0.0:
-            return None
+            return _exact_flat()
         tau_m = tau * (1.0 - 1e-6)   # ulp insurance on the f32 surface
         cum, non_essential = 0.0, []
         for p in sorted(present, key=lambda p: (ub[p], p))[:-1]:
@@ -1335,7 +1353,7 @@ class _Compiler:
             else:
                 break
         if not non_essential:
-            return None           # every term competitive → no gain
+            return _exact_flat()  # every term competitive → no gain
         ne_set = set(non_essential)
         essential = [p for p in present if p not in ne_set]
         if stats is not None:
