@@ -69,6 +69,54 @@ def test_lsh_bands_shapes(dup_docs):
     assert cands.columns == ["a", "b"]
 
 
+def test_shingle_jaccard_max_df_binding(spark):
+    """Round-6: the restructured df-cap path (anti-join vs the hot set
+    + window-attached sizes + length-ratio prefilter) with a BINDING
+    cap — pinned against a brute-force python computation of the same
+    capped-Jaccard definition (df > max_df shingles dropped from both
+    numerator and denominator)."""
+    import itertools
+    # 8 docs sharing one boilerplate phrase (its shingles go hot at
+    # max_df=3) plus per-pair distinctive content
+    boiler = "shared boilerplate header row alpha beta gamma"
+    rows = [(i, f"{boiler} doc{i // 2} unique tail {'x' * (i % 2)} "
+                f"padding words here now") for i in range(8)]
+    docs = spark.createDataFrame(rows, "id int, text string")
+    for max_df in (3, 100):
+        got = {(r["a"], r["b"]): round(r["jaccard"], 6)
+               for r in shingle_jaccard_pairs(
+                   docs, "id", threshold=0.5, k=3,
+                   max_df=max_df).collect()}
+        # brute force with the identical definition
+        def toks(t):
+            import re
+            return [w for w in re.split(r"[^\w]+", t.lower()) if w]
+        def sh(t, k=3):
+            ts = toks(t)
+            if len(ts) < k:
+                return {" ".join(ts)}
+            return {" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)}
+        sets = {i: sh(t) for i, t in rows}
+        df = {}
+        for s in itertools.chain.from_iterable(sets.values()):
+            df[s] = sum(1 for v in sets.values() if s in v)
+        informative = {i: {s for s in v if df[s] <= max_df}
+                       for i, v in sets.items()}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            ia, ib = informative[a], informative[b]
+            union = len(ia | ib)
+            if union == 0:
+                continue
+            j = len(ia & ib) / union
+            if j >= 0.5:
+                want[(a, b)] = round(j, 6)
+        assert got == want, (max_df, got, want)
+        if max_df == 3:
+            # the cap must actually BIND on this corpus
+            assert any(d > 3 for d in df.values())
+
+
 def test_minhash_engine_parity(dup_docs, spark):
     """Round-6: the vectorized-numpy signature engine (default) is
     BIT-IDENTICAL to the JVM expression engine — same (a·h + b) mod p
