@@ -91,7 +91,8 @@ def minhash_signatures(docs: DataFrame, key: str, text_col: str = "text",
 
     int64 exactness: a, b, h < 2^31, so a·h + b < 2^62 — no overflow
     in either engine; numpy's % on non-negative int64 equals Spark's
-    pmod.  tests/test_dedup.py pins engine parity element-for-element.
+    pmod.  tests/test_pipeline.py::test_minhash_engine_parity pins
+    engine parity element-for-element.
     """
     docs = _spread(docs)
     # materialize the base shingle-hash array ONCE in its own projection:
