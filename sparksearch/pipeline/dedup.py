@@ -82,8 +82,8 @@ def minhash_signatures(docs: DataFrame, key: str, text_col: str = "text",
     - ``engine="arrow"`` (default; guide §4.2): the (id, base-hash
       array) frame — only int64s, no text — crosses to vectorized
       numpy workers that compute all signatures with one outer-product
-      + segmented min per batch.  Measured 12.5 s → 0.9 s for 5k docs
-      at sf0.1 (the interpreted HOF path evaluates ~n_hashes·|shingles|
+      + segmented min per batch.  Measured 8.9 s → 0.65 s for 5k docs
+      at sf0.1 (13.6×, quiet machine; 12.5 s under load) (the interpreted HOF path evaluates ~n_hashes·|shingles|
       boxed expression nodes per row).
     - ``engine="expr"``: the round-4 nested-transform column expression
       (one transform over a literal (a, b) param array — still the
