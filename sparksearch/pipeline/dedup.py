@@ -1,8 +1,11 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, shingle-Jaccard,
 embedding-cosine.
 
-All hot paths are JVM column expressions (hashing via xxhash64/md5,
-signatures via higher-order functions) — no Python in the data path; the
+Hashing and tokenization are JVM column expressions (xxhash64/md5 —
+the definitions external systems and the DuckDB oracles reproduce);
+the one deliberate Python stage is the MinHash affine-min sweep, which
+runs as vectorized numpy over Arrow int64 batches (bit-identical to
+its JVM expression twin, 13.6× faster — see minhash_signatures).  The
 only shuffles are the candidate-pair joins, which LSH banding keeps
 sub-quadratic (the whole point at 100 TB: never all-pairs).
 """
@@ -83,8 +86,8 @@ def minhash_signatures(docs: DataFrame, key: str, text_col: str = "text",
       array) frame — only int64s, no text — crosses to vectorized
       numpy workers that compute all signatures with one outer-product
       + segmented min per batch.  Measured 8.9 s → 0.65 s for 5k docs
-      at sf0.1 (13.6×, quiet machine; 12.5 s under load) (the interpreted HOF path evaluates ~n_hashes·|shingles|
-      boxed expression nodes per row).
+      at sf0.1, quiet machine — the interpreted HOF path evaluates
+      ~n_hashes·|shingles| boxed expression nodes per row.
     - ``engine="expr"``: the round-4 nested-transform column expression
       (one transform over a literal (a, b) param array — still the
       JIT-friendly fold, kept for plans that must stay JVM-only).
